@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-loop emulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+For each <name>/ parquet dir in verify_out_dir, runs the matching SQL from
+oracle_sql.json in DuckDB over the sf_dir tables, sorts columns by name,
+sorts rows, and value-compares (with float tolerance reporting so we can
+see *how* close we are — the real driver hashes, so we aim for exact).
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import os
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        if name not in oracle:
+            print(f"  {name}: NO ORACLE (rows-only check) rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"  {name}: COLUMN MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"  {name}: ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            try:
+                import pandas as pd
+                if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+                    bad = ~((gv == ev) | (gv.isna() & ev.isna()))
+                    if bad.any():
+                        diff = (gv[bad] - ev[bad]).abs().max()
+                        print(f"  {name}: FLOAT DIFF col={c} n={bad.sum()} maxabs={diff}")
+                        ok = False
+                else:
+                    gs = gv.astype(str)
+                    es = ev.astype(str)
+                    bad = gs != es
+                    if bad.any():
+                        i = bad.idxmax()
+                        print(f"  {name}: VALUE MISMATCH col={c} n={bad.sum()} first: spark={gv[i]!r} duck={ev[i]!r}")
+                        ok = False
+            except Exception as ex:
+                print(f"  {name}: COMPARE ERROR col={c}: {ex}")
+                ok = False
+        if ok:
+            print(f"  {name}: PASS rows={len(g)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
