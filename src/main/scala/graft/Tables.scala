@@ -21,8 +21,14 @@ object Tables {
   /** Small dimension tables — always broadcast-join candidates. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    // outright unless read as a raw long (nanoseconds since epoch).
+    // Queries work in the epoch-microsecond domain via `ts div 1000`,
+    // matching DuckDB's ns→µs truncation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view named after itself. Idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

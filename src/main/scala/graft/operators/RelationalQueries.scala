@@ -1,60 +1,626 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
-/** Relational operator inventory (SURVEY.md §2.3-§2.8), one named query
-  * per operator, each paired with ANSI SQL the driver runs in DuckDB.
+/** Relational operator inventory (SURVEY.md §2.3-§2.8): one named query
+  * per operator capability, each paired with ANSI SQL the driver runs
+  * in DuckDB over the same parquet tables.
   *
   * Determinism rules (so a value-hash compare against DuckDB passes):
-  *  - Money aggregates go through `DECIMAL(18,4)` before summing: decimal
-  *    addition is exact, so the result is independent of Spark's partial
-  *    aggregation order, then a single cast back to double is identical
-  *    in both engines. Raw `sum(double)` would differ in the last bits
-  *    per summation order.
-  *  - Every query ends with a total ORDER BY and the SQL carries the
-  *    same ORDER BY.
-  *  - Aggregate result columns are aliased identically on both sides.
+  *  - Double aggregates go through `DECIMAL(18,4)` before summing:
+  *    decimal addition is exact, so results are independent of Spark's
+  *    partial-aggregation/merge order; the single final cast back to
+  *    double is identical in both engines. Raw `sum(double)` drifts in
+  *    the last bits with summation order. Same inside window frames
+  *    (DuckDB uses segment trees, Spark running accumulation).
+  *  - Averages are written as exact-decimal sum / count, never avg().
+  *  - Every query ends with a total ORDER BY; ORDER BY NULLS FIRST is
+  *    spelled out where rollup/cube introduce nulls (DuckDB defaults
+  *    NULLS LAST, Spark NULLS FIRST).
+  *  - `events.ts` is ns in parquet: both sides work in epoch
+  *    microseconds (Spark `unix_micros`, DuckDB `epoch_us(CAST(ts AS
+  *    TIMESTAMP))`) — both truncate ns → µs identically.
+  *  - DuckDB type widenings are cast back to Spark's types in the
+  *    oracle SQL (sum(BIGINT)→HUGEINT→BIGINT, year()→BIGINT→INT,
+  *    ceil/floor→DOUBLE→BIGINT, length()→BIGINT→INT).
+  *  - No round(double, n): Spark rounds via shortest-decimal
+  *    (BigDecimal.valueOf), DuckDB via scaled fp — they disagree on
+  *    .x5 boundaries.
+  *
+  * Scale notes are inline per query: the sf0.01 gate checks
+  * correctness; the shapes are chosen to hold at 100 TB (partial aggs
+  * before shuffles, broadcast dims, single-shuffle window plans).
   */
 object RelationalQueries {
 
-  /** sum over a money column, exact regardless of add order. */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
-
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    // ---- aggregation -------------------------------------------------
-    "q1_agg" -> ((s, dir) => {
-      // TPC-H Q1 shape: map-side partial agg then final; one shuffle on
-      // the two low-cardinality group keys. Scales: partial aggregation
-      // collapses 100 TB to O(groups) per partition before the shuffle.
-      Tables.load(s, dir, "lineitem")
+  /** Exact sum over a double column, independent of add order. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Exact average: decimal sum / count — deterministic across engines. */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  final case class QDef(name: String, fn: Q, sql: Option[String])
+
+  // ------------------------------------------------------------------
+  val defs: Seq[QDef] = Seq(
+
+    // ---- aggregation: TPC-H Q1 shape. One shuffle on two low-card
+    // keys; map-side partial agg collapses 100 TB to O(groups)/task.
+    QDef("q1_agg", (s, dir) =>
+      t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          avg("l_discount").as("avg_disc"),
+          davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    })
-  )
-
-  val oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  avg(l_discount) AS avg_disc,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- projection + filter: predicates/columns push to the parquet
+    // scan (verified via explain: PushedFilters + pruned ReadSchema).
+    QDef("filter_project", (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_discount") > lit(0.08))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
         |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- CASE WHEN bucketing + agg.
+    QDef("case_when", (s, dir) =>
+      t(s, dir, "orders")
+        .select(when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'small' END AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- inner equi-join, fact-to-fact: shuffles both sides on the
+    // join key; at scale AQE picks SMJ/shuffled-hash; agg after.
+    QDef("join_inner", (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q5-shaped 6-way star join; dims broadcast so the only
+    // big shuffles are lineitem⋈orders and the custkey join.
+    QDef("join_multiway", (s, dir) => {
+      val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation"); val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    },
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- left outer join keeping empty groups; COALESCE on the
+    // null-extended side.
+    QDef("join_left", (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-semi (EXISTS): never duplicates the left side, so no
+    // post-join dedup shuffle.
+    QDef("join_semi", (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- left-anti (NOT EXISTS).
+    QDef("join_anti", (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- theta join: equi key + inequality residual. The equi part
+    // keeps it hash-joinable at scale; the inequality is a residual
+    // filter, not a nested-loop.
+    QDef("join_theta", (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "customer"), col("s_nationkey") === col("c_nationkey")
+          && col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_richer"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, count(*) AS n_richer
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- cross join (tiny×tiny only; broadcast NL at scale).
+    QDef("join_cross", (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- group-by + HAVING.
+    QDef("agg_having", (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+        .filter(col("total_qty") > 200)
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(l_quantity) > 200 ORDER BY l_partkey""".stripMargin)),
+
+    // ---- distinct aggregates (expand + two-phase agg in Spark).
+    QDef("agg_distinct", (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- ROLLUP hierarchy totals. Note: rollup-over-join trips
+    // Spark 4's ambiguous-self-join detector (the rollup's Expand
+    // duplicates grouping attrs carrying dataset-id metadata) — a
+    // false positive; disabled for this query via the documented conf.
+    QDef("agg_rollup", (s, dir) => {
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // ---- CUBE.
+    QDef("agg_cube", (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- global aggregate (no grouping): min/max are order-exact.
+    QDef("agg_stats", (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        sum("l_quantity").as("sum_qty"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship")),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem""".stripMargin)),
+
+    // ---- ranking windows: one shuffle on the partition key, sort
+    // within partitions; rank/dense_rank on the value (ties OK),
+    // row_number/ntile on a unique total order.
+    QDef("window_rank", (s, dir) => {
+      val byVal = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc)
+      val unique = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          rank().over(byVal).as("rnk"),
+          dense_rank().over(byVal).as("drnk"),
+          row_number().over(unique).as("rn"),
+          ntile(4).over(unique).as("quartile"))
+        .filter(col("rn") <= 1000)
+        .orderBy("l_returnflag", "rn")
+    },
+      Some("""SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS INT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS INT) AS drnk,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |) WHERE rn <= 1000 ORDER BY l_returnflag, rn""".stripMargin)),
+
+    // ---- analytic windows: running sum (decimal-exact), lag/lead.
+    QDef("window_running", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spent"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- RANGE frame: cumulative including peers — deterministic
+    // under ties by construction.
+    QDef("window_range", (s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_cheaper_or_eq"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_totalprice,
+        |  count(*) OVER (ORDER BY o_totalprice RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cheaper_or_eq
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- top-k per group via row_number.
+    QDef("topk_per_group", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    },
+      Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+
+    // ---- global sort + limit: Spark TakeOrderedAndProject — no full
+    // sort materialization at scale.
+    QDef("sort_limit", (s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---- UNION ALL + re-aggregation.
+    QDef("set_union", (s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey").as("k"))
+      a.union(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    },
+      Some("""SELECT k, count(*) AS n FROM (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 50
+        |) GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ---- INTERSECT (distinct semantics both engines).
+    QDef("set_intersect", (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey"))
+        .intersect(
+          t(s, dir, "lineitem").filter(col("l_returnflag") === "A")
+            .select(col("l_suppkey")))
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- EXCEPT.
+    QDef("set_except", (s, dir) =>
+      t(s, dir, "supplier").select(col("s_suppkey"))
+        .except(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+            .select(col("l_suppkey").as("s_suppkey")))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey FROM supplier
+        |EXCEPT
+        |SELECT l_suppkey AS s_suppkey FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- DISTINCT / dropDuplicates.
+    QDef("distinct_dedup", (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .dropDuplicates("c_mktsegment", "c_nationkey")
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---- string scalar functions (codegen'd built-ins, no UDFs).
+    QDef("string_funcs", (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"),
+          regexp_replace(col("c_name"), "Customer#", "C").as("short_name"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          reverse(col("c_mktsegment")).as("rseg"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS tag,
+        |  regexp_replace(c_name, 'Customer#', 'C') AS short_name,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  reverse(c_mktsegment) AS rseg
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- date/time scalar functions.
+    QDef("date_funcs", (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          col("o_orderdate").cast("date").as("odate"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- math scalar functions (IEEE-exact set only; no round/ln).
+    QDef("math_funcs", (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- JSON extraction over events.props.
+    QDef("json_funcs", (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("n"))
+        .orderBy("k_val"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin)),
+
+    // ---- null handling: NULLIF / COALESCE.
+    QDef("conditional_null", (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FILLED")).as("status2"),
+          when(col("o_orderpriority").isNull, 0).otherwise(1).as("has_prio"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'F'), 'FILLED') AS status2,
+        |  CASE WHEN o_orderpriority IS NULL THEN 0 ELSE 1 END AS has_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- explode / UDTF-shaped generator (reference's df.explode,
+    // ScalaSparkTest.java:276-278): wordcount over documents.
+    QDef("explode_words", (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")),
+      Some("""SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin)),
+
+    // ---- pivot (conditional aggregation under the hood).
+    QDef("pivot_status", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"))
+        .orderBy("order_year"),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin)),
+
+    // ---- scalar subquery (identical SQL text runs in both engines).
+    QDef("subquery_scalar", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+    },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- correlated EXISTS subquery (decorrelated to semi-join by
+    // Catalyst).
+    QDef("subquery_exists", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- GROUPING SETS (identical SQL text both engines).
+    QDef("grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n""".stripMargin)
+    },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n""".stripMargin)),
+
+    // ---- deterministic sampling (hash/mod-based so the oracle can
+    // reproduce it; df.sample is seed-dependent across engines).
+    QDef("hash_sample", (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- as-of join (time-series): for each purchase, latest click
+    // by the same user strictly before it in (ts, event_id) order.
+    // Spark plan: ONE shuffle on user_id + in-partition sort — no
+    // self-join; scales linearly with events per user.
+    QDef("asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")) // ns → µs (ts read as long)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "last_click_ts")
+        .orderBy("event_id")
+    },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+        |  (SELECT max(epoch_us(CAST(c.ts AS TIMESTAMP))) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+        |          OR (epoch_us(CAST(c.ts AS TIMESTAMP)) = epoch_us(CAST(p.ts AS TIMESTAMP))
+        |              AND c.event_id < p.event_id))) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
+
+    // ---- sessionization: 30-min-gap sessions per user — lag + running
+    // flag sum; one shuffle on user_id.
+    QDef("sessionize", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")) // ns → µs (ts read as long)
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
+
+  val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap
+  val oracleSql: Map[String, String] =
+    defs.flatMap(d => d.sql.map(d.name -> _)).toMap
 }
