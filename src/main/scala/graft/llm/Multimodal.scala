@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2.11): media payloads as
+  * opaque `binary` columns plus typed metadata, with decode /
+  * feature-extraction as partition-wise batch functions.
+  *
+  * The decode step itself is a STUB (this environment ships no
+  * image/audio codecs): `decodeStub` derives deterministic fake
+  * features from the raw bytes. Everything around it — the schema, the
+  * binary payload column, the mapPartitions batching, the Encoder
+  * plumbing — is the real Spark shape you'd use with a true codec: at
+  * scale the decode is per-partition (amortizes codec init), stays off
+  * the driver, and never widens the shuffle (features only, payload
+  * dropped immediately after extraction).
+  */
+object Multimodal {
+
+  /** One media record: payload bytes + typed metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (what survives past the decode stage). */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      payload_len: Long, header_hex: String, n_chunks: Long)
+
+  /** Build a media table from the documents table: UTF-8 payload bytes
+    * standing in for image/audio blobs, with a typed metadata column.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decode: real codec calls would replace the body of the
+    * per-record function; batching, schema and laziness are the real
+    * thing. Features: payload length, hex of the first 4 bytes
+    * ("magic number" sniff), 256-byte chunk count (frame-sample
+    * stand-in).
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles, model weights)
+        it.map { r =>
+          val head = r.payload.take(4).map(b => f"${b & 0xff}%02X").mkString
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            head, (r.payload.length + 255L) / 256L)
+        }
+      }
+  }
+}

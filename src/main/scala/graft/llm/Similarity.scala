@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (SURVEY.md §2.11):
+  * brute-force cosine top-k as the correctness baseline, IVF
+  * (centroid-probe) as the scale path. Vector math is pure higher-order
+  * Column expressions — sequential left-fold sums, so results are
+  * bit-reproducible across engines (the DuckDB oracle replays the same
+  * fold).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (exact,
+    * order-fixed — reproducible bits).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm, same fold. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Brute-force cosine top-k: every query against the whole corpus.
+    * Correctness baseline / oracle; O(|Q|·|C|) — only sane when the
+    * query side is small (broadcast it) or at test scale.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(q).join(c, col("q_vec_id") =!= col("n_vec_id"))
+      .select(col("q_vec_id"), col("n_vec_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "rank", "n_vec_id", "cos")
+  }
+
+  /** IVF-style ANN, the 100 TB path: partition the corpus into cells
+    * (here: deterministic centroids = exact per-label means, standing
+    * in for k-means since labels ship with the data), then probe only
+    * the `nprobe` nearest cells per query. The corpus scan per query
+    * drops from O(|C|) to O(nprobe·|C|/cells); the cell assignment is
+    * one broadcast join + argmin, no shuffle of the corpus.
+    *
+    * Centroid means use exact decimal sums so assignments are
+    * reproducible run-to-run regardless of partial-agg order.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val dim = 64
+    // exact per-label centroid means
+    val comps = (0 until dim).map { i =>
+      (sum(element_at(col("embedding"), i + 1).cast(DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as(s"c$i")
+    }
+    val centroids = corpus.groupBy(col("label").as("cell"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+      .withColumn("cn", l2NormD(col("cv")))
+
+    // assign corpus rows to their own label cell (stand-in for argmin
+    // assignment; with labels present this IS the partition)
+    val assigned = corpus.select(col("vec_id").as("n_vec_id"),
+      col("embedding").as("nv"), col("label").as("cell"))
+      .withColumn("nn", l2Norm(col("nv")))
+
+    // rank cells per query, keep nprobe nearest
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val cw = Window.partitionBy("q_vec_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dotMixed(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select("q_vec_id", "qv", "qn", "cell")
+
+    // search only the probed cells
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("q_vec_id") =!= col("n_vec_id"))
+      .select(col("q_vec_id"), col("n_vec_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "rank", "n_vec_id", "cos")
+  }
+
+  /** dot where one side is already double[] (centroids). */
+  private def dotMixed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** norm over a double[] column. */
+  private def l2NormD(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (SURVEY.md §2.11) wired into the
+  * correctness gate: dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force oracle +
+  * IVF scale path), text analysis, multimodal feature plumbing.
+  *
+  * Oracle determinism notes: see RelationalQueries. Vector math uses
+  * sequential left-folds on both sides → identical double bits.
+  * PolyHash is replayed in DuckDB via list_reduce over codepoints.
+  */
+object LlmQueries {
+  import RelationalQueries.{Q, QDef}
+
+  /** DuckDB fragment: whitespace tokens of `text`, empties dropped. */
+  private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
+  /** DuckDB fragment: PolyHash replay over a string expression. */
+  private def duckPoly(e: String): String =
+    s"list_reduce(list_transform(string_split($e, ''), x -> CAST(unicode(x) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- text stats ------------------------------------------------
+    QDef("text_stats", (s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"), "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS INT) AS n_uniq,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_token_len,
+        |  CAST(list_max(list_transform(ws, w -> length(w))) AS INT) AS max_token_len
+        |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID heuristic ------------------------------------
+    QDef("lang_id", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter($DuckToks, w -> list_contains(['der','die','das','und','ist','von','nicht','mit'], w))) AS s_de,
+        |    len(list_filter($DuckToks, w -> list_contains(['a','the','of','and','to','in','is','it'], w))) AS s_en,
+        |    len(list_filter($DuckToks, w -> list_contains(['le','la','les','et','est','une','que','pour'], w))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr > greatest(s_de, s_en) THEN 'fr'
+        |       WHEN s_en > s_de THEN 'en' ELSE 'de' END AS pred_lang,
+        |  lang,
+        |  CAST((CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr > greatest(s_de, s_en) THEN 'fr'
+        |       WHEN s_en > s_de THEN 'en' ELSE 'de' END) = lang AS INT) AS is_match
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring ------------------------------------------
+    QDef("text_quality", (s, dir) =>
+      TextAnalysis.quality(Tables.load(s, dir, "documents"), "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |m AS (SELECT doc_id, len(ws) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_len,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio FROM tok)
+        |SELECT doc_id,
+        |  CAST(n_tokens >= 20 AND n_tokens <= 1000 AS INT) AS len_ok,
+        |  CAST(avg_len >= 2.0 AND avg_len <= 12.0 AS INT) AS shape_ok,
+        |  CAST(uniq_ratio >= 0.2 AS INT) AS uniq_ok,
+        |  CAST(n_tokens >= 20 AND n_tokens <= 1000 AS INT)
+        |    + CAST(avg_len >= 2.0 AND avg_len <= 12.0 AS INT)
+        |    + CAST(uniq_ratio >= 0.2 AS INT) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE-ish token counting -----------------------------------
+    QDef("token_count_bpe", (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- rolling-hash fingerprint (native codegen'd expression) ----
+    QDef("doc_fingerprint", (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${duckPoly("text")} AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dedup ----------------------------------------------
+    QDef("dedup_exact", (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin)),
+
+    // ---- MinHash-LSH near-dups (verified against exact all-pairs) --
+    QDef("dedup_minhash_lsh", (s, dir) =>
+      Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("ia", "ib"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+        |    ELSE [] END) AS shingles FROM tok)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- exact n-gram Jaccard via inverted index (no LSH) ----------
+    QDef("dedup_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          shingleN = 2, threshold = 0.5)
+        .orderBy("ia", "ib"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
+        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |    ELSE [] END) AS shingles FROM tok)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- SimHash signatures ---------------------------------------
+    QDef("dedup_simhash", (s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, unnest($DuckToks) AS w FROM documents),
+        |th AS (SELECT doc_id, ${duckPoly("w")} AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN generate_series(0, 29) AS t(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- embedding cosine near-dups -------------------------------
+    QDef("dedup_embedding", (s, dir) =>
+      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"), "embedding",
+          "vec_id", threshold = 0.4)
+        .orderBy("ia", "ib"),
+      Some("""WITH n AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS nrm2
+        |  FROM embeddings)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(a.nrm2) * sqrt(b.nrm2)) >= 0.4
+        |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- brute-force cosine top-k (ANN baseline) -------------------
+    QDef("ann_topk_exact", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+        .orderBy("q_vec_id", "rank")
+    },
+      Some("""WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+        |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT q_vec_id, n_vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS INT) AS rank
+        |  FROM p)
+        |SELECT q_vec_id, rank, n_vec_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_vec_id, rank""".stripMargin)),
+
+    // ---- IVF probe ANN (scale path; rows-only check: the probe set
+    // is approximate by design, so no SQL oracle is declared — its
+    // recall vs the exact baseline is asserted in SimilaritySpec).
+    QDef("ann_ivf", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 5, nprobe = 3)
+        .orderBy("q_vec_id", "rank")
+    }, None),
+
+    // ---- multimodal feature extraction (mapPartitions stub decode) -
+    QDef("multimodal_features", (s, dir) =>
+      Multimodal.decodeStub(s,
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+        |  hex(substr(text, 1, 4)) AS header_hex,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap
+  val oracleSql: Map[String, String] =
+    defs.flatMap(d => d.sql.map(d.name -> _)).toMap
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+
+  test("poly_hash matches the reference formula and codegen path") {
+    import spark.implicits._
+    val df = Seq("ab", "hello world", "x").toDF("s")
+    val got = df.select(PolyHash(col("s"))).as[Long].collect().toSeq
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(got == Seq(ref("ab"), ref("hello world"), ref("x")))
+    assert(got.head == 97L * 31 + 98) // 'a','b'
+  }
+
+  test("shingles produce distinct word n-grams, short docs give empty") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text").withColumn("doc_id", lit(1L))
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("minhash-LSH near-dups match exact inverted-index jaccard pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.7)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (pairs.nonEmpty) {
+      val dists = pairs.toSeq.map { case (a, b) =>
+        java.lang.Long.bitCount(sig(a) ^ sig(b))
+      }
+      assert(dists.max <= 10, s"near-dup hamming too large: $dists")
+    }
+    // random pairs should be far apart on average
+    val ids = sig.keys.toSeq.sorted.take(20)
+    val rand = for (a <- ids; b <- ids if a < b)
+      yield java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(rand.sum.toDouble / rand.size > 5.0)
+  }
+
+  test("IVF ANN: high recall on clustered data, nprobe/cells on uniform") {
+    import spark.implicits._
+    // Planted clusters: 10 centers on coordinate axes, 40 members each
+    // with small deterministic jitter. label = cluster id (what k-means
+    // would recover). IVF with nprobe=2 must find nearly all true
+    // neighbors because neighbors share the query's cell.
+    val dim = 64
+    def jitter(seed: Long, i: Int): Float = {
+      val x = (seed * 2654435761L + i * 40503L) % 1000
+      (x.toFloat / 1000f - 0.5f) * 0.2f
+    }
+    val rows = for (c <- 0 until 10; m <- 0 until 40) yield {
+      val id = (c * 40 + m).toLong
+      val v = Array.tabulate(dim)(i => (if (i == c * 6) 1f else 0f) + jitter(id, i))
+      (id, v, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id") % 40 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_vec_id", "n_vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, emb, 5))
+    val ivf = pairs(Similarity.ivfTopK(qs, emb, 5, nprobe = 2))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall on clustered data $recall below 0.9")
+
+    // Uniform-random testdata: partition pruning can't beat
+    // nprobe/cells on unclustered vectors — assert it's in that regime
+    // (sanity that probing works at all), not magic.
+    val real = Tables.load(spark, sfDir, "embeddings")
+    val rq = real.filter(col("vec_id") % 50 === 0)
+    val rExact = pairs(Similarity.bruteForceTopK(rq, real, 5))
+    val rIvf = pairs(Similarity.ivfTopK(rq, real, 5, nprobe = 8))
+    val rRecall = (rExact & rIvf).size.toDouble / rExact.size
+    assert(rRecall >= 0.6, s"IVF recall with nprobe=8/10 was $rRecall")
+  }
+
+  test("multimodal stub decode keeps schema + values consistent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.decodeStub(spark, Multimodal.mediaTable(docs))
+    val row = feats.filter(col("doc_id") === 0).collect().head
+    val text = docs.filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    assert(row.payload_len == text.getBytes("UTF-8").length)
+    assert(row.n_chunks == (text.getBytes("UTF-8").length + 255) / 256)
+    assert(row.header_hex == text.take(4).getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString)
+  }
+
+  test("langId is deterministic and falls back to 'und'") {
+    import spark.implicits._
+    val df = Seq("the cat is here", "der hund ist gut", "xyzzy blorp").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+}
