@@ -1,0 +1,241 @@
+package graft.dynamic
+
+import java.io.{File, FileOutputStream}
+import java.lang.reflect.{Method, Modifier}
+import java.net.URLClassLoader
+import java.nio.file.{Files, Path}
+import java.util.jar.{JarEntry, JarOutputStream}
+
+import scala.tools.nsc.{Global, Settings}
+import scala.tools.nsc.reporters.StoreReporter
+import scala.reflect.internal.util.BatchSourceFile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Runtime Scala compilation for dynamic pipeline stages — the
+  * reference's core capability (ScalaSparkCodeExecutor.java:210-231,
+  * SparkCompilers.java:78-147) rebuilt on scala.tools.nsc for
+  * Scala 2.13 / JDK 17.
+  *
+  * Differences from the reference, by design:
+  *  - compiles to a real class directory and packs a jar, so the same
+  *    code path works on a multi-node cluster via
+  *    `sparkContext.addJar` (the reference relies on the interpreter's
+  *    in-memory classloader plus an optional saveAsJar,
+  *    ScalaSparkTest.java:179-180);
+  *  - user functions are `DataFrame => DataFrame` against the live
+  *    SparkSession — no RDD[Record] bridge — so Catalyst optimizes
+  *    straight through the user stage (SURVEY.md §3.1).
+  */
+object DynamicCompiler {
+
+  /** Compiled user code: classloader + jar (for executor shipping). */
+  final class Compiled(
+      val classDir: Path,
+      val jar: Path,
+      val loader: URLClassLoader) {
+
+    def loadObject(name: String): AnyRef = {
+      val cls = Class.forName(name + "$", true, loader)
+      cls.getField("MODULE$").get(null)
+    }
+
+    /** Register the jar with the session so executors can load the
+      * classes (needed for typed lambdas; Column-only code never ships
+      * classes).
+      */
+    def shipTo(spark: SparkSession): Unit =
+      spark.sparkContext.addJar(jar.toUri.toString)
+  }
+
+  /** Auto-imports prepended to wrapped user code — mirrors the
+    * reference's preamble (ScalaSparkCodeExecutor.java:216-224) with
+    * the CDAP and Spark-1.x entries replaced by their Spark-4
+    * equivalents.
+    */
+  val AutoImports: String =
+    """import org.apache.spark._
+      |import org.apache.spark.rdd._
+      |import org.apache.spark.sql._
+      |import org.apache.spark.sql.functions._
+      |import org.apache.spark.sql.types._
+      |import org.apache.spark.sql.expressions._
+      |import graft.dynamic.GraftContext
+      |""".stripMargin
+
+  /** Stable, filesystem/JVM-safe class name per stage — hex-encoded
+    * like the reference (ScalaSparkCodeExecutor.java:346-357).
+    */
+  def classNameFor(stageName: String): String =
+    "GraftStage" + stageName.getBytes("UTF-8").map(b => f"$b%02x").mkString
+
+  /** Wrap user method bodies (compute/sink style) in a named object
+    * with auto-imports.
+    */
+  def wrap(objectName: String, userCode: String): String =
+    s"""$AutoImports
+       |object $objectName extends Serializable {
+       |$userCode
+       |}
+       |""".stripMargin
+
+  /** Expand a dependencies config: comma-separated paths; a path
+    * ending in "/ *" (no space) lists every jar in that directory
+    * (reference SparkCompilers.java:157-203).
+    */
+  def expandDependencies(deps: String): Seq[Path] =
+    deps.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { d =>
+      if (d.endsWith("/*")) {
+        val dir = new File(d.stripSuffix("/*"))
+        Option(dir.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".jar")).map(_.toPath)
+      } else Seq(new File(d).toPath)
+    }
+
+  /** Compile Scala source; returns the Compiled handle or throws
+    * [[CompileException]] with collected errors (line-numbered
+    * relative to the full generated source).
+    */
+  def compile(source: String, parentLoader: ClassLoader = getClass.getClassLoader,
+      extraClasspath: Seq[Path] = Nil): Compiled = {
+    val dir = Files.createTempDirectory("graft-dyn")
+    val settings = new Settings()
+    settings.usejavacp.value = true
+    // under sbt/forked JVMs the app classpath is in java.class.path;
+    // pass it explicitly too (usejavacp covers plain launches)
+    settings.classpath.value =
+      (System.getProperty("java.class.path", "") +:
+        extraClasspath.map(_.toString)).mkString(File.pathSeparator)
+    settings.outputDirs.setSingleOutput(dir.toString)
+    val reporter = new StoreReporter(settings)
+    val global = new Global(settings, reporter)
+    val run = new global.Run()
+    run.compileSources(List(new BatchSourceFile("<graft-dynamic>", source)))
+    if (reporter.hasErrors) {
+      val msgs = reporter.infos.filter(_.severity == reporter.ERROR)
+        .map(i => s"line ${i.pos.line}: ${i.msg}").toSeq
+      throw new CompileException(msgs)
+    }
+    val jar = jarDirectory(dir)
+    val loader = new URLClassLoader(
+      (dir.toUri.toURL +: extraClasspath.map(_.toUri.toURL)).toArray, parentLoader)
+    new Compiled(dir, jar, loader)
+  }
+
+  final class CompileException(val errors: Seq[String])
+    extends RuntimeException("dynamic Scala compilation failed:\n" + errors.mkString("\n"))
+
+  private def jarDirectory(dir: Path): Path = {
+    // unique file name: Spark's file server keys jars by name, so two
+    // stages both shipping "graft-dynamic.jar" would collide
+    val jar = dir.resolve(dir.getFileName.toString + ".jar")
+    val out = new JarOutputStream(new FileOutputStream(jar.toFile))
+    try {
+      def walk(f: File, prefix: String): Unit =
+        f.listFiles().foreach { c =>
+          if (c.isDirectory) walk(c, s"$prefix${c.getName}/")
+          else if (c.getName.endsWith(".class")) {
+            out.putNextEntry(new JarEntry(prefix + c.getName))
+            Files.copy(c.toPath, out)
+            out.closeEntry()
+          }
+        }
+      walk(dir.toFile, "")
+    } finally out.close()
+    jar
+  }
+
+  // -----------------------------------------------------------------
+  // Method resolution + signature validation, mirroring the matrix at
+  // ScalaSparkCodeExecutor.java:56-61 and the checks at :267-335.
+
+  /** A resolved user method: invoke(df) handles the optional context
+    * parameter.
+    */
+  final case class UserFunction(target: AnyRef, method: Method, takesContext: Boolean) {
+    def invoke(df: DataFrame, ctx: GraftContext): AnyRef =
+      if (takesContext) method.invoke(target, df, ctx)
+      else method.invoke(target, df)
+  }
+
+  /** Resolve `methodName` on the wrapped object, enforcing one of:
+    * `(DataFrame) => DataFrame`, `(DataFrame, GraftContext) =>
+    * DataFrame` (compute) — or the same shapes returning Unit when
+    * `isVoid` (sink).
+    */
+  def resolveFunction(obj: AnyRef, methodName: String, isVoid: Boolean): UserFunction = {
+    val candidates = obj.getClass.getMethods.filter(_.getName == methodName)
+    if (candidates.isEmpty)
+      fail(s"method '$methodName' not found in user code")
+    val dfClass = classOf[DataFrame]
+    val ctxClass = classOf[GraftContext]
+    val m = candidates.find { m =>
+      val p = m.getParameterTypes
+      (p.length == 1 && p(0) == dfClass) ||
+        (p.length == 2 && p(0) == dfClass && p(1) == ctxClass)
+    }.getOrElse(fail(
+      s"method '$methodName' must take (DataFrame) or (DataFrame, GraftContext); " +
+        s"found ${candidates.map(sig).mkString("; ")}"))
+    val ret = m.getReturnType
+    if (isVoid) {
+      if (ret != Void.TYPE && ret != classOf[Unit] && ret != classOf[scala.runtime.BoxedUnit])
+        fail(s"method '$methodName' must return Unit, found ${ret.getName}")
+    } else if (!dfClass.isAssignableFrom(ret) && !classOf[DataFrame].isAssignableFrom(ret)) {
+      fail(s"method '$methodName' must return DataFrame, found ${ret.getName}")
+    }
+    UserFunction(obj, m, m.getParameterTypes.length == 2)
+  }
+
+  private def sig(m: Method): String =
+    s"${m.getName}(${m.getParameterTypes.map(_.getSimpleName).mkString(", ")}): ${m.getReturnType.getSimpleName}"
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  // -----------------------------------------------------------------
+  // Whole-program dispatch, mirroring ScalaSparkProgram.java:100-162's
+  // three shapes: GraftMain.run(ctx) / run(SparkSession) /
+  // static main(Array[String]).
+
+  def runProgram(obj: AnyRef, spark: SparkSession, args: Map[String, String]): Unit = {
+    val prevCl = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(obj.getClass.getClassLoader)
+    try {
+      obj match {
+        case gm: GraftMain => gm.run(GraftContext(spark, args))
+        case _ =>
+          val methods = obj.getClass.getMethods
+          methods.find(m => m.getName == "run"
+              && m.getParameterTypes.sameElements(Array(classOf[SparkSession]))) match {
+            case Some(m) => m.invoke(obj, spark)
+            case None =>
+              methods.find(m => m.getName == "main" && Modifier.isPublic(m.getModifiers)
+                  && m.getParameterTypes.sameElements(Array(classOf[Array[String]]))) match {
+                case Some(m) =>
+                  // POSIX-style args like RuntimeArguments.toPosixArray
+                  // (ScalaSparkProgram.java:140)
+                  val posix = args.toSeq.sortBy(_._1)
+                    .flatMap { case (k, v) => Seq(s"--$k=$v") }.toArray
+                  val target = if (Modifier.isStatic(m.getModifiers)) null else obj
+                  m.invoke(target, posix.asInstanceOf[AnyRef])
+                case None => fail(
+                  "user program must extend GraftMain, define run(SparkSession), " +
+                    "or define main(Array[String])")
+              }
+          }
+      }
+    } finally Thread.currentThread().setContextClassLoader(prevCl)
+  }
+}
+
+/** Runtime context handed to user code — the engine's analogue of the
+  * reference's SparkExecutionPluginContext.
+  */
+final case class GraftContext(spark: SparkSession, runtimeArgs: Map[String, String])
+
+/** Marker trait for whole-program user code (analogue of SparkMain,
+  * ScalaSparkProgram.java:117-125).
+  */
+trait GraftMain {
+  def run(ctx: GraftContext): Unit
+}

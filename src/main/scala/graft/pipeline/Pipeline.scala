@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.schema.{SchemaCompat, SchemaJson}
+
+/** Pipeline executor: folds every stage into ONE composed DataFrame
+  * lineage and triggers an action only at each sink — so Catalyst
+  * optimizes across stage boundaries (predicate pushdown from a late
+  * filter stage reaches the parquet scan of the source stage).
+  *
+  * This is the deliberate inversion of the reference's architecture,
+  * which round-trips RDD[StructuredRecord] between stages
+  * (ScalaSparkCompute.java:123,200-203) and severs optimization at
+  * every boundary — see SURVEY.md §3.1. At 100 TB that round trip is
+  * the difference between scanning 2 columns and scanning 40.
+  */
+final class Pipeline(spec: PipelineSpec) {
+
+  /** Deploy-time validation (reference configurePipeline semantics):
+    * structural checks + per-stage validate (deployCompile), failures
+    * collected, not thrown one by one.
+    */
+  def validate(runtimeArgs: Map[String, String] = Map.empty): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val resolved =
+      try Some(spec.resolveMacros(runtimeArgs))
+      catch { case e: IllegalArgumentException => errs += e.getMessage; None }
+    resolved.foreach { sp =>
+      try {
+        val stages = sp.topoOrder.map(s => s.name -> StageRegistry.build(s)).toMap
+        stages.values.foreach {
+          case c: ComputeStage => errs ++= c.validate().map(e => s"stage '${c.name}': $e")
+          case _ =>
+        }
+        sp.stages.foreach { s =>
+          val ins = sp.inputsOf(s.name)
+          stages(s.name) match {
+            case _: SourceStage if ins.nonEmpty =>
+              errs += s"source '${s.name}' cannot have inputs"
+            case _: ComputeStage if ins.isEmpty =>
+              errs += s"compute '${s.name}' has no input"
+            case _: SinkStage if ins.size != 1 =>
+              errs += s"sink '${s.name}' needs exactly one input, has ${ins.size}"
+            case _ =>
+          }
+        }
+      } catch { case e: IllegalArgumentException => errs += e.getMessage }
+    }
+    errs.result()
+  }
+
+  /** Run the pipeline. Returns the DataFrame produced for each stage
+    * (lazy plans; sinks have already triggered their actions).
+    */
+  def run(spark: SparkSession, runtimeArgs: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+    val errors = validate(runtimeArgs)
+    if (errors.nonEmpty)
+      throw new IllegalStateException(
+        "pipeline validation failed:\n" + errors.mkString("\n"))
+    val resolved = spec.resolveMacros(runtimeArgs)
+    val ctx = PipelineContext(spark, runtimeArgs)
+    var results = Map.empty[String, DataFrame]
+
+    resolved.topoOrder.foreach { s =>
+      val stage = StageRegistry.build(s)
+      val inputNames = resolved.inputsOf(s.name)
+      val inputs = inputNames.map(results)
+      val out: Option[DataFrame] = stage match {
+        case src: SourceStage => Some(src.read(ctx))
+        case c: SqlCompute =>
+          c.inputNames = inputNames
+          Some(c.transform(ctx, inputs))
+        case c: ComputeStage => Some(c.transform(ctx, inputs))
+        case k: SinkStage => k.write(ctx, inputs.head); None
+      }
+      out.foreach { df =>
+        // declared output schema → validate (reference
+        // ScalaSparkCompute.java:110-121); absent → inferred = df.schema
+        s.properties.get("outputSchema").foreach { js =>
+          val declared = SchemaJson.parse(js)
+          val errs = SchemaCompat.check(declared, df.schema)
+          if (errs.nonEmpty) throw new IllegalStateException(
+            s"stage '${s.name}' output schema mismatch:\n" + errs.mkString("\n"))
+        }
+        results += s.name -> df
+      }
+    }
+    results
+  }
+}
+
+object Pipeline {
+  def fromJson(json: String): Pipeline = new Pipeline(PipelineSpec.fromJson(json))
+}

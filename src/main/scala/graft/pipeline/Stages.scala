@@ -1,0 +1,317 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dynamic.{DynamicCompiler, GraftContext}
+import graft.schema.SchemaJson
+
+/** Execution context shared by all stages of one run. */
+final case class PipelineContext(spark: SparkSession,
+    runtimeArgs: Map[String, String] = Map.empty) {
+  def graftContext: GraftContext = GraftContext(spark, runtimeArgs)
+}
+
+/** Stage behaviors. A stage is constructed from its StageSpec's
+  * properties; the expression vocabulary inside properties is Spark SQL
+  * (`expr(...)`), per SURVEY.md §2.3 — the engine adds no second
+  * expression language.
+  */
+sealed trait Stage { def spec: StageSpec; def name: String = spec.name }
+
+trait SourceStage extends Stage { def read(ctx: PipelineContext): DataFrame }
+
+trait ComputeStage extends Stage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame
+  /** Deploy-time validation hook (deployCompile analogue). */
+  def validate(): Seq[String] = Nil
+}
+
+trait SinkStage extends Stage { def write(ctx: PipelineContext, input: DataFrame): Unit }
+
+/** Builds stages from specs. Property conventions:
+  * single-input computes read `inputs.head`; multi-input computes
+  * (join/union/setop) follow connection order.
+  */
+object StageRegistry {
+
+  def build(spec: StageSpec): Stage = spec.stageType match {
+    // ---- sources --------------------------------------------------
+    case "parquet" | "csv" | "json" | "text" => new FormatSource(spec)
+    case "table"  => new TableSource(spec)
+    case "range"  => new RangeSource(spec)
+    case "memory" => new MemorySource(spec)
+    // ---- computes -------------------------------------------------
+    case "filter"      => new ExprCompute(spec, (df, p) => df.filter(expr(p("condition"))))
+    case "select"      => new ExprCompute(spec, (df, p) => df.selectExpr(split(p("columns")): _*))
+    case "withColumn"  => new ExprCompute(spec, (df, p) => df.withColumn(p("name"), expr(p("expression"))))
+    case "drop"        => new ExprCompute(spec, (df, p) => df.drop(split(p("columns")): _*))
+    case "rename"      => new ExprCompute(spec, (df, p) =>
+      p("mapping").split(",").map(_.split("=>")).foldLeft(df) {
+        case (d, Array(from, to)) => d.withColumnRenamed(from.trim, to.trim)
+        case (_, bad) => throw new IllegalArgumentException(s"bad rename '${bad.mkString}'")
+      })
+    case "sort"        => new ExprCompute(spec, (df, p) => df.orderBy(split(p("columns")).map(expr): _*))
+    case "limit"       => new ExprCompute(spec, (df, p) => df.limit(p("n").toInt))
+    case "distinct"    => new ExprCompute(spec, (df, _) => df.distinct())
+    case "dedup"       => new ExprCompute(spec, (df, p) => df.dropDuplicates(split(p("columns"))))
+    case "sample"      => new ExprCompute(spec, (df, p) =>
+      df.sample(p("fraction").toDouble, p.getOrElse("seed", "42").toLong))
+    case "repartition" => new ExprCompute(spec, (df, p) => {
+      val cols = p.get("columns").map(split(_).map(col).toSeq).getOrElse(Nil)
+      (p.get("n").map(_.toInt), cols) match {
+        case (Some(n), Nil) => df.repartition(n)
+        case (Some(n), cs)  => df.repartition(n, cs: _*)
+        case (None, cs) if cs.nonEmpty => df.repartition(cs: _*)
+        case _ => throw new IllegalArgumentException("repartition needs n and/or columns")
+      }
+    })
+    case "coalesce"  => new ExprCompute(spec, (df, p) => df.coalesce(p("n").toInt))
+    case "explode"   => new ExprCompute(spec, (df, p) =>
+      df.withColumn(p("as"), explode(expr(p("expression")))))
+    case "aggregate" => new AggregateCompute(spec)
+    case "join"      => new JoinCompute(spec)
+    case "union"     => new UnionCompute(spec)
+    case "intersect" => new SetOpCompute(spec, _ intersect _)
+    case "except"    => new SetOpCompute(spec, _ except _)
+    case "sql"       => new SqlCompute(spec)
+    case "cache"     => new ExprCompute(spec, (df, _) => df.cache())
+    case "scalaCompute" => new DynamicCompute(spec)
+    // ---- sinks ----------------------------------------------------
+    case "parquetSink" | "csvSink" | "jsonSink" | "textSink" => new FormatSink(spec)
+    case "console"    => new ConsoleSink(spec)
+    case "memorySink" => new MemorySink(spec)
+    case "count"      => new CountSink(spec)
+    case "scalaSink"  => new DynamicSink(spec)
+    case other => throw new IllegalArgumentException(s"unknown stage type '$other'")
+  }
+
+  private def split(s: String): Array[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty)
+}
+
+// -------------------------------------------------------------------
+// Sources
+
+final class FormatSource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = {
+    val p = spec.properties
+    var r = ctx.spark.read
+    p.get("schema").foreach(s => r = r.schema(SchemaJson.parse(s)))
+    p.filter(_._1.startsWith("option.")).foreach { case (k, v) =>
+      r = r.option(k.stripPrefix("option."), v)
+    }
+    r.format(spec.stageType).load(p("path"))
+  }
+}
+
+final class TableSource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = ctx.spark.table(spec.properties("name"))
+}
+
+final class RangeSource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = {
+    val p = spec.properties
+    ctx.spark.range(p.getOrElse("start", "0").toLong, p("end").toLong,
+      p.getOrElse("step", "1").toLong).toDF()
+  }
+}
+
+/** Literal rows from the spec (test/mocking source): `rowsJson` is a
+  * JSON array of arrays matching the declared `schema`.
+  */
+final class MemorySource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = {
+    val schema = SchemaJson.parse(spec.properties("schema"))
+    val json = spec.properties("rowsJson")
+    import org.json4s._
+    val rows = org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(rs) => rs.map {
+        case JArray(cells) => Row.fromSeq(cells.zip(schema.fields).map {
+          case (JString(s), _) => s
+          case (JInt(i), f) if f.dataType.typeName == "long" => i.toLong
+          case (JInt(i), f) if f.dataType.typeName == "integer" => i.toInt
+          case (JInt(i), _) => i.toLong
+          case (JDouble(d), _) => d
+          case (JBool(b), _) => b
+          case (JNull, _) => null
+          case (other, _) => other.values
+        })
+        case other => throw new IllegalArgumentException(s"row must be an array: $other")
+      }
+      case other => throw new IllegalArgumentException(s"rowsJson must be an array: $other")
+    }
+    ctx.spark.createDataFrame(
+      ctx.spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+}
+
+// -------------------------------------------------------------------
+// Computes
+
+/** Single-input compute defined by a (df, props) => df function. */
+final class ExprCompute(val spec: StageSpec,
+    f: (DataFrame, Map[String, String]) => DataFrame) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame =
+    f(inputs.head, spec.properties)
+}
+
+/** groupBy + aggregations; both sides are SQL expression strings:
+  * groupBy: "a, b"; aggregates: "sum(x) as sx, count(*) as n".
+  */
+final class AggregateCompute(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val keys = spec.properties.getOrElse("groupBy", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(expr)
+    val aggs = spec.properties("aggregates").split(",").map(_.trim).map(expr)
+    if (keys.isEmpty) inputs.head.agg(aggs.head, aggs.tail: _*)
+    else inputs.head.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Two-input join. `condition` is a SQL expression over the aliased
+  * inputs `l` and `r`; `joinType` defaults to inner; `broadcast` hints
+  * the right side (the 100 TB dim-table path).
+  */
+final class JoinCompute(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.length == 2, s"join '$name' needs exactly 2 inputs")
+    val p = spec.properties
+    val l = inputs(0).alias("l")
+    val r0 = inputs(1).alias("r")
+    val r = if (p.get("broadcast").contains("true")) broadcast(r0) else r0
+    p.get("using") match {
+      case Some(cols) => l.join(r, cols.split(",").map(_.trim).toSeq,
+        p.getOrElse("joinType", "inner"))
+      case None => l.join(r, expr(p("condition")), p.getOrElse("joinType", "inner"))
+    }
+  }
+}
+
+final class UnionCompute(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val byName = spec.properties.get("byName").contains("true")
+    inputs.reduce((a, b) => if (byName) a.unionByName(b) else a.union(b))
+  }
+}
+
+final class SetOpCompute(val spec: StageSpec,
+    op: (DataFrame, DataFrame) => DataFrame) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.length == 2, s"${spec.stageType} '$name' needs exactly 2 inputs")
+    op(inputs(0), inputs(1))
+  }
+}
+
+/** SQL over inputs registered as views named by their upstream stage
+  * (reference registerTempTable flow, ScalaSparkTest.java:279-280).
+  */
+final class SqlCompute(val spec: StageSpec) extends ComputeStage {
+  var inputNames: Seq[String] = Nil // set by the executor
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    inputNames.zip(inputs).foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    ctx.spark.sql(spec.properties("sql"))
+  }
+}
+
+// -------------------------------------------------------------------
+// Dynamic (runtime-compiled) compute/sink — the reference's core.
+
+final class DynamicCompute(val spec: StageSpec) extends ComputeStage {
+  private val methodName = spec.properties.getOrElse("methodName", "transform")
+  private def code = spec.properties("scalaCode")
+  private def deps = DynamicCompiler.expandDependencies(
+    spec.properties.getOrElse("dependencies", ""))
+
+  /** deployCompile analogue (ScalaSparkCompute.java:74-78): compile and
+    * signature-check early unless disabled or the code carries macros.
+    */
+  override def validate(): Seq[String] =
+    if (spec.properties.get("deployCompile").contains("false")
+      || PipelineSpec.hasMacro(code)) Nil
+    else try { compileAndResolve(); Nil }
+    catch {
+      case e: DynamicCompiler.CompileException => e.errors
+      case e: IllegalArgumentException => Seq(e.getMessage)
+    }
+
+  private def compileAndResolve(): DynamicCompiler.UserFunction = {
+    val objectName = DynamicCompiler.classNameFor(name)
+    val compiled = DynamicCompiler.compile(
+      DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
+    DynamicCompiler.resolveFunction(compiled.loadObject(objectName), methodName, isVoid = false)
+  }
+
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val objectName = DynamicCompiler.classNameFor(name)
+    val compiled = DynamicCompiler.compile(
+      DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
+    deps.filter(_.toString.endsWith(".jar"))
+      .foreach(j => ctx.spark.sparkContext.addJar(j.toUri.toString))
+    compiled.shipTo(ctx.spark)
+    val fn = DynamicCompiler.resolveFunction(
+      compiled.loadObject(objectName), methodName, isVoid = false)
+    val prevCl = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(compiled.loader)
+    try fn.invoke(inputs.head, ctx.graftContext).asInstanceOf[DataFrame]
+    finally Thread.currentThread().setContextClassLoader(prevCl)
+  }
+}
+
+final class DynamicSink(val spec: StageSpec) extends SinkStage {
+  private val methodName = spec.properties.getOrElse("methodName", "sink")
+  def write(ctx: PipelineContext, input: DataFrame): Unit = {
+    val objectName = DynamicCompiler.classNameFor(name)
+    val compiled = DynamicCompiler.compile(
+      DynamicCompiler.wrap(objectName, spec.properties("scalaCode")))
+    compiled.shipTo(ctx.spark)
+    val fn = DynamicCompiler.resolveFunction(
+      compiled.loadObject(objectName), methodName, isVoid = true)
+    val prevCl = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(compiled.loader)
+    try fn.invoke(input, ctx.graftContext)
+    finally Thread.currentThread().setContextClassLoader(prevCl)
+  }
+}
+
+// -------------------------------------------------------------------
+// Sinks
+
+final class FormatSink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit = {
+    val p = spec.properties
+    var w = input.write.mode(p.getOrElse("mode", "overwrite"))
+    p.filter(_._1.startsWith("option.")).foreach { case (k, v) =>
+      w = w.option(k.stripPrefix("option."), v)
+    }
+    p.get("partitionBy").foreach(cols =>
+      w = w.partitionBy(cols.split(",").map(_.trim).toSeq: _*))
+    w.format(spec.stageType.stripSuffix("Sink")).save(p("path"))
+  }
+}
+
+final class ConsoleSink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit =
+    input.show(spec.properties.getOrElse("numRows", "20").toInt, truncate = false)
+}
+
+/** Collects results into a process-local buffer for tests (the
+  * reference's mock sink analogue).
+  */
+final class MemorySink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit =
+    MemorySink.results.put(spec.properties.getOrElse("key", name), input.collect().toSeq)
+}
+
+object MemorySink {
+  val results: TrieMap[String, Seq[Row]] = TrieMap.empty
+}
+
+/** Triggers the DAG without writing (benchmark/validation sink). */
+final class CountSink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit = {
+    val n = input.count()
+    MemorySink.results.put(name + ".count", Seq(Row(n)))
+  }
+}

@@ -1,4 +1,4 @@
-package org.apache.spark.sql.graft
+package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.dynamic.{DynamicCompiler, GraftContext}
+
+/** Ports of the reference's golden tests (ScalaSparkTest.java; fixture
+  * A1-A4 in FIXTURES.md): wordcount over 10 "Line i" records must give
+  * 11 distinct words, "Line"→10, each digit→1.
+  */
+class DynamicSpec extends SparkSpec {
+
+  private def lines = {
+    import spark.implicits._
+    (0 until 10).map(i => s"Line $i").toDF("body")
+  }
+
+  private def golden: Map[String, Long] =
+    Map("Line" -> 10L) ++ (0 until 10).map(i => i.toString -> 1L)
+
+  test("dynamic compute DataFrame wordcount (testScalaSparkComputeDataFrame)") {
+    val code =
+      """def transform(df: DataFrame): DataFrame =
+        |  df.select(explode(split(col("body"), "\\s+")).as("word"))
+        |    .groupBy("word").count()
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("wc")
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+  }
+
+  test("dynamic compute with context + SQL over temp view (testScalaSparkSinkDataFrame shape)") {
+    val code =
+      """def transform(df: DataFrame, ctx: GraftContext): DataFrame = {
+        |  df.select(explode(split(col("body"), "\\s+")).as("word"))
+        |    .createOrReplaceTempView("splitted")
+        |  ctx.spark.sql(
+        |    "SELECT word, count(*) AS count FROM splitted GROUP BY word")
+        |}
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("wcsql")
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    assert(fn.takesContext)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+  }
+
+  test("dynamic sink writes files (testScalaSparkSinkRDD)") {
+    val dir = Files.createTempDirectory("graft-sink").resolve("out")
+    val code =
+      s"""def sink(df: DataFrame): Unit =
+         |  df.select(explode(split(col("body"), "\\\\s+")).as("word"))
+         |    .groupBy("word").count()
+         |    .select(concat_ws(" ", col("word"), col("count")))
+         |    .write.format("text").save("$dir")
+         |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("sink1")
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "sink", isVoid = true)
+    fn.invoke(lines, GraftContext(spark, Map.empty))
+    val got = spark.read.text(dir.toString).collect()
+      .map(_.getString(0).split(" ")).map(a => a(0) -> a(1).toLong).toMap
+    assert(got == golden)
+  }
+
+  test("whole program: GraftMain + run(SparkSession) + main(args) dispatch (testScalaProgram)") {
+    val out1 = Files.createTempDirectory("graft-prog").resolve("p1")
+    val src =
+      s"""import org.apache.spark.sql._
+         |import org.apache.spark.sql.functions._
+         |import graft.dynamic.{GraftContext, GraftMain}
+         |object ProgA extends GraftMain {
+         |  def run(ctx: GraftContext): Unit = {
+         |    import ctx.spark.implicits._
+         |    (0 until 10).map(i => s"Line " + i).toDF("body")
+         |      .select(explode(split(col("body"), "\\\\s+")).as("word"))
+         |      .groupBy("word").count()
+         |      .write.parquet("$out1")
+         |  }
+         |}
+         |object ProgB { def run(spark: SparkSession): Unit = spark.range(1).count() }
+         |object ProgC {
+         |  var got: Array[String] = null
+         |  def main(args: Array[String]): Unit = { got = args }
+         |}
+         |""".stripMargin
+    val compiled = DynamicCompiler.compile(src)
+    DynamicCompiler.runProgram(compiled.loadObject("ProgA"), spark, Map.empty)
+    val got = spark.read.parquet(out1.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+    DynamicCompiler.runProgram(compiled.loadObject("ProgB"), spark, Map.empty)
+    val progC = compiled.loadObject("ProgC")
+    DynamicCompiler.runProgram(progC, spark, Map("input.path" -> "/x", "k" -> "v"))
+    val args = progC.getClass.getMethod("got").invoke(progC).asInstanceOf[Array[String]]
+    assert(args.toSeq == Seq("--input.path=/x", "--k=v"))
+  }
+
+  test("dependency jar on compile classpath (testScalaProgramDependency)") {
+    val helper = DynamicCompiler.compile(
+      "object SparkConstants { val COLLECTION: Array[Int] = Array(1, 2, 3, 4, 5) }")
+    val code =
+      """def transform(df: DataFrame): DataFrame =
+        |  df.limit(SparkConstants.COLLECTION.length)
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("dep")
+    val compiled = DynamicCompiler.compile(
+      DynamicCompiler.wrap(objName, code), extraClasspath = Seq(helper.jar))
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.count() == 5)
+  }
+
+  test("closure serialization incl. nested arrays (testScalaSparkProgramClosure)") {
+    val src =
+      s"""import org.apache.spark.sql._
+         |import graft.dynamic.{GraftContext, GraftMain}
+         |object Closure extends GraftMain {
+         |  val factor = 2
+         |  def run(ctx: GraftContext): Unit = {
+         |    import ctx.spark.implicits._
+         |    val n = ctx.spark.sparkContext
+         |      .parallelize(Seq(("a", Array(1, 2)), ("a", Array(3, 4))))
+         |      .mapValues(arr => arr.map(x => x * x * factor))
+         |      .values.map(_.sum).sum()
+         |    require(n == (1 + 4 + 9 + 16) * 2, s"got " + n)
+         |  }
+         |}
+         |""".stripMargin
+    val compiled = DynamicCompiler.compile(src)
+    compiled.shipTo(spark)
+    DynamicCompiler.runProgram(compiled.loadObject("Closure"), spark, Map.empty)
+  }
+
+  test("signature validation matrix (ScalaSparkCodeExecutor.java:267-335)") {
+    val objName = DynamicCompiler.classNameFor("badsig")
+    def resolve(code: String, method: String = "transform", isVoid: Boolean = false) = {
+      val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+      DynamicCompiler.resolveFunction(compiled.loadObject(objName), method, isVoid)
+    }
+    // missing method
+    val e1 = intercept[IllegalArgumentException](resolve("def other(df: DataFrame): DataFrame = df"))
+    assert(e1.getMessage.contains("not found"))
+    // wrong parameter types
+    val e2 = intercept[IllegalArgumentException](resolve("def transform(x: Int): DataFrame = null"))
+    assert(e2.getMessage.contains("must take (DataFrame)"))
+    // wrong return type for compute
+    val e3 = intercept[IllegalArgumentException](resolve("def transform(df: DataFrame): Long = 1L"))
+    assert(e3.getMessage.contains("must return DataFrame"))
+    // sink must return Unit
+    val e4 = intercept[IllegalArgumentException](
+      resolve("def sink(df: DataFrame): DataFrame = df", "sink", isVoid = true))
+    assert(e4.getMessage.contains("must return Unit"))
+    // compile error surfaces line-numbered messages
+    val e5 = intercept[DynamicCompiler.CompileException](resolve("def transform(df: DataFrame = df"))
+    assert(e5.errors.nonEmpty)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.pipeline.{MemorySink, Pipeline, PipelineSpec}
+
+class PipelineEngineSpec extends SparkSpec {
+
+  test("JSON spec: source → filter → aggregate → memory sink, with macros") {
+    val json =
+      s"""{"stages": [
+         |  {"name": "src", "type": "parquet",
+         |   "properties": {"path": "$${sf}/lineitem.parquet"}},
+         |  {"name": "flt", "type": "filter",
+         |   "properties": {"condition": "l_quantity >= 30"}},
+         |  {"name": "agg", "type": "aggregate",
+         |   "properties": {"groupBy": "l_returnflag",
+         |                  "aggregates": "count(*) as n, sum(l_quantity) as qty"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "p1"}}
+         |],
+         |"connections": [
+         |  {"from": "src", "to": "flt"},
+         |  {"from": "flt", "to": "agg"},
+         |  {"from": "agg", "to": "out"}
+         |]}""".stripMargin
+    Pipeline.fromJson(json).run(spark, Map("sf" -> sfDir))
+    val got = MemorySink.results("p1").map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expect = Tables.load(spark, sfDir, "lineitem")
+      .filter("l_quantity >= 30").groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+  }
+
+  test("wordcount E2E with memory source + dynamic scalaCompute (reference E2E analogue)") {
+    val json =
+      """{"stages": [
+        |  {"name": "src", "type": "memory", "properties": {
+        |    "schema": "{\"type\":\"record\",\"name\":\"in\",\"fields\":[{\"name\":\"body\",\"type\":[\"string\",\"null\"]}]}",
+        |    "rowsJson": "[[\"Line 0\"],[\"Line 1\"],[\"Line 2\"],[\"Line 3\"],[\"Line 4\"],[\"Line 5\"],[\"Line 6\"],[\"Line 7\"],[\"Line 8\"],[\"Line 9\"]]"}},
+        |  {"name": "wc", "type": "scalaCompute", "properties": {
+        |    "scalaCode": "def transform(df: DataFrame): DataFrame = df.select(explode(split(col(\"body\"), \"\\\\s+\")).as(\"word\")).groupBy(\"word\").count()",
+        |    "outputSchema": "{\"type\":\"record\",\"name\":\"out\",\"fields\":[{\"name\":\"word\",\"type\":[\"string\",\"null\"]},{\"name\":\"count\",\"type\":[\"long\",\"null\"]}]}"}},
+        |  {"name": "out", "type": "memorySink", "properties": {"key": "wc"}}
+        |],
+        |"connections": [{"from": "src", "to": "wc"}, {"from": "wc", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(json).run(spark)
+    val got = MemorySink.results("wc").map(r => r.getString(0) -> r.getLong(1)).toMap
+    val golden = Map("Line" -> 10L) ++ (0 until 10).map(i => i.toString -> 1L)
+    assert(got == golden)
+  }
+
+  test("multi-input join stage with broadcast hint") {
+    val json =
+      s"""{"stages": [
+         |  {"name": "li", "type": "parquet", "properties": {"path": "$sfDir/lineitem.parquet"}},
+         |  {"name": "ord", "type": "parquet", "properties": {"path": "$sfDir/orders.parquet"}},
+         |  {"name": "j", "type": "join", "properties": {
+         |    "condition": "l.l_orderkey = r.o_orderkey", "joinType": "inner", "broadcast": "true"}},
+         |  {"name": "agg", "type": "aggregate", "properties": {"aggregates": "count(*) as n"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "join1"}}
+         |],
+         |"connections": [
+         |  {"from": "li", "to": "j"}, {"from": "ord", "to": "j"},
+         |  {"from": "j", "to": "agg"}, {"from": "agg", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(json).run(spark)
+    val n = MemorySink.results("join1").head.getLong(0)
+    assert(n == Tables.load(spark, sfDir, "lineitem").count())
+  }
+
+  test("sql stage over upstream views named by stage") {
+    val json =
+      s"""{"stages": [
+         |  {"name": "lineitem_v", "type": "parquet", "properties": {"path": "$sfDir/lineitem.parquet"}},
+         |  {"name": "q", "type": "sql", "properties": {
+         |    "sql": "SELECT l_returnflag, count(*) AS n FROM lineitem_v GROUP BY l_returnflag"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "sql1"}}
+         |],
+         |"connections": [{"from": "lineitem_v", "to": "q"}, {"from": "q", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(json).run(spark)
+    assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
+  }
+
+  test("validation: unknown type, cycle, arity, schema mismatch, bad dynamic code") {
+    val badType = PipelineSpec(Seq(pipeline.StageSpec("x", "nope")), Nil)
+    assert(new Pipeline(badType).validate().exists(_.contains("unknown stage type")))
+
+    val cycle = PipelineSpec(
+      Seq(pipeline.StageSpec("a", "filter", Map("condition" -> "1=1")),
+        pipeline.StageSpec("b", "filter", Map("condition" -> "1=1"))),
+      Seq(pipeline.Connection("a", "b"), pipeline.Connection("b", "a")))
+    assert(new Pipeline(cycle).validate().exists(_.contains("cycle")))
+
+    val badCode = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range", Map("end" -> "10")),
+      pipeline.StageSpec("c", "scalaCompute", Map("scalaCode" -> "def transform(df: DataFrame): Long = 1L")),
+      pipeline.StageSpec("out", "memorySink", Map())),
+      Seq(pipeline.Connection("src", "c"), pipeline.Connection("c", "out")))
+    assert(new Pipeline(badCode).validate().exists(_.contains("must return DataFrame")))
+
+    // macro in code defers compilation (containsMacro gate,
+    // ScalaSparkCompute.java:74) — validate passes, run resolves
+    val macroCode = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range", Map("end" -> "10")),
+      pipeline.StageSpec("c", "scalaCompute",
+        Map("scalaCode" -> "def transform(df: DataFrame): DataFrame = df.limit(${n})")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "m1"))),
+      Seq(pipeline.Connection("src", "c"), pipeline.Connection("c", "out")))
+    assert(new Pipeline(macroCode).validate(Map("n" -> "3")).isEmpty)
+    new Pipeline(macroCode).run(spark, Map("n" -> "3"))
+    assert(MemorySink.results("m1").size == 3)
+
+    // declared output schema mismatch fails at run with collected detail
+    val schemaMismatch = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range",
+        Map("end" -> "10",
+          "outputSchema" -> """{"type":"record","name":"r","fields":[{"name":"nope","type":"long"}]}""")),
+      pipeline.StageSpec("out", "memorySink", Map())),
+      Seq(pipeline.Connection("src", "out")))
+    val e = intercept[IllegalStateException](new Pipeline(schemaMismatch).run(spark))
+    assert(e.getMessage.contains("missing field 'nope'"))
+  }
+}
