@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.PolyHash
 
 /** Deduplication operators for training-data pipelines (SURVEY.md
@@ -61,12 +62,15 @@ object Dedup {
     * min for all hash functions at once.
     */
   def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
-    val h = PolyHash(col("sh")) // < 1e9+7 < P, non-negative
+    // hash each shingle ONCE in a projection — aggregate expressions
+    // get no common-subexpression elimination, so folding PolyHash
+    // into each of the 64 min()s would re-hash the string 64× per row
     val minCols = (0 until numHashes).map { i =>
-      min((h * MinHashParams.a(i) + MinHashParams.b(i)) % MinHashParams.P)
+      min((col("h") * MinHashParams.a(i) + MinHashParams.b(i)) % MinHashParams.P)
         .as(s"mh$i")
     }
     val exploded = sets.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"), PolyHash(col("sh")).as("h")) // < 1e9+7 < P
     exploded.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -128,16 +132,33 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, shingleN)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("sh"))
+    // Inverted-index count join: index keyed by an 8-byte shingle hash
+    // (same result — 64-bit collisions negligible — at ~10× less
+    // shuffle bytes than shingle strings); set size rides along so the
+    // size-ratio filter prunes inside the join (J >= t forces
+    // t <= |A|/|B| <= 1/t — exact, no recall loss); common-shingle
+    // counts come from a map-side-combined groupBy, so per-pair work
+    // is a counter bump, never an array intersection.
+    // (A PPJoin-style rarest-prefix index was measured here and LOSES
+    // on this workload: with a ~1k-shingle vocabulary even the rare
+    // prefixes have high document frequency, and the array-verify on
+    // the candidate flood costs more than counting over the full
+    // index. On natural text with a long-tail vocabulary, prefix
+    // filtering is the right scale path; with dense vocabularies,
+    // MinHash-LSH (minhashNearDups) is.)
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
     val l = inv.alias("l"); val r = inv.alias("r")
-    val common = l.join(r, col("l.sh") === col("r.sh")
-        && col("l.doc_id") < col("r.doc_id"))
+    val tInv = lit(1.0 / threshold)
+    val common = l.join(r, col("l.h") === col("r.h")
+        && col("l.doc_id") < col("r.doc_id")
+        && col("r.n_sh") <= col("l.n_sh") * tInv
+        && col("l.n_sh") <= col("r.n_sh") * tInv)
       .groupBy(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
     common
-      .join(sizes.select(col("doc_id").as("ia"), col("n_sh").as("na")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("n_sh").as("nb")), "ib")
       .select(col("ia"), col("ib"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
           .as("jaccard"))

@@ -14,18 +14,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns (exact,
-    * order-fixed — reproducible bits).
+  /** Sequential-fold dot product of two numeric array columns (exact,
+    * order-fixed — reproducible bits) as a native codegen'd loop
+    * (graft.functions.VectorDot).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
   /** L2 norm, same fold. */
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
@@ -68,7 +64,7 @@ object Similarity {
     val centroids = corpus.groupBy(col("label").as("cell"))
       .agg(comps.head, comps.tail: _*)
       .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
-      .withColumn("cn", l2NormD(col("cv")))
+      .withColumn("cn", l2Norm(col("cv")))
 
     // assign corpus rows to their own label cell (stand-in for argmin
     // assignment; with labels present this IS the partition)
@@ -81,7 +77,7 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
     val cw = Window.partitionBy("q_vec_id").orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("ccos", dotMixed(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= nprobe)
       .select("q_vec_id", "qv", "qn", "cell")
@@ -97,12 +93,4 @@ object Similarity {
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
 
-  /** dot where one side is already double[] (centroids). */
-  private def dotMixed(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** norm over a double[] column. */
-  private def l2NormD(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
 }

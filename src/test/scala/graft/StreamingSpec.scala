@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamStages
+
+class StreamingSpec extends SparkSpec {
+
+  /** events replayed as a file stream (FIXTURES.md §B streaming
+    * fixture): copy the sf0.001 events parquet into a stream dir, run a
+    * windowed agg, compare against the identical batch computation.
+    */
+  test("file stream: watermarked tumbling window agg matches batch") {
+    val streamDir = Files.createTempDirectory("graft-stream")
+    // materialize events with a proper timestamp column (ts is long ns)
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("ets", "event_type", "value")
+    ev.write.mode("overwrite").parquet(streamDir.toString)
+
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
+    val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+      windowDuration = "1 day", slide = None,
+      groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
+    StreamStages.runToMemory(agg, "win_agg", outputMode = "append")
+
+    val got = spark.table("win_agg")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode only emits windows the watermark has passed: the
+    // final windows (max event time - 1h watermark) stay open forever
+    // once input ends — correct streaming semantics, so the batch
+    // expectation excludes them.
+    val maxTs = spark.read.parquet(streamDir.toString)
+      .agg(max(col("ets"))).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val expect = spark.read.parquet(streamDir.toString)
+      .groupBy(window(col("ets"), "1 day"), col("event_type")).count()
+      .filter(col("window.end") <= lit(horizon))
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("dedup within watermark drops replayed events") {
+    val streamDir = Files.createTempDirectory("graft-stream2")
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ets", "event_type")
+    // write twice → every event duplicated across files
+    ev.write.mode("overwrite").parquet(streamDir.toString)
+    ev.write.mode("append").parquet(streamDir.toString)
+
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
+    val dedup = StreamStages.dedupWithinWatermark(src, "ets", "10 minutes", Seq("event_id"))
+    StreamStages.runToMemory(dedup, "dedup_stream")
+    assert(spark.table("dedup_stream").count() == ev.count())
+  }
+
+  test("streaming parquet sink with checkpoint") {
+    val base = Files.createTempDirectory("graft-stream3")
+    val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ets").limit(100)
+      .write.parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
+    val q = StreamStages.toParquet(src, out.toString, cp.toString)
+    q.awaitTermination()
+    assert(spark.read.parquet(out.toString).count() == 100)
+  }
+}
