@@ -119,7 +119,27 @@ object DynamicCompiler {
     val jar = jarDirectory(dir)
     val loader = new URLClassLoader(
       (dir.toUri.toURL +: extraClasspath.map(_.toUri.toURL)).toArray, parentLoader)
+    Cleanup.register(dir)
     new Compiled(dir, jar, loader)
+  }
+
+  /** Temp-artifact cleanup — the reference deletes its compiler dirs on
+    * SparkListenerApplicationEnd (ScalaSparkCodeExecutor.java:131-154);
+    * a JVM shutdown hook covers the same lifecycle here (and also runs
+    * when no session was ever started).
+    */
+  private object Cleanup {
+    private val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() => dirs.synchronized {
+      dirs.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }
+    }))
+    def register(dir: Path): Unit = dirs.synchronized { dirs += dir }
   }
 
   final class CompileException(val errors: Seq[String])

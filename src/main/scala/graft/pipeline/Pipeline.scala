@@ -52,7 +52,19 @@ final class Pipeline(spec: PipelineSpec) {
   /** Run the pipeline. Returns the DataFrame produced for each stage
     * (lazy plans; sinks have already triggered their actions).
     */
-  def run(spark: SparkSession, runtimeArgs: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+  def run(spark: SparkSession, runtimeArgs: Map[String, String] = Map.empty): Map[String, DataFrame] =
+    runWithLineage(spark, runtimeArgs)._1
+
+  /** Field-level lineage record for one stage, with the reference's
+    * many-to-many semantics (every output field derives from every
+    * input field of every upstream stage —
+    * ScalaSparkCompute.java:89-96).
+    */
+  final case class LineageEntry(stage: String, stageType: String,
+      inputFields: Map[String, Seq[String]], outputFields: Seq[String])
+
+  def runWithLineage(spark: SparkSession,
+      runtimeArgs: Map[String, String] = Map.empty): (Map[String, DataFrame], Seq[LineageEntry]) = {
     val errors = validate(runtimeArgs)
     if (errors.nonEmpty)
       throw new IllegalStateException(
@@ -60,6 +72,7 @@ final class Pipeline(spec: PipelineSpec) {
     val resolved = spec.resolveMacros(runtimeArgs)
     val ctx = PipelineContext(spark, runtimeArgs)
     var results = Map.empty[String, DataFrame]
+    val lineage = Seq.newBuilder[LineageEntry]
 
     resolved.topoOrder.foreach { s =>
       val stage = StageRegistry.build(s)
@@ -73,6 +86,9 @@ final class Pipeline(spec: PipelineSpec) {
         case c: ComputeStage => Some(c.transform(ctx, inputs))
         case k: SinkStage => k.write(ctx, inputs.head); None
       }
+      lineage += LineageEntry(s.name, s.stageType,
+        inputNames.zip(inputs.map(_.schema.fieldNames.toSeq)).toMap,
+        out.map(_.schema.fieldNames.toSeq).getOrElse(Nil))
       out.foreach { df =>
         // declared output schema → validate (reference
         // ScalaSparkCompute.java:110-121); absent → inferred = df.schema
@@ -85,7 +101,7 @@ final class Pipeline(spec: PipelineSpec) {
         results += s.name -> df
       }
     }
-    results
+    (results, lineage.result())
   }
 }
 

@@ -38,7 +38,8 @@ object StageRegistry {
 
   def build(spec: StageSpec): Stage = spec.stageType match {
     // ---- sources --------------------------------------------------
-    case "parquet" | "csv" | "json" | "text" => new FormatSource(spec)
+    case "parquet" | "csv" | "json" | "text" | "orc" => new FormatSource(spec)
+    case "jdbc"   => new JdbcSource(spec)
     case "table"  => new TableSource(spec)
     case "range"  => new RangeSource(spec)
     case "memory" => new MemorySource(spec)
@@ -79,7 +80,8 @@ object StageRegistry {
     case "cache"     => new ExprCompute(spec, (df, _) => df.cache())
     case "scalaCompute" => new DynamicCompute(spec)
     // ---- sinks ----------------------------------------------------
-    case "parquetSink" | "csvSink" | "jsonSink" | "textSink" => new FormatSink(spec)
+    case "parquetSink" | "csvSink" | "jsonSink" | "textSink" | "orcSink" => new FormatSink(spec)
+    case "jdbcSink"   => new JdbcSink(spec)
     case "console"    => new ConsoleSink(spec)
     case "memorySink" => new MemorySink(spec)
     case "count"      => new CountSink(spec)
@@ -103,6 +105,30 @@ final class FormatSource(val spec: StageSpec) extends SourceStage {
       r = r.option(k.stripPrefix("option."), v)
     }
     r.format(spec.stageType).load(p("path"))
+  }
+}
+
+/** JDBC source (SURVEY.md §2.2 DataSource surface): url + dbtable (or
+  * a pushdown `query`), partitioned reads via partitionColumn /
+  * lowerBound / upperBound / numPartitions — the knobs that matter
+  * when the relational side is large.
+  */
+final class JdbcSource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = {
+    var r = ctx.spark.read.format("jdbc")
+    spec.properties.filterNot(_._1 == "schema")
+      .foreach { case (k, v) => r = r.option(k.stripPrefix("option."), v) }
+    r.load()
+  }
+}
+
+final class JdbcSink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit = {
+    var w = input.write.format("jdbc")
+      .mode(spec.properties.getOrElse("mode", "append"))
+    spec.properties.filterNot(_._1 == "mode")
+      .foreach { case (k, v) => w = w.option(k.stripPrefix("option."), v) }
+    w.save()
   }
 }
 

@@ -80,6 +80,20 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
   }
 
+  test("field-level lineage records inputs and outputs per stage") {
+    val spec = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/region.parquet")),
+      pipeline.StageSpec("sel", "select", Map("columns" -> "r_name")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "lin1"))),
+      Seq(pipeline.Connection("src", "sel"), pipeline.Connection("sel", "out")))
+    val (_, lineage) = new Pipeline(spec).runWithLineage(spark)
+    val byStage = lineage.map(l => l.stage -> l).toMap
+    assert(byStage("src").outputFields == Seq("r_regionkey", "r_name"))
+    assert(byStage("sel").inputFields == Map("src" -> Seq("r_regionkey", "r_name")))
+    assert(byStage("sel").outputFields == Seq("r_name"))
+    assert(byStage("out").inputFields == Map("sel" -> Seq("r_name")))
+  }
+
   test("validation: unknown type, cycle, arity, schema mismatch, bad dynamic code") {
     val badType = PipelineSpec(Seq(pipeline.StageSpec("x", "nope")), Nil)
     assert(new Pipeline(badType).validate().exists(_.contains("unknown stage type")))
