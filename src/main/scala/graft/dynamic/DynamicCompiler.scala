@@ -42,10 +42,16 @@ object DynamicCompiler {
 
     /** Register the jar with the session so executors can load the
       * classes (needed for typed lambdas; Column-only code never ships
-      * classes).
+      * classes). Spark 4 runs SQL-derived tasks (df.rdd, Dataset
+      * lambdas) under session-isolated artifact state whose executor
+      * classloader sees `addArtifact` jars but NOT `sparkContext
+      * .addJar` jars — while bare-RDD jobs see only the latter. Ship
+      * through both channels.
       */
-    def shipTo(spark: SparkSession): Unit =
+    def shipTo(spark: SparkSession): Unit = {
+      spark.addArtifact(jar.toString)
       spark.sparkContext.addJar(jar.toUri.toString)
+    }
   }
 
   /** Auto-imports prepended to wrapped user code — mirrors the
@@ -170,40 +176,61 @@ object DynamicCompiler {
   // ScalaSparkCodeExecutor.java:56-61 and the checks at :267-335.
 
   /** A resolved user method: invoke(df) handles the optional context
-    * parameter.
+    * parameter and the RDD-mode round trip.
     */
-  final case class UserFunction(target: AnyRef, method: Method, takesContext: Boolean) {
-    def invoke(df: DataFrame, ctx: GraftContext): AnyRef =
-      if (takesContext) method.invoke(target, df, ctx)
-      else method.invoke(target, df)
+  final case class UserFunction(target: AnyRef, method: Method,
+      takesContext: Boolean, isRddMode: Boolean = false) {
+    def invoke(df: DataFrame, ctx: GraftContext): AnyRef = {
+      val arg: AnyRef = if (isRddMode) df.rdd else df
+      val out = if (takesContext) method.invoke(target, arg, ctx)
+        else method.invoke(target, arg)
+      out match {
+        case rdd: org.apache.spark.rdd.RDD[_] =>
+          // rebuild with the input schema (reference RDD-mode default:
+          // output schema = input schema unless declared)
+          ctx.spark.createDataFrame(
+            rdd.asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]], df.schema)
+        case other => other
+      }
+    }
   }
 
-  /** Resolve `methodName` on the wrapped object, enforcing one of:
-    * `(DataFrame) => DataFrame`, `(DataFrame, GraftContext) =>
-    * DataFrame` (compute) — or the same shapes returning Unit when
-    * `isVoid` (sink).
+  /** Resolve `methodName` on the wrapped object, enforcing the
+    * reference's 4-shape matrix (ScalaSparkCodeExecutor.java:56-61):
+    * `(DataFrame)`, `(DataFrame, GraftContext)`, `(RDD[Row])`,
+    * `(RDD[Row], GraftContext)` — returning DataFrame / RDD[Row]
+    * respectively (compute), or Unit when `isVoid` (sink). RDD-shaped
+    * computes are rebuilt into DataFrames by the caller using the
+    * declared/input schema (rows don't carry one — the analogue of the
+    * reference's RDD-mode schema rules, :104-106).
     */
   def resolveFunction(obj: AnyRef, methodName: String, isVoid: Boolean): UserFunction = {
     val candidates = obj.getClass.getMethods.filter(_.getName == methodName)
     if (candidates.isEmpty)
       fail(s"method '$methodName' not found in user code")
     val dfClass = classOf[DataFrame]
+    val rddClass = classOf[org.apache.spark.rdd.RDD[_]]
     val ctxClass = classOf[GraftContext]
     val m = candidates.find { m =>
       val p = m.getParameterTypes
-      (p.length == 1 && p(0) == dfClass) ||
-        (p.length == 2 && p(0) == dfClass && p(1) == ctxClass)
+      val firstOk = p.nonEmpty && (p(0) == dfClass || rddClass.isAssignableFrom(p(0)))
+      (p.length == 1 && firstOk) ||
+        (p.length == 2 && firstOk && p(1) == ctxClass)
     }.getOrElse(fail(
-      s"method '$methodName' must take (DataFrame) or (DataFrame, GraftContext); " +
-        s"found ${candidates.map(sig).mkString("; ")}"))
+      s"method '$methodName' must take (DataFrame), (DataFrame, GraftContext), " +
+        s"(RDD[Row]) or (RDD[Row], GraftContext); found ${candidates.map(sig).mkString("; ")}"))
+    val isRdd = rddClass.isAssignableFrom(m.getParameterTypes()(0))
     val ret = m.getReturnType
     if (isVoid) {
       if (ret != Void.TYPE && ret != classOf[Unit] && ret != classOf[scala.runtime.BoxedUnit])
         fail(s"method '$methodName' must return Unit, found ${ret.getName}")
-    } else if (!dfClass.isAssignableFrom(ret) && !classOf[DataFrame].isAssignableFrom(ret)) {
+    } else if (isRdd) {
+      if (!rddClass.isAssignableFrom(ret))
+        fail(s"method '$methodName' must return RDD[Row], found ${ret.getName}")
+    } else if (!dfClass.isAssignableFrom(ret)) {
       fail(s"method '$methodName' must return DataFrame, found ${ret.getName}")
     }
-    UserFunction(obj, m, m.getParameterTypes.length == 2)
+    UserFunction(obj, m, m.getParameterTypes.length == 2, isRdd)
   }
 
   private def sig(m: Method): String =

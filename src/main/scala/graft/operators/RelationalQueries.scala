@@ -593,6 +593,34 @@ object RelationalQueries {
         |              AND c.event_id < p.event_id))) AS last_click_ts
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
 
+    // ---- typed Dataset[T] path (SURVEY §1.4: typed APIs where type
+    // safety helps): case-class Encoder, typed filter + map, back to
+    // DataFrame with named columns.
+    QDef("typed_map", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .as[LineSlice]
+        .filter(l => l.l_quantity >= 45.0)
+        .map(l => (l.l_orderkey, l.l_linenumber, l.l_extendedprice / l.l_quantity))
+        .toDF("l_orderkey", "l_linenumber", "unit_price")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem WHERE l_quantity >= 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- approx_count_distinct (HLL sketch). No SQL oracle: DuckDB's
+    // approx_count_distinct uses a different sketch, so exact equality
+    // is undefined — the driver's rows-only check applies; exactness
+    // of the HLL error bound is asserted in RelationalSpec.
+    QDef("agg_approx_distinct", (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"), None),
+
     // ---- sessionization: 30-min-gap sessions per user — lag + running
     // flag sum; one shuffle on user_id.
     QDef("sessionize", (s, dir) => {
@@ -624,3 +652,7 @@ object RelationalQueries {
   val oracleSql: Map[String, String] =
     defs.flatMap(d => d.sql.map(d.name -> _)).toMap
 }
+
+/** Typed row for the Dataset[T] inventory entry. */
+final case class LineSlice(l_orderkey: Long, l_linenumber: Int,
+    l_quantity: Double, l_extendedprice: Double)

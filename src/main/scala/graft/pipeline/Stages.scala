@@ -313,7 +313,26 @@ final class FormatSink(val spec: StageSpec) extends SinkStage {
     }
     p.get("partitionBy").foreach(cols =>
       w = w.partitionBy(cols.split(",").map(_.trim).toSeq: _*))
-    w.format(spec.stageType.stripSuffix("Sink")).save(p("path"))
+    w = w.format(spec.stageType.stripSuffix("Sink"))
+    // Bucketed catalog table (100 TB path: co-located, shuffle-free
+    // joins/aggs on the bucket key): "bucketBy" = "n:col1,col2",
+    // optional "sortBy", requires "table" instead of "path".
+    p.get("bucketBy") match {
+      case Some(b) =>
+        val Array(n, cols) = b.split(":", 2)
+        val cs = cols.split(",").map(_.trim)
+        w = w.bucketBy(n.trim.toInt, cs.head, cs.tail.toSeq: _*)
+        p.get("sortBy").foreach { s =>
+          val ss = s.split(",").map(_.trim)
+          w = w.sortBy(ss.head, ss.tail.toSeq: _*)
+        }
+        w.saveAsTable(p("table"))
+      case None =>
+        p.get("table") match {
+          case Some(t) => w.saveAsTable(t)
+          case None    => w.save(p("path"))
+        }
+    }
   }
 }
 

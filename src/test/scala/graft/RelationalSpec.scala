@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dynamic.{DynamicCompiler, GraftContext}
+import graft.pipeline.{Connection, MemorySink, Pipeline, PipelineSpec, StageSpec}
+
+class RelationalSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within HLL error of exact") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact off by >10%")
+    }
+  }
+
+  test("RDD-mode dynamic transform (reference 4-shape matrix)") {
+    import spark.implicits._
+    val code =
+      """def transform(rdd: RDD[Row], ctx: GraftContext): RDD[Row] =
+        |  rdd.filter(r => r.getString(0).endsWith("1"))
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("rddmode")
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    compiled.shipTo(spark)
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    assert(fn.isRddMode && fn.takesContext)
+    val df = (0 until 10).map(i => s"Line $i").toDF("body")
+    val prevCl = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(compiled.loader)
+    try {
+      val out = fn.invoke(df, GraftContext(spark, Map.empty))
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+      assert(out.schema == df.schema)
+      assert(out.collect().map(_.getString(0)).toSeq == Seq("Line 1"))
+    } finally Thread.currentThread().setContextClassLoader(prevCl)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a previous JVM's warehouse dirs survive the (per-JVM) metastore
+    Seq("li_b", "ord_b").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(d) }
+    }
+    val spec = PipelineSpec(Seq(
+      StageSpec("li", "parquet", Map("path" -> s"$sfDir/lineitem.parquet")),
+      StageSpec("ord", "parquet", Map("path" -> s"$sfDir/orders.parquet")),
+      StageSpec("liSink", "parquetSink",
+        Map("bucketBy" -> "4:l_orderkey", "sortBy" -> "l_orderkey", "table" -> "li_b")),
+      StageSpec("ordSink", "parquetSink",
+        Map("bucketBy" -> "4:o_orderkey", "sortBy" -> "o_orderkey", "table" -> "ord_b"))),
+      Seq(Connection("li", "liSink"), Connection("ord", "ordSink")))
+    new Pipeline(spec).run(spark)
+
+    // force a non-broadcast join so the bucketed (co-located) path is
+    // what's being demonstrated — at real scale neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      assert(joined.count() == spark.table("li_b").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
