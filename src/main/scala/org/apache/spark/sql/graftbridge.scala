@@ -17,5 +17,5 @@ object bridge {
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "scala_expr")
+      name, builder, "scala_udf")
 }
