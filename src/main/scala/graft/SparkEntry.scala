@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LlmQueries, RelationalQueries}
+import graft.operators.{EngineQueries, LlmQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ LlmQueries.queries ++ EngineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ LlmQueries.oracleSql
+    RelationalQueries.oracleSql ++ LlmQueries.oracleSql ++ EngineQueries.oracleSql
 }
