@@ -37,6 +37,7 @@ final class Pipeline(spec: PipelineSpec) {
           stages(s.name) match {
             case _: SourceStage if ins.nonEmpty =>
               errs += s"source '${s.name}' cannot have inputs"
+            case _: DynamicProgram => // action node: inputs optional
             case _: ComputeStage if ins.isEmpty =>
               errs += s"compute '${s.name}' has no input"
             case _: SinkStage if ins.size != 1 =>

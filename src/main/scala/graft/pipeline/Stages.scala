@@ -79,6 +79,15 @@ object StageRegistry {
     case "sql"       => new SqlCompute(spec)
     case "cache"     => new ExprCompute(spec, (df, _) => df.cache())
     case "scalaCompute" => new DynamicCompute(spec)
+    case "scalaProgram" => new DynamicProgram(spec)
+    // ---- streaming (SURVEY §2.9): streams are DataFrames, so every
+    // compute above applies; these add the stream-only wiring.
+    case "streamSource" => new StreamSource(spec)
+    case "windowAgg"    => new WindowAggCompute(spec)
+    case "streamDedup"  => new ExprCompute(spec, (df, p) =>
+      graft.streaming.StreamStages.dedupWithinWatermark(df, p("timeCol"),
+        p("watermark"), p("keys").split(",").map(_.trim).toSeq))
+    case "streamSink"   => new StreamSink(spec)
     // ---- sinks ----------------------------------------------------
     case "parquetSink" | "csvSink" | "jsonSink" | "textSink" | "orcSink" => new FormatSink(spec)
     case "jdbcSink"   => new JdbcSink(spec)
@@ -298,6 +307,64 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
     Thread.currentThread().setContextClassLoader(compiled.loader)
     try fn.invoke(input, ctx.graftContext)
     finally Thread.currentThread().setContextClassLoader(prevCl)
+  }
+}
+
+/** Whole-program action stage (reference ScalaSparkProgram as a DAG
+  * node): compiles full user source and dispatches by the three
+  * shapes. Ignores its (optional) input — programs drive their own IO.
+  */
+final class DynamicProgram(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val compiled = DynamicCompiler.compile(spec.properties("scalaCode"))
+    compiled.shipTo(ctx.spark)
+    DynamicCompiler.runProgram(compiled.loadObject(spec.properties("mainClass")),
+      ctx.spark, ctx.runtimeArgs)
+    inputs.headOption.getOrElse(ctx.spark.emptyDataFrame)
+  }
+}
+
+// -------------------------------------------------------------------
+// Streaming stages (thin wrappers over graft.streaming.StreamStages)
+
+final class StreamSource(val spec: StageSpec) extends SourceStage {
+  def read(ctx: PipelineContext): DataFrame = {
+    val p = spec.properties
+    graft.streaming.StreamStages.fileSource(ctx.spark,
+      p.getOrElse("format", "parquet"), p("path"), p("schema"),
+      p.get("maxFilesPerTrigger").map(_.toInt))
+  }
+}
+
+final class WindowAggCompute(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val p = spec.properties
+    graft.streaming.StreamStages.windowedAgg(inputs.head,
+      p("timeCol"), p("watermark"), p("window"), p.get("slide"),
+      p.getOrElse("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      p("aggregates").split(",").map(_.trim).toSeq)
+  }
+}
+
+/** Streaming sink: runs the query to completion of currently-available
+  * data (AvailableNow) — memory table or checkpointed files.
+  */
+final class StreamSink(val spec: StageSpec) extends SinkStage {
+  def write(ctx: PipelineContext, input: DataFrame): Unit = {
+    val p = spec.properties
+    p.getOrElse("format", "memory") match {
+      case "memory" =>
+        graft.streaming.StreamStages.runToMemory(input, p("queryName"),
+          p.getOrElse("outputMode", "append"))
+      case f =>
+        val q = input.writeStream.format(f)
+          .option("path", p("path"))
+          .option("checkpointLocation", p("checkpoint"))
+          .outputMode(p.getOrElse("outputMode", "append"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+    }
   }
 }
 

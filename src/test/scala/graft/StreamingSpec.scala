@@ -60,6 +60,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == ev.count())
   }
 
+  test("streaming pipeline via JSON spec: source → windowAgg → memory sink") {
+    val streamDir = Files.createTempDirectory("graft-stream4")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("ets", "event_type", "value")
+      .write.mode("overwrite").parquet(streamDir.toString)
+    val schemaJson = spark.read.parquet(streamDir.toString).schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val json =
+      s"""{"stages": [
+         |  {"name": "src", "type": "streamSource", "properties": {
+         |    "format": "parquet", "path": "$streamDir", "schema": "$schemaJson"}},
+         |  {"name": "agg", "type": "windowAgg", "properties": {
+         |    "timeCol": "ets", "watermark": "1 hour", "window": "1 day",
+         |    "groupBy": "event_type", "aggregates": "count(*) AS n"}},
+         |  {"name": "out", "type": "streamSink", "properties": {"queryName": "pipe_win"}}
+         |],
+         |"connections": [{"from": "src", "to": "agg"}, {"from": "agg", "to": "out"}]}""".stripMargin
+    graft.pipeline.Pipeline.fromJson(json).run(spark)
+    assert(spark.table("pipe_win").count() > 0)
+  }
+
+  test("scalaProgram stage runs a whole program inside a pipeline") {
+    val out = Files.createTempDirectory("graft-prog2").resolve("out")
+    val code =
+      s"""import graft.dynamic.{GraftContext, GraftMain}
+         |object PipeProg extends GraftMain {
+         |  def run(ctx: GraftContext): Unit =
+         |    ctx.spark.range(5).toDF("i").write.parquet("$out")
+         |}
+         |""".stripMargin.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val json =
+      s"""{"stages": [
+         |  {"name": "p", "type": "scalaProgram", "properties": {
+         |    "mainClass": "PipeProg",
+         |    "scalaCode": "$code"}},
+         |  {"name": "out", "type": "count", "properties": {}}
+         |],
+         |"connections": [{"from": "p", "to": "out"}]}""".stripMargin
+    graft.pipeline.Pipeline.fromJson(json).run(spark)
+    assert(spark.read.parquet(out.toString).count() == 5)
+  }
+
   test("streaming parquet sink with checkpoint") {
     val base = Files.createTempDirectory("graft-stream3")
     val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
