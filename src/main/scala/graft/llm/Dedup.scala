@@ -149,7 +149,7 @@ object Dedup {
     val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-    val l = inv.alias("l"); val r = inv.alias("r")
+    val l = inv.alias("l"); val r = inv.hint("shuffle_hash").alias("r")
     val tInv = lit(1.0 / threshold)
     val common = l.join(r, col("l.h") === col("r.h")
         && col("l.doc_id") < col("r.doc_id")
