@@ -593,6 +593,29 @@ object RelationalQueries {
         |              AND c.event_id < p.event_id))) AS last_click_ts
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
 
+    // ---- exact percentiles (interpolating; both engines implement
+    // the same (1-f)·a + f·b definition over sorted values).
+    QDef("agg_percentile", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- edit distance (dedup-adjacent string similarity).
+    QDef("string_distance", (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000000")).as("dist"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS dist
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ---- typed Dataset[T] path (SURVEY §1.4: typed APIs where type
     // safety helps): case-class Encoder, typed filter + map, back to
     // DataFrame with named columns.

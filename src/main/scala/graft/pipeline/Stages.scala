@@ -59,6 +59,19 @@ object StageRegistry {
     case "dedup"       => new ExprCompute(spec, (df, p) => df.dropDuplicates(split(p("columns"))))
     case "sample"      => new ExprCompute(spec, (df, p) =>
       df.sample(p("fraction").toDouble, p.getOrElse("seed", "42").toLong))
+    case "randomSplit" => new ExprCompute(spec, (df, p) => {
+      val weights = p("weights").split(",").map(_.trim.toDouble)
+      df.randomSplit(weights, p.getOrElse("seed", "42").toLong)(p("index").toInt)
+    })
+    case "pivot"       => new ExprCompute(spec, (df, p) => {
+      val g = df.groupBy(p("groupBy").split(",").map(_.trim).map(expr).toSeq: _*)
+      val piv = p.get("values") match {
+        case Some(vs) => g.pivot(p("pivot"), vs.split(",").map(_.trim).toSeq)
+        case None     => g.pivot(p("pivot"))
+      }
+      val aggs = p("aggregates").split(",").map(_.trim).map(expr)
+      piv.agg(aggs.head, aggs.tail: _*)
+    })
     case "repartition" => new ExprCompute(spec, (df, p) => {
       val cols = p.get("columns").map(split(_).map(col).toSeq).getOrElse(Nil)
       (p.get("n").map(_.toInt), cols) match {

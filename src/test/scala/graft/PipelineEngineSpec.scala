@@ -80,6 +80,21 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
   }
 
+  test("randomSplit and pivot stages") {
+    val spec = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/orders.parquet")),
+      pipeline.StageSpec("tr", "randomSplit", Map("weights" -> "0.8,0.2", "index" -> "0", "seed" -> "7")),
+      pipeline.StageSpec("pv", "pivot", Map(
+        "groupBy" -> "year(o_orderdate)", "pivot" -> "o_orderstatus",
+        "values" -> "F,O,P", "aggregates" -> "count(*)")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "pv1"))),
+      Seq(pipeline.Connection("src", "tr"), pipeline.Connection("tr", "pv"),
+        pipeline.Connection("pv", "out")))
+    new Pipeline(spec).run(spark)
+    val rows = MemorySink.results("pv1")
+    assert(rows.nonEmpty && rows.head.length == 4) // year + F/O/P columns
+  }
+
   test("field-level lineage records inputs and outputs per stage") {
     val spec = PipelineSpec(Seq(
       pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/region.parquet")),
