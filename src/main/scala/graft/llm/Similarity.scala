@@ -93,4 +93,57 @@ object Similarity {
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
 
+  /** Random-hyperplane LSH ANN — the bucketed scale path that needs no
+    * clustering structure in the data: vectors hash to a `bits`-bit
+    * signature (sign of the dot product against `bits` fixed
+    * pseudo-random hyperplanes); queries probe their own bucket plus
+    * all Hamming-distance-1 buckets (multi-probe), then rank the
+    * candidates by exact cosine. Cosine-similar vectors agree on each
+    * bit with probability 1 - θ/π, so near neighbors share buckets
+    * with high probability while the corpus scan per query drops to
+    * the probed buckets' share (~ (bits+1)/2^bits of the corpus on
+    * uniform data).
+    *
+    * Hyperplanes are splitmix64-derived constants — stable across
+    * runs and executors, no fitting step.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    require(bits <= 20, "bucket space explodes past 2^20")
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // hyperplane components in [-1, 1)
+    val planes: Seq[Seq[Double]] = (0 until bits).map { h =>
+      (0 until dim).map(i => (mix(h.toLong * 1000003 + i) >>> 11).toDouble
+        / (1L << 53).toDouble * 2.0 - 1.0)
+    }
+    def bucketOf(v: Column): Column =
+      planes.zipWithIndex.map { case (p, h) =>
+        when(dot(v, typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("nv"))
+      .withColumn("nn", l2Norm(col("nv")))
+      .withColumn("bucket", bucketOf(col("nv")))
+    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qbucket", bucketOf(col("qv")))
+      // multi-probe: own bucket + flip each bit once
+      .withColumn("bucket", explode(array(
+        (col("qbucket") +: (0 until bits).map(h =>
+          expr(s"qbucket ^ ${1L << h}"))): _*)))
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q_vec_id") =!= col("n_vec_id"))
+      .select(col("q_vec_id"), col("n_vec_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .distinct() // a pair can meet in several probed buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "rank", "n_vec_id", "cos")
+  }
 }

@@ -197,11 +197,20 @@ object LlmQueries {
 
     // ---- IVF probe ANN (scale path; rows-only check: the probe set
     // is approximate by design, so no SQL oracle is declared — its
-    // recall vs the exact baseline is asserted in SimilaritySpec).
+    // recall vs the exact baseline is asserted in LlmSpec).
     QDef("ann_ivf", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(
           emb.filter(col("vec_id") % 50 === 0), emb, k = 5, nprobe = 3)
+        .orderBy("q_vec_id", "rank")
+    }, None),
+
+    // ---- random-hyperplane LSH ANN (structure-free scale path;
+    // rows-only for the same reason, recall asserted in LlmSpec).
+    QDef("ann_lsh", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 5, bits = 6)
         .orderBy("q_vec_id", "rank")
     }, None),
 

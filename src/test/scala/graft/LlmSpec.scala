@@ -89,6 +89,29 @@ class LlmSpec extends SparkSpec {
     assert(rRecall >= 0.6, s"IVF recall with nprobe=8/10 was $rRecall")
   }
 
+  test("LSH ANN recall on clustered data >= 0.8 with multi-probe") {
+    import spark.implicits._
+    val dim = 64
+    def jitter(seed: Long, i: Int): Float = {
+      val x = (seed * 2654435761L + i * 40503L) % 1000
+      (x.toFloat / 1000f - 0.5f) * 0.2f
+    }
+    val rows = for (c <- 0 until 10; m <- 0 until 40) yield {
+      val id = (c * 40 + m).toLong
+      val v = Array.tabulate(dim)(i => (if (i == c * 6) 1f else 0f) + jitter(id, i))
+      (id, v, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id") % 40 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_vec_id", "n_vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, emb, 5))
+    val lsh = pairs(Similarity.lshTopK(qs, emb, 5, bits = 6))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall on clustered data $recall below 0.8")
+  }
+
   test("multimodal stub decode keeps schema + values consistent") {
     val docs = Tables.load(spark, sfDir, "documents")
     val feats = Multimodal.decodeStub(spark, Multimodal.mediaTable(docs))
