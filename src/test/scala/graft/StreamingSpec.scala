@@ -17,7 +17,11 @@ class StreamingSpec extends SparkSpec {
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .select("ets", "event_type", "value")
-    ev.write.mode("overwrite").parquet(streamDir.toString)
+    // single file → single micro-batch: with several files AvailableNow
+    // may process them in multiple batches, and a mid-stream watermark
+    // advance would (correctly) drop genuinely-late rows — file order
+    // isn't deterministic, so pin one batch for a stable expectation
+    ev.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
 
     val schema = spark.read.parquet(streamDir.toString).schema
     val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
