@@ -17,6 +17,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // start wide, let AQE coalesce: big fan-out stages (inverted-index
+      // joins) get small per-task hash/agg state; small stages shrink
+      // back to ~cpus partitions automatically
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
