@@ -80,6 +80,52 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
   }
 
+  test("csv and json sources round-trip through format sinks") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt")
+    val json =
+      s"""{"stages": [
+         |  {"name": "src", "type": "parquet", "properties": {"path": "$sfDir/region.parquet"}},
+         |  {"name": "csvOut", "type": "csvSink", "properties": {
+         |    "path": "$base/csv", "option.header": "true"}},
+         |  {"name": "jsonOut", "type": "jsonSink", "properties": {"path": "$base/json"}}
+         |],
+         |"connections": [{"from": "src", "to": "csvOut"}, {"from": "src", "to": "jsonOut"}]}""".stripMargin
+    Pipeline.fromJson(json).run(spark)
+    val schema = Tables.load(spark, sfDir, "region").schema
+    val backJson =
+      s"""{"stages": [
+         |  {"name": "csvIn", "type": "csv", "properties": {
+         |    "path": "$base/csv", "option.header": "true",
+         |    "schema": ${org.json4s.jackson.JsonMethods.compact(
+               org.json4s.jackson.JsonMethods.parse("\"" + schema.json.replace("\\", "\\\\").replace("\"", "\\\"") + "\""))}}},
+         |  {"name": "jsonIn", "type": "json", "properties": {"path": "$base/json"}},
+         |  {"name": "o1", "type": "memorySink", "properties": {"key": "csvBack"}},
+         |  {"name": "o2", "type": "memorySink", "properties": {"key": "jsonBack"}}
+         |],
+         |"connections": [{"from": "csvIn", "to": "o1"}, {"from": "jsonIn", "to": "o2"}]}""".stripMargin
+    Pipeline.fromJson(backJson).run(spark)
+    val names = Tables.load(spark, sfDir, "region").collect().map(_.getString(1)).toSet
+    assert(MemorySink.results("csvBack").map(_.getString(1)).toSet == names)
+    assert(MemorySink.results("jsonBack").size == 5)
+  }
+
+  test("dependency wildcard expands a directory of jars") {
+    val helper = graft.dynamic.DynamicCompiler.compile(
+      "object WildConst { val N = 7 }")
+    val dir = helper.jar.getParent
+    val deps = graft.dynamic.DynamicCompiler.expandDependencies(s"$dir/*")
+    assert(deps.exists(_.toString.endsWith(".jar")))
+    val spec = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range", Map("end" -> "20")),
+      pipeline.StageSpec("c", "scalaCompute", Map(
+        "scalaCode" -> "def transform(df: DataFrame): DataFrame = df.limit(WildConst.N)",
+        "dependencies" -> s"$dir/*")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "wild1"))),
+      Seq(pipeline.Connection("src", "c"), pipeline.Connection("c", "out")))
+    new Pipeline(spec).run(spark)
+    assert(MemorySink.results("wild1").size == 7)
+  }
+
   test("randomSplit and pivot stages") {
     val spec = PipelineSpec(Seq(
       pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/orders.parquet")),
