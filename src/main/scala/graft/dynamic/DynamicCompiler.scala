@@ -98,6 +98,17 @@ object DynamicCompiler {
       } else Seq(new File(d).toPath)
     }
 
+  /** Process-wide memo: pipelines compile each dynamic stage at
+    * validate time AND at run time — identical (source, classpath)
+    * pairs reuse the first compilation (~2s of scalac each).
+    */
+  private val compileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Path]), Compiled]()
+
+  def compileCached(source: String, extraClasspath: Seq[Path] = Nil): Compiled =
+    compileCache.computeIfAbsent((source, extraClasspath),
+      _ => compile(source, extraClasspath = extraClasspath))
+
   /** Compile Scala source; returns the Compiled handle or throws
     * [[CompileException]] with collected errors (line-numbered
     * relative to the full generated source).
@@ -119,7 +130,8 @@ object DynamicCompiler {
     run.compileSources(List(new BatchSourceFile("<graft-dynamic>", source)))
     if (reporter.hasErrors) {
       val msgs = reporter.infos.filter(_.severity == reporter.ERROR)
-        .map(i => s"line ${i.pos.line}: ${i.msg}").toSeq
+        .map(i => (if (i.pos.isDefined) s"line ${i.pos.line}: " else "") + i.msg)
+        .toSeq
       throw new CompileException(msgs)
     }
     val jar = jarDirectory(dir)
@@ -176,20 +188,22 @@ object DynamicCompiler {
   // ScalaSparkCodeExecutor.java:56-61 and the checks at :267-335.
 
   /** A resolved user method: invoke(df) handles the optional context
-    * parameter and the RDD-mode round trip.
+    * parameter and the RDD-mode round trip. `declaredSchema` rebuilds
+    * shape-changing RDD results (reference RDD-mode rule: output
+    * schema = declared schema, else input schema).
     */
   final case class UserFunction(target: AnyRef, method: Method,
       takesContext: Boolean, isRddMode: Boolean = false) {
-    def invoke(df: DataFrame, ctx: GraftContext): AnyRef = {
+    def invoke(df: DataFrame, ctx: GraftContext,
+        declaredSchema: Option[org.apache.spark.sql.types.StructType] = None): AnyRef = {
       val arg: AnyRef = if (isRddMode) df.rdd else df
       val out = if (takesContext) method.invoke(target, arg, ctx)
         else method.invoke(target, arg)
       out match {
         case rdd: org.apache.spark.rdd.RDD[_] =>
-          // rebuild with the input schema (reference RDD-mode default:
-          // output schema = input schema unless declared)
           ctx.spark.createDataFrame(
-            rdd.asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]], df.schema)
+            rdd.asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]],
+            declaredSchema.getOrElse(df.schema))
         case other => other
       }
     }

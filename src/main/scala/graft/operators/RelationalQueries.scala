@@ -229,14 +229,20 @@ object RelationalQueries {
     // duplicates grouping attrs carrying dataset-id metadata) — a
     // false positive; disabled for this query via the documented conf.
     QDef("agg_rollup", (s, dir) => {
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      try {
+        val df = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+        df.queryExecution.analyzed // force analysis while the conf is off
+        df
+      } finally s.conf.set(key, prev) // don't leak the relaxation session-wide
     },
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal

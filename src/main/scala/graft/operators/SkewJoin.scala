@@ -20,9 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Supported join types: the big-side-preserving ones. Right/full
+    * outer would emit `saltBuckets` null-extended copies of unmatched
+    * small-side rows (each replica misses independently).
+    */
+  private val SupportedJoinTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    require(SupportedJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports ${SupportedJoinTypes.mkString("/")}, not '$joinType' " +
+        "(right/full outer would duplicate unmatched small-side rows per salt bucket)")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(saltBuckets)))
     val saltedSmall = small

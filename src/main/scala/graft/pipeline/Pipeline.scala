@@ -22,31 +22,39 @@ final class Pipeline(spec: PipelineSpec) {
     */
   def validate(runtimeArgs: Map[String, String] = Map.empty): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    val resolved =
-      try Some(spec.resolveMacros(runtimeArgs))
-      catch { case e: IllegalArgumentException => errs += e.getMessage; None }
-    resolved.foreach { sp =>
-      try {
-        val stages = sp.topoOrder.map(s => s.name -> StageRegistry.build(s)).toMap
-        stages.values.foreach {
-          case c: ComputeStage => errs ++= c.validate().map(e => s"stage '${c.name}': $e")
+    // deploy-time semantics: substitute known args, leave unknown
+    // macros in place and skip the checks that depend on them
+    // (reference containsMacro gate); run() resolves strictly.
+    val sp = spec.resolveMacrosLenient(runtimeArgs)
+    val names = sp.stages.map(_.name)
+    names.diff(names.distinct).distinct.foreach(n =>
+      errs += s"duplicate stage name '$n'")
+    sp.connections.foreach { c =>
+      if (!names.contains(c.from)) errs += s"connection from unknown stage '${c.from}'"
+      if (!names.contains(c.to)) errs += s"connection to unknown stage '${c.to}'"
+    }
+    try {
+      val stages = sp.topoOrder.map(s => s.name -> StageRegistry.build(s)).toMap
+      stages.values.foreach {
+        case c: ComputeStage => errs ++= c.validate().map(e => s"stage '${c.name}': $e")
+        case _ =>
+      }
+      sp.stages.foreach { s =>
+        val ins = sp.inputsOf(s.name)
+        val badUpstream = ins.filter(i => stages.get(i).exists(_.isInstanceOf[SinkStage]))
+        badUpstream.foreach(i => errs += s"stage '${s.name}' reads from sink '$i'")
+        stages(s.name) match {
+          case _: SourceStage if ins.nonEmpty =>
+            errs += s"source '${s.name}' cannot have inputs"
+          case _: DynamicProgram => // action node: inputs optional
+          case _: ComputeStage if ins.isEmpty =>
+            errs += s"compute '${s.name}' has no input"
+          case _: SinkStage if ins.size != 1 =>
+            errs += s"sink '${s.name}' needs exactly one input, has ${ins.size}"
           case _ =>
         }
-        sp.stages.foreach { s =>
-          val ins = sp.inputsOf(s.name)
-          stages(s.name) match {
-            case _: SourceStage if ins.nonEmpty =>
-              errs += s"source '${s.name}' cannot have inputs"
-            case _: DynamicProgram => // action node: inputs optional
-            case _: ComputeStage if ins.isEmpty =>
-              errs += s"compute '${s.name}' has no input"
-            case _: SinkStage if ins.size != 1 =>
-              errs += s"sink '${s.name}' needs exactly one input, has ${ins.size}"
-            case _ =>
-          }
-        }
-      } catch { case e: IllegalArgumentException => errs += e.getMessage }
-    }
+      }
+    } catch { case e: IllegalArgumentException => errs += e.getMessage }
     errs.result()
   }
 

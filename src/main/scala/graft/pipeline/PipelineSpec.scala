@@ -55,6 +55,20 @@ final case class PipelineSpec(stages: Seq[StageSpec], connections: Seq[Connectio
       case (k, v) => k -> subst(v)
     })))
   }
+
+  /** Deploy-time form: substitute what's known, leave unknown
+    * `${macros}` in place (the reference's containsMacro gate defers
+    * their validation to run time).
+    */
+  def resolveMacrosLenient(args: Map[String, String]): PipelineSpec = {
+    val Macro = raw"\$$\{([^}]+)\}".r
+    def subst(v: String): String = Macro.replaceAllIn(v, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        args.getOrElse(m.group(1), m.matched)))
+    copy(stages = stages.map(s => s.copy(properties = s.properties.map {
+      case (k, v) => k -> subst(v)
+    })))
+  }
 }
 
 object PipelineSpec {

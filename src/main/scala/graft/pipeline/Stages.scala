@@ -45,7 +45,7 @@ object StageRegistry {
     case "memory" => new MemorySource(spec)
     // ---- computes -------------------------------------------------
     case "filter"      => new ExprCompute(spec, (df, p) => df.filter(expr(p("condition"))))
-    case "select"      => new ExprCompute(spec, (df, p) => df.selectExpr(split(p("columns")): _*))
+    case "select"      => new ExprCompute(spec, (df, p) => df.selectExpr(splitExprs(p("columns")): _*))
     case "withColumn"  => new ExprCompute(spec, (df, p) => df.withColumn(p("name"), expr(p("expression"))))
     case "drop"        => new ExprCompute(spec, (df, p) => df.drop(split(p("columns")): _*))
     case "rename"      => new ExprCompute(spec, (df, p) =>
@@ -53,7 +53,8 @@ object StageRegistry {
         case (d, Array(from, to)) => d.withColumnRenamed(from.trim, to.trim)
         case (_, bad) => throw new IllegalArgumentException(s"bad rename '${bad.mkString}'")
       })
-    case "sort"        => new ExprCompute(spec, (df, p) => df.orderBy(split(p("columns")).map(expr): _*))
+    case "sort"        => new ExprCompute(spec, (df, p) =>
+      df.orderBy(splitExprs(p("columns")).map(sortExpr).toSeq: _*))
     case "limit"       => new ExprCompute(spec, (df, p) => df.limit(p("n").toInt))
     case "distinct"    => new ExprCompute(spec, (df, _) => df.distinct())
     case "dedup"       => new ExprCompute(spec, (df, p) => df.dropDuplicates(split(p("columns"))))
@@ -64,12 +65,12 @@ object StageRegistry {
       df.randomSplit(weights, p.getOrElse("seed", "42").toLong)(p("index").toInt)
     })
     case "pivot"       => new ExprCompute(spec, (df, p) => {
-      val g = df.groupBy(p("groupBy").split(",").map(_.trim).map(expr).toSeq: _*)
+      val g = df.groupBy(splitExprs(p("groupBy")).map(expr): _*)
       val piv = p.get("values") match {
         case Some(vs) => g.pivot(p("pivot"), vs.split(",").map(_.trim).toSeq)
         case None     => g.pivot(p("pivot"))
       }
-      val aggs = p("aggregates").split(",").map(_.trim).map(expr)
+      val aggs = splitExprs(p("aggregates")).map(expr)
       piv.agg(aggs.head, aggs.tail: _*)
     })
     case "repartition" => new ExprCompute(spec, (df, p) => {
@@ -113,6 +114,41 @@ object StageRegistry {
 
   private def split(s: String): Array[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty)
+
+  /** Split an expression list on TOP-LEVEL commas only, so multi-arg
+    * functions (`percentile(x, 0.5) as p50`) survive.
+    */
+  def splitExprs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a sort item: `expr()` treats a trailing DESC as a column
+    * ALIAS (non-reserved keyword) and silently sorts ascending — so
+    * handle the ASC/DESC[ NULLS FIRST|LAST] suffix here.
+    */
+  def sortExpr(s: String): org.apache.spark.sql.Column = {
+    val m = raw"(?i)^(.*?)\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$$".r
+    s match {
+      case m(e, dir, _, nulls) =>
+        val c = expr(e)
+        (dir.toUpperCase, Option(nulls).map(_.toUpperCase)) match {
+          case ("ASC", Some("LAST"))   => c.asc_nulls_last
+          case ("ASC", _)              => c.asc
+          case ("DESC", Some("FIRST")) => c.desc_nulls_first
+          case ("DESC", _)             => c.desc
+        }
+      case _ => expr(s)
+    }
+  }
 }
 
 // -------------------------------------------------------------------
@@ -210,9 +246,8 @@ final class ExprCompute(val spec: StageSpec,
   */
 final class AggregateCompute(val spec: StageSpec) extends ComputeStage {
   def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
-    val keys = spec.properties.getOrElse("groupBy", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).map(expr)
-    val aggs = spec.properties("aggregates").split(",").map(_.trim).map(expr)
+    val keys = StageRegistry.splitExprs(spec.properties.getOrElse("groupBy", "")).map(expr)
+    val aggs = StageRegistry.splitExprs(spec.properties("aggregates")).map(expr)
     if (keys.isEmpty) inputs.head.agg(aggs.head, aggs.tail: _*)
     else inputs.head.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -286,23 +321,24 @@ final class DynamicCompute(val spec: StageSpec) extends ComputeStage {
 
   private def compileAndResolve(): DynamicCompiler.UserFunction = {
     val objectName = DynamicCompiler.classNameFor(name)
-    val compiled = DynamicCompiler.compile(
+    val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
     DynamicCompiler.resolveFunction(compiled.loadObject(objectName), methodName, isVoid = false)
   }
 
   def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
     val objectName = DynamicCompiler.classNameFor(name)
-    val compiled = DynamicCompiler.compile(
+    val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
     deps.filter(_.toString.endsWith(".jar"))
       .foreach(j => ctx.spark.sparkContext.addJar(j.toUri.toString))
     compiled.shipTo(ctx.spark)
     val fn = DynamicCompiler.resolveFunction(
       compiled.loadObject(objectName), methodName, isVoid = false)
+    val declared = spec.properties.get("outputSchema").map(SchemaJson.parse)
     val prevCl = Thread.currentThread().getContextClassLoader
     Thread.currentThread().setContextClassLoader(compiled.loader)
-    try fn.invoke(inputs.head, ctx.graftContext).asInstanceOf[DataFrame]
+    try fn.invoke(inputs.head, ctx.graftContext, declared).asInstanceOf[DataFrame]
     finally Thread.currentThread().setContextClassLoader(prevCl)
   }
 }
@@ -311,7 +347,7 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
   private val methodName = spec.properties.getOrElse("methodName", "sink")
   def write(ctx: PipelineContext, input: DataFrame): Unit = {
     val objectName = DynamicCompiler.classNameFor(name)
-    val compiled = DynamicCompiler.compile(
+    val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, spec.properties("scalaCode")))
     compiled.shipTo(ctx.spark)
     val fn = DynamicCompiler.resolveFunction(
@@ -329,7 +365,7 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
   */
 final class DynamicProgram(val spec: StageSpec) extends ComputeStage {
   def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
-    val compiled = DynamicCompiler.compile(spec.properties("scalaCode"))
+    val compiled = DynamicCompiler.compileCached(spec.properties("scalaCode"))
     compiled.shipTo(ctx.spark)
     DynamicCompiler.runProgram(compiled.loadObject(spec.properties("mainClass")),
       ctx.spark, ctx.runtimeArgs)

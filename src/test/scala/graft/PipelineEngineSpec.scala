@@ -80,6 +80,44 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
   }
 
+  test("sort stage honors DESC / NULLS, expr lists split on top-level commas only") {
+    import graft.pipeline.StageRegistry
+    assert(StageRegistry.splitExprs("percentile(x, 0.5) as p50, count(*) as n")
+      == Seq("percentile(x, 0.5) as p50", "count(*) as n"))
+    val spec = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/region.parquet")),
+      pipeline.StageSpec("srt", "sort", Map("columns" -> "r_regionkey DESC")),
+      pipeline.StageSpec("lim", "limit", Map("n" -> "1")),
+      pipeline.StageSpec("agg", "aggregate", Map(
+        "aggregates" -> "percentile(r_regionkey, 0.5) as p50, count(*) as n")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "sort1")),
+      pipeline.StageSpec("out2", "memorySink", Map("key" -> "agg2"))),
+      Seq(pipeline.Connection("src", "srt"), pipeline.Connection("srt", "lim"),
+        pipeline.Connection("lim", "out"),
+        pipeline.Connection("src", "agg"), pipeline.Connection("agg", "out2")))
+    new Pipeline(spec).run(spark)
+    assert(MemorySink.results("sort1").head.getInt(0) == 4) // DESC really descends
+    assert(MemorySink.results("agg2").head.getDouble(0) == 2.0)
+  }
+
+  test("validate catches unknown connection endpoints and sink-as-input") {
+    val bad = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range", Map("end" -> "3")),
+      pipeline.StageSpec("out", "memorySink", Map()),
+      pipeline.StageSpec("flt", "filter", Map("condition" -> "1=1"))),
+      Seq(pipeline.Connection("src", "out"), pipeline.Connection("ghost", "out"),
+        pipeline.Connection("out", "flt")))
+    val errs = new Pipeline(bad).validate()
+    assert(errs.exists(_.contains("unknown stage 'ghost'")))
+    assert(errs.exists(_.contains("reads from sink")))
+    // deploy-time validate with unresolved macros passes (deferred)
+    val macros = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "parquet", Map("path" -> "${sf}/region.parquet")),
+      pipeline.StageSpec("out", "memorySink", Map())),
+      Seq(pipeline.Connection("src", "out")))
+    assert(new Pipeline(macros).validate().isEmpty)
+  }
+
   test("csv and json sources round-trip through format sinks") {
     val base = java.nio.file.Files.createTempDirectory("graft-fmt")
     val json =
