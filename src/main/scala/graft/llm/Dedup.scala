@@ -126,6 +126,49 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Near-dup clustering: connected components over the pair graph →
+  // (doc_id, cluster_id = min doc_id in component). This is the final
+  // step of a production dedup pipeline (keep one representative per
+  // component, drop the rest).
+  //
+  // Algorithm: iterative min-label propagation to a fixpoint. Each
+  // round is one shuffle join; rounds needed = graph diameter, which
+  // for near-dup graphs is tiny (dup clusters are cliques-ish). For
+  // adversarially long chains at 100 TB, swap in the large-star/
+  // small-star variant (Kiveris et al., "Connected Components in
+  // MapReduce and Beyond") — same join primitives, O(log n) rounds.
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val fwd = pairs.select(col("ia").as("a"), col("ib").as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  // ---------------------------------------------------------------
   // Exact n-gram Jaccard via inverted index (no LSH, no cross join):
   // explode shingles, self-join on the shingle (the inverted-index
   // bucket), count common shingles per pair, derive Jaccard.
