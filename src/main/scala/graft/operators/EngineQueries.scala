@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.pipeline.{Connection, Pipeline, PipelineSpec, StageSpec}
+import graft.streaming.StreamStages
 
 /** Correctness-gate entries that exercise the ENGINE itself — the
   * pipeline DAG executor and the runtime Scala compiler — not just the
@@ -54,7 +57,41 @@ object EngineQueries {
     },
       Some("""SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-        |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin))
+        |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin)),
+
+    // Structured Streaming, oracle-checked: replay events as a
+    // one-file stream, watermarked 1-day tumbling window counts in
+    // append mode. Append emits exactly the windows whose end the
+    // final watermark (max event time - 1h) passed — the oracle
+    // reproduces that horizon in the µs domain, so real streaming
+    // semantics (not just stream≡batch) are what's being hashed.
+    QDef("stream_window_agg", (s, dir) => {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-gate-stream")
+      Tables.load(s, dir, "events")
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .select("ets", "event_type")
+        .coalesce(1) // one file → one micro-batch → deterministic emit set
+        .write.mode("overwrite").parquet(streamDir.toString)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val src = StreamStages.fileSource(s, "parquet", streamDir.toString, schema.json)
+      val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+        windowDuration = "1 day", slide = None,
+        groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
+      StreamStages.runToMemory(agg, "gate_stream_win")
+      s.table("gate_stream_win")
+        .select(col("window.start").as("day_start"), col("event_type"), col("n"))
+        .orderBy("day_start", "event_type")
+    },
+      Some("""WITH e AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |horizon AS (SELECT max(ts_us) - 3600000000 AS wm FROM e)
+        |SELECT day_start, event_type, count(*) AS n
+        |FROM e
+        |WHERE epoch_us(day_start) + 86400000000 <= (SELECT wm FROM horizon)
+        |GROUP BY day_start, event_type
+        |ORDER BY day_start, event_type""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap
