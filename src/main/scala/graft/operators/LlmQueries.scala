@@ -149,6 +149,35 @@ object LlmQueries {
         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin)),
 
+    // ---- end-to-end dedup: keep one representative per near-dup
+    // cluster (the user-facing operation the pieces above compose
+    // into). Oracle: the same anti-join over the recursive closure.
+    QDef("dedup_keep_representatives", (s, dir) =>
+      Dedup.dropNearDups(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+        |    ELSE [] END) AS shingles FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |losers AS (
+        |  SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) <> a)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- exact n-gram Jaccard via inverted index (no LSH) ----------
     QDef("dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
