@@ -55,6 +55,8 @@ object StageRegistry {
       })
     case "sort"        => new ExprCompute(spec, (df, p) =>
       df.orderBy(splitExprs(p("columns")).map(sortExpr).toSeq: _*))
+    case "sortWithinPartitions" => new ExprCompute(spec, (df, p) =>
+      df.sortWithinPartitions(splitExprs(p("columns")).map(sortExpr).toSeq: _*))
     case "limit"       => new ExprCompute(spec, (df, p) => df.limit(p("n").toInt))
     case "distinct"    => new ExprCompute(spec, (df, _) => df.distinct())
     case "dedup"       => new ExprCompute(spec, (df, p) => df.dropDuplicates(split(p("columns"))))

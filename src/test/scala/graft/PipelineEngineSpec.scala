@@ -80,6 +80,24 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("sql1").map(_.getString(0)).toSet == Set("A", "N", "R"))
   }
 
+  test("rename, drop, withColumn, sortWithinPartitions stages") {
+    val spec = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "parquet", Map("path" -> s"$sfDir/region.parquet")),
+      pipeline.StageSpec("wc", "withColumn", Map("name" -> "tag",
+        "expression" -> "concat(r_name, '#', cast(r_regionkey as string))")),
+      pipeline.StageSpec("rn", "rename", Map("mapping" -> "r_name=>region_name")),
+      pipeline.StageSpec("dr", "drop", Map("columns" -> "r_regionkey")),
+      pipeline.StageSpec("sw", "sortWithinPartitions", Map("columns" -> "region_name DESC")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "shape1"))),
+      Seq(pipeline.Connection("src", "wc"), pipeline.Connection("wc", "rn"),
+        pipeline.Connection("rn", "dr"), pipeline.Connection("dr", "sw"),
+        pipeline.Connection("sw", "out")))
+    new Pipeline(spec).run(spark)
+    val rows = MemorySink.results("shape1")
+    assert(rows.head.schema.fieldNames.toSeq == Seq("region_name", "tag"))
+    assert(rows.exists(_.getString(1) == "ASIA#2"))
+  }
+
   test("sort stage honors DESC / NULLS, expr lists split on top-level commas only") {
     import graft.pipeline.StageRegistry
     assert(StageRegistry.splitExprs("percentile(x, 0.5) as p50, count(*) as n")

@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("sliding windows emit overlapping buckets") {
+    val streamDir = Files.createTempDirectory("graft-stream5")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("ets", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
+    val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+      windowDuration = "2 days", slide = Some("1 day"),
+      groupBy = Nil, aggregates = Seq("count(*) AS n"))
+    StreamStages.runToMemory(agg, "slide_win")
+    val starts = spark.table("slide_win")
+      .select(col("window.start")).collect().map(_.getTimestamp(0)).sorted
+    assert(starts.length > 2)
+    // consecutive 2-day windows sliding by 1 day overlap
+    assert(starts.sliding(2).forall { case Array(a, b) =>
+      b.getTime - a.getTime == 86400000L })
+  }
+
   test("dedup within watermark drops replayed events") {
     val streamDir = Files.createTempDirectory("graft-stream2")
     val ev = Tables.load(spark, sfDir, "events")
