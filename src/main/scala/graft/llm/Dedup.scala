@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.PolyHash
@@ -137,9 +137,45 @@ object Dedup {
   // adversarially long chains at 100 TB, swap in the large-star/
   // small-star variant (Kiveris et al., "Connected Components in
   // MapReduce and Beyond") — same join primitives, O(log n) rounds.
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeThreshold: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val fwd = pairs.select(col("ia").as("a"), col("ib").as("b"))
+    // cache: the pair pipeline (shingle→minhash→LSH→verify) feeds the
+    // count probe AND the collect/loop — don't run it twice
+    val fwd = pairs.select(col("ia").as("a"), col("ib").as("b")).cache()
+
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (only near-dup docs appear): even a 100 TB corpus with a 1%
+    // dup rate yields an edge list that fits comfortably on the
+    // driver. Below the threshold, a driver-side union-find computes
+    // components in one collect instead of ~diameter Spark rounds;
+    // above it, fall back to distributed min-label propagation.
+    val edgeCount = fwd.count()
+    if (edgeCount <= driverEdgeThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      fwd.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val rows = parent.keys.toSeq.sorted.map(x => Row(x, find(x)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("doc_id")).distinct()

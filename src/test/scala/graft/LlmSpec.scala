@@ -89,14 +89,19 @@ class LlmSpec extends SparkSpec {
     assert(rRecall >= 0.6, s"IVF recall with nprobe=8/10 was $rRecall")
   }
 
-  test("near-dup clusters: labels are component minima (chain graph)") {
+  test("near-dup clusters: labels are component minima (chain graph), both paths") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated pair 10-11: transitivity must give
     // the whole chain cluster_id 1 even though (1,4) is not a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("ia", "ib")
-    val got = Dedup.nearDupClusters(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val viaUnionFind = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(viaUnionFind == expect)
+    // force the distributed min-label path and require identical output
+    val viaPropagation = Dedup.nearDupClusters(pairs, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPropagation == expect)
   }
 
   test("LSH ANN recall on clustered data >= 0.8 with multi-probe") {
