@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr,
+// NOT through sbt's logger: the driver's bench parser needs the Bench
+// JSON line bare, not wrapped in "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // suites share one local SparkSession; tests that toggle session confs
 // (broadcast threshold, analyzer flags) must not race concurrent
 // streaming/analysis in other suites

@@ -44,7 +44,11 @@ object Bench {
     // min of N reps per query: damps JIT/page-cache/GC noise so the
     // number reflects the plan, not the first-run transient
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       n -> (0 until reps).map(_ => runOnce(n)).filter(_ >= 0)
         .minOption.getOrElse(-1.0)
@@ -54,7 +58,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver's parser (build.sbt sets StdoutOutput so the
+    // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus an
+    // optional file sink as a parse-proof channel
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

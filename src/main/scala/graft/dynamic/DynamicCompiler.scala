@@ -69,11 +69,20 @@ object DynamicCompiler {
       |import graft.dynamic.GraftContext
       |""".stripMargin
 
-  /** Stable, filesystem/JVM-safe class name per stage — hex-encoded
-    * like the reference (ScalaSparkCodeExecutor.java:346-357).
+  /** Stable, filesystem/JVM-safe class name per (stage, source) pair —
+    * hex-encoded like the reference (ScalaSparkCodeExecutor.java:
+    * 346-357), plus a source digest: re-running a same-named stage
+    * with edited code in one session ships a SECOND jar to executors
+    * (addArtifact/addJar are append-only), and without the digest both
+    * jars would carry conflicting classes under one name — executor
+    * classloading could then resolve the stale one.
     */
-  def classNameFor(stageName: String): String =
-    "GraftStage" + stageName.getBytes("UTF-8").map(b => f"$b%02x").mkString
+  def classNameFor(stageName: String, code: String = ""): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(code.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    "GraftStage" + stageName.getBytes("UTF-8").map(b => f"$b%02x").mkString +
+      "_" + digest
+  }
 
   /** Wrap user method bodies (compute/sink style) in a named object
     * with auto-imports.

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * ops in the same order), so DuckDB `list_reduce` oracles still
   * hash-match.
   *
-  * Null handling mirrors the HOF form it replaces: any null element
-  * (or null array) → null result.
+  * Null handling mirrors the HOF form it replaces: any null element,
+  * null array, or length mismatch (zip_with pads the short side with
+  * nulls) → null result — malformed embeddings surface as null, never
+  * as a silently-partial dot product.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -31,7 +33,8 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -53,9 +56,10 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       def get(arr: String, isFloat: Boolean) =
         if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ${get(a, elemIsFloat(left))} * ${get(b, elemIsFloat(right))};
          |}

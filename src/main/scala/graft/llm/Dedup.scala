@@ -81,20 +81,43 @@ object Dedup {
     * `rowsPerBand` values; docs sharing any band bucket are candidates.
     * The shuffle key is (band index, exact band value) — collision-free
     * because the two sub-values are packed into one long.
+    *
+    * Hot-bucket bound: a bucket of m docs yields m²/2 candidate rows,
+    * so one pathological bucket (a giant near-identical clique the
+    * exact-dup collapse upstream didn't fold) can dominate the job.
+    * Buckets larger than `maxBucketSize` therefore emit a star to the
+    * bucket minimum instead of all pairs — O(m) rows. Cluster
+    * connectivity through such a bucket is preserved via the star
+    * center; only non-center pair *enumeration* inside the bucket
+    * degrades, and the same pairs usually resurface in one of the
+    * other `bands-1` (smaller) buckets. The default is far above
+    * anything the gate data produces, so gate results are exact.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(rowsPerBand == 2, "band packing below assumes r=2")
     val bandCols = transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         (element_at(col("sig"), b * rowsPerBand + 1) * MinHashParams.P
           + element_at(col("sig"), b * rowsPerBand + 2)).as("bucket")))
+    // one shuffle on (band, bucket) computes both per-bucket size and
+    // min; the self-join below then reuses the same partitioning
+    val w = Window.partitionBy("band", "bucket")
     val banded = sigs.select(col("doc_id"), explode(bandCols).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min("doc_id").over(w))
+    val small = banded.filter(col("bsz") <= maxBucketSize)
+      .select("doc_id", "band", "bucket")
+    val l = small.alias("l"); val r = small.alias("r")
+    val allPairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
         && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
-      .distinct()
+    val starPairs = banded.filter(col("bsz") > maxBucketSize)
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("ia"), col("doc_id").as("ib"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** Exact Jaccard for given candidate pairs, by joining back the
@@ -109,20 +132,63 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    * candidate join → exact-Jaccard verify ≥ threshold.
+  /** Full MinHash-LSH near-dup pipeline: collapse exact duplicates →
+    * shingle → sign → band → candidate join → exact-Jaccard verify ≥
+    * threshold → re-expand the collapsed duplicates.
+    *
     * 64 hashes as 32 bands × 2 ⇒ P(candidate | j) = 1-(1-j²)^32:
     * ≥ 0.9999 at j = 0.5, so verified output matches the exact
     * all-pairs answer with overwhelming probability — at a fraction of
     * the cost (no O(n²) stage anywhere).
+    *
+    * The exact-dup collapse (md5 group → one representative) is what
+    * production LLM dedup does first: a corpus with heavy byte-exact
+    * duplication would otherwise put whole duplicate cliques into the
+    * same LSH buckets in every band — m docs → m²/2 candidate rows ×
+    * all 32 bands. After collapsing, the expensive pipeline runs once
+    * per distinct text; pairs among duplicates are reconstructed
+    * exactly afterwards (identical texts ⇒ identical shingle sets ⇒
+    * Jaccard of an expanded pair is bit-identical to its
+    * representatives' Jaccard; intra-group pairs are exactly 1.0 —
+    * emitted only when shingles exist, matching the all-pairs
+    * semantics where an empty-shingle Jaccard is undefined).
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, shingleN)
+    // exact-dup collapse: one representative (min id) per distinct text
+    val hashed = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      md5(col(textCol)).as("ch"))
+    val repDocs = hashed.groupBy("ch")
+      .agg(min("doc_id").as("doc_id"), first("txt").as("txt"))
+    val memb = hashed.select(col("ch"), col("doc_id"))
+      .join(repDocs.select(col("ch"), col("doc_id").as("rep_id")), "ch")
+      .select(col("doc_id"), col("rep_id"))
+
+    val sets = shingleSets(repDocs, "txt", "doc_id", shingleN)
     val sigs = minhashSignatures(sets, 64)
     val cands = lshCandidates(sigs, bands = 32, rowsPerBand = 2)
-    verifyJaccard(cands, sets)
+    val repPairs = verifyJaccard(cands, sets)
       .filter(col("jaccard") >= threshold)
+
+    // re-expand: (1) every rep-level pair fans out over both groups'
+    // members; (2) within a multi-member group, all pairs at Jaccard
+    // exactly 1.0 (identical texts), when the group has shingles at
+    // all. Join keys are group representatives — bounded fan-out, no
+    // all-pairs stage.
+    val rp = repPairs.select(col("ia").as("ra"), col("ib").as("rb"), col("jaccard"))
+    val cross = rp
+      .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("ia"),
+        greatest(col("da"), col("db")).as("ib"), col("jaccard"))
+    val withSh = sets.filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("rep_id"))
+    val ma = memb.join(withSh, "rep_id").select(col("rep_id"), col("doc_id").as("da"))
+    val mb = memb.select(col("rep_id"), col("doc_id").as("db"))
+    val intra = ma.join(mb, "rep_id")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("ia"), col("db").as("ib"), lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   // ---------------------------------------------------------------
@@ -131,27 +197,26 @@ object Dedup {
   // step of a production dedup pipeline (keep one representative per
   // component, drop the rest).
   //
-  // Algorithm: iterative min-label propagation to a fixpoint. Each
-  // round is one shuffle join; rounds needed = graph diameter, which
-  // for near-dup graphs is tiny (dup clusters are cliques-ish). For
-  // adversarially long chains at 100 TB, swap in the large-star/
-  // small-star variant (Kiveris et al., "Connected Components in
-  // MapReduce and Beyond") — same join primitives, O(log n) rounds.
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
-      driverEdgeThreshold: Long = 5000000L): DataFrame = {
+  // Two paths, chosen by a BYTE budget on the driver:
+  //  - below it, one collect + single-threaded union-find (the pair
+  //    graph is orders of magnitude smaller than the corpus — only
+  //    near-dup docs appear — so this is the common case and beats
+  //    any multi-round distributed algorithm by a wide margin);
+  //  - above it, large-star/small-star alternation (Kiveris et al.,
+  //    "Connected Components in MapReduce and Beyond"): O(log n)
+  //    rounds regardless of graph diameter, each round two
+  //    grouped-min shuffles, never materializing a neighbor list.
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50,
+      driverBytesThreshold: Long = 256L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // cache: the pair pipeline (shingle→minhash→LSH→verify) feeds the
     // count probe AND the collect/loop — don't run it twice
     val fwd = pairs.select(col("ia").as("a"), col("ib").as("b")).cache()
 
-    // The pair graph is orders of magnitude smaller than the corpus
-    // (only near-dup docs appear): even a 100 TB corpus with a 1%
-    // dup rate yields an edge list that fits comfortably on the
-    // driver. Below the threshold, a driver-side union-find computes
-    // components in one collect instead of ~diameter Spark rounds;
-    // above it, fall back to distributed min-label propagation.
+    // ~160 B of driver footprint per edge (two boxed HashMap entries
+    // worst-case); 256 MB default ⇒ ~1.6M edges on the driver path
     val edgeCount = fwd.count()
-    if (edgeCount <= driverEdgeThreshold) {
+    if (edgeCount * 160L <= driverBytesThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -160,7 +225,9 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      fwd.collect().foreach { row =>
+      val collected = fwd.collect()
+      fwd.unpersist()
+      collected.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -176,49 +243,89 @@ object Dedup {
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
 
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    // labels only ever decrease under min-propagation, so the label
-    // sum is a strict monotone: unchanged sum ⟺ fixpoint. One cheap
-    // aggregate per round instead of a change-detection join.
-    var prevSum = Long.MinValue
-    var converged = false
+    // Large-star: every node's strictly-larger neighbors reconnect to
+    // the minimum of its closed neighborhood. Expressed as a grouped
+    // min + join — no neighbor-list aggregation, so a 10M-degree hub
+    // node never builds a 10M-element array on one task.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(least(col("b"), col("a"))).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // Small-star: orient edges high→low; every node's lower neighbors
+    // (and itself) reconnect to the minimum among them.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = o.groupBy("a").agg(min("b").as("m"))
+      o.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .distinct()
+    }
+
+    var cur = fwd
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    // convergence: the canonical edge multiset only ever shrinks
+    // toward the star fixpoint; (count, Σa, Σb) stable ⟺ no edge
+    // moved (each transform maps an edge to one with a ≤ endpoint sum,
+    // so an unchanged triple means every edge was unchanged)
+    var prev: (Long, Long, Long) = (-1L, -1L, -1L)
     var i = 0
-    while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min("label").as("nlabel"))
-      // cache() per round keeps the data hot; note localCheckpoint was
-      // measured here and is pathological under AQE (eager
-      // materialization per round cost 10× more than the lineage
-      // re-planning it saves at these iteration counts)
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      val s = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+    var done = false
+    while (!done && i < maxIter) {
+      val next = smallStar(largeStar(cur)).cache()
+      val r = next.agg(count(lit(1)), sum("a"), sum("b")).head()
+      val sig = (r.getLong(0), r.getLong(1), r.getLong(2))
+      cur.unpersist()
+      cur = next
+      done = sig == prev
+      prev = sig
       i += 1
     }
-    edges.unpersist()
-    labels.withColumnRenamed("label", "cluster_id")
+    // converged: star graphs — every non-root holds exactly its
+    // (root = component min) edge
+    val nonRoot = cur.groupBy("a").agg(min("b").as("cluster_id"))
+      .select(col("a").as("doc_id"), col("cluster_id"))
+    val roots = cur.select(col("b").as("doc_id")).distinct()
+      .join(nonRoot.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // materialize before releasing the caches backing the lineage;
+    // the result is one small row per near-dup doc
+    val out = nonRoot.union(roots).localCheckpoint(true)
+    cur.unpersist()
+    fwd.unpersist()
+    out
   }
 
   /** End-to-end dedup: drop every document that shares a near-dup
-    * cluster with a smaller doc_id (and exact duplicates implicitly —
-    * identical texts have Jaccard 1). Returns the kept rows of `df`.
+    * cluster with a smaller doc_id. The pair graph is the union of
+    * verified MinHash near-dup pairs and exact-hash duplicate pairs —
+    * the latter so byte-identical documents *shorter than the shingle
+    * width* (whose Jaccard is undefined: no shingles) are still
+    * deduplicated. Returns the kept rows of `df`.
     */
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val clusters = nearDupClusters(
-      minhashNearDups(df, textCol, idCol, shingleN, threshold))
+    val near = minhashNearDups(df, textCol, idCol, shingleN, threshold)
+      .select("ia", "ib")
+    // exact duplicates as star edges to the group min: enough for
+    // connectivity, O(group size) rows
+    val exactPairs = exact(df, textCol, idCol)
+      .select(col("content_hash"), col("keep_id"))
+      .join(df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("doc_id")),
+        "content_hash")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("ia"), col("doc_id").as("ib"))
+    val clusters = nearDupClusters(near.union(exactPairs))
     val losers = clusters.filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -284,18 +391,89 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  // Embedding near-dup: exact cosine pairs at small scale (oracle
-  // path); the scale path buckets by LSH first (Similarity.ivfTopK
-  // shows the probe pattern).
+  // Embedding near-dup: EXACT cosine-threshold self-join via triangle
+  // blocking. Exact all-pairs comparison is inherently O(n²) FLOPs,
+  // but the naive `a.join(b, ia < ib)` theta-join executes as a
+  // BroadcastNestedLoopJoin — the entire corpus broadcast to every
+  // task (driver OOM at scale). Triangle blocking instead hashes each
+  // vector into one of `blocks` groups and materializes every block
+  // PAIR (i ≤ j) as an ordinary equi-join key: replication factor
+  // blocks+1, per-task working set 2n/blocks vectors, and the plan is
+  // a plain shuffle join — no broadcast, no cross join, memory-bounded
+  // regardless of corpus size. Same exact pair set, same bits.
+  //
+  // (At 100 TB nobody runs an exact all-pairs — the approximate scale
+  // path is embeddingNearDupsLsh below, with recall traded per the
+  // bits/probe parameters; this operator is the exact form, distributed
+  // as well as exactness allows.)
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val B = blocks
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2Norm(col("v")))
-    val a = withNorm.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("ia") < col("ib"))
-      .select(col("ia"), col("ib"),
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(B)).cast("int"))
+    // left replica stream: vector in block g serves block-pairs (g, j≥g)
+    val left = v.withColumn("j", explode(sequence(col("g"), lit(B - 1))))
+      .select(col("g").as("bi"), col("j").as("bj"),
+        col("vec_id").as("la"), col("v").as("va"), col("nrm").as("na"))
+    // right replica stream: vector in block g serves block-pairs (i≤g, g)
+    val right = v.withColumn("i", explode(sequence(lit(0), col("g"))))
+      .select(col("i").as("bi"), col("g").as("bj"),
+        col("vec_id").as("lb"), col("v").as("vb"), col("nrm").as("nb"))
+    // a cross-block pair (x∈i, y∈j) meets exactly once — in task
+    // (i,j), x from the left stream, y from the right — whatever the
+    // id order, so it is emitted id-normalized; an intra-block pair
+    // meets twice in task (g,g) (both orientations), so la < lb keeps
+    // one. Cosine is order-independent bit-for-bit (per-element
+    // products commute; accumulation order is element index).
+    left.join(right, Seq("bi", "bj"))
+      .filter((col("bi") === col("bj") && col("la") < col("lb"))
+        || col("bi") =!= col("bj"))
+      .select(least(col("la"), col("lb")).as("ia"),
+        greatest(col("la"), col("lb")).as("ib"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Approximate embedding near-dup — the true 100 TB path: random-
+    * hyperplane signatures bucket the corpus; only pairs whose
+    * signatures differ in ≤ `probeBits` bits are exact-cosine
+    * verified. Candidate generation is a bucketed equi-join (the same
+    * hyperplanes as Similarity.lshTopK), so cost scales with bucket
+    * occupancy, not n². Precision is exact (verify step); recall for
+    * a pair at angle θ is P(≤ probeBits of `bits` hyperplanes split
+    * it), each bit splitting independently with probability θ/π —
+    * near-duplicate angles (cos ≥ 0.9, θ ≤ 26°) keep recall ≥ ~99%
+    * at the defaults; verify-threshold pairs near 90° are genuinely
+    * down-weighted, which is the intended trade. The exact form above
+    * is the oracle to calibrate against.
+    */
+  def embeddingNearDupsLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bits: Int = 8, probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2, "probe set grows as C(bits, probeBits)")
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2Norm(col("v")))
+      .withColumn("sig", Similarity.hyperplaneSig(col("v"), bits))
+    // left probes its own bucket plus every bucket within Hamming
+    // distance `probeBits`; right sits in its own bucket only — each
+    // qualifying pair meets in the right member's bucket
+    val flips: Seq[Column] = {
+      val one = (0 until bits).map(h => lit(1L << h))
+      val two = for (i <- 0 until bits; j <- (i + 1) until bits)
+        yield lit((1L << i) | (1L << j))
+      (if (probeBits >= 1) one else Nil) ++ (if (probeBits >= 2) two else Nil)
+    }
+    val probed = v.withColumn("bucket",
+      explode(array((col("sig") +: flips.map(f => col("sig").bitwiseXOR(f))): _*)))
+    val l = probed.select(col("bucket"), col("vec_id").as("la"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = v.select(col("sig").as("bucket"), col("vec_id").as("lb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("la") < col("lb"))
+      .select(col("la").as("ia"), col("lb").as("ib"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair can meet via several probed buckets
   }
 }

@@ -107,8 +107,12 @@ object Similarity {
     * Hyperplanes are splitmix64-derived constants — stable across
     * runs and executors, no fitting step.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
+  /** `bits`-bit random-hyperplane signature of a vector column: bit h
+    * is the sign of the dot product against a fixed splitmix64-derived
+    * hyperplane — stable across runs and executors, no fitting step.
+    * Shared by lshTopK (ANN) and Dedup.embeddingNearDupsLsh.
+    */
+  def hyperplaneSig(v: Column, bits: Int, dim: Int = 64): Column = {
     require(bits <= 20, "bucket space explodes past 2^20")
     def mix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -121,10 +125,14 @@ object Similarity {
       (0 until dim).map(i => (mix(h.toLong * 1000003 + i) >>> 11).toDouble
         / (1L << 53).toDouble * 2.0 - 1.0)
     }
-    def bucketOf(v: Column): Column =
-      planes.zipWithIndex.map { case (p, h) =>
-        when(dot(v, typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    planes.zipWithIndex.map { case (p, h) =>
+      when(dot(v, typedLit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    def bucketOf(v: Column): Column = hyperplaneSig(v, bits, dim)
 
     val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("nv"))
       .withColumn("nn", l2Norm(col("nv")))

@@ -151,7 +151,10 @@ object LlmQueries {
 
     // ---- end-to-end dedup: keep one representative per near-dup
     // cluster (the user-facing operation the pieces above compose
-    // into). Oracle: the same anti-join over the recursive closure.
+    // into). The pair graph is verified near-dup pairs UNION exact
+    // (md5) duplicate pairs — the latter covers byte-identical docs
+    // shorter than the shingle width, whose Jaccard is undefined.
+    // Oracle: the same anti-join over the recursive closure.
     QDef("dedup_keep_representatives", (s, dir) =>
       Dedup.dropNearDups(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
@@ -167,7 +170,12 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |ex AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM documents a JOIN documents b
+        |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+        |      UNION SELECT ia, ib FROM ex UNION SELECT ib, ia FROM ex),
         |reach(a, b) AS (
         |  SELECT DISTINCT a, a FROM e
         |  UNION

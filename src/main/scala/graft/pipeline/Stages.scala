@@ -96,6 +96,7 @@ object StageRegistry {
     case "cache"     => new ExprCompute(spec, (df, _) => df.cache())
     case "scalaCompute" => new DynamicCompute(spec)
     case "scalaProgram" => new DynamicProgram(spec)
+    case "pysparkProgram" => new PySparkProgram(spec)
     // ---- streaming (SURVEY §2.9): streams are DataFrames, so every
     // compute above applies; these add the stream-only wiring.
     case "streamSource" => new StreamSource(spec)
@@ -118,16 +119,31 @@ object StageRegistry {
     s.split(",").map(_.trim).filter(_.nonEmpty)
 
   /** Split an expression list on TOP-LEVEL commas only, so multi-arg
-    * functions (`percentile(x, 0.5) as p50`) survive.
+    * functions (`percentile(x, 0.5) as p50`) survive. String literals
+    * are opaque: parens/commas inside '...' (with SQL '' escaping)
+    * never affect depth or splitting — `concat(a, ',', b)` and
+    * `regexp_replace(x, '\\(', '')` parse correctly.
     */
   def splitExprs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0
-    s.zipWithIndex.foreach {
-      case ('(', _) => depth += 1
-      case (')', _) => depth -= 1
-      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ =>
+    var depth = 0; var start = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          // '' inside a literal is an escaped quote, not a close
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -322,14 +338,14 @@ final class DynamicCompute(val spec: StageSpec) extends ComputeStage {
     }
 
   private def compileAndResolve(): DynamicCompiler.UserFunction = {
-    val objectName = DynamicCompiler.classNameFor(name)
+    val objectName = DynamicCompiler.classNameFor(name, code)
     val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
     DynamicCompiler.resolveFunction(compiled.loadObject(objectName), methodName, isVoid = false)
   }
 
   def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
-    val objectName = DynamicCompiler.classNameFor(name)
+    val objectName = DynamicCompiler.classNameFor(name, code)
     val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, code), extraClasspath = deps)
     deps.filter(_.toString.endsWith(".jar"))
@@ -348,7 +364,7 @@ final class DynamicCompute(val spec: StageSpec) extends ComputeStage {
 final class DynamicSink(val spec: StageSpec) extends SinkStage {
   private val methodName = spec.properties.getOrElse("methodName", "sink")
   def write(ctx: PipelineContext, input: DataFrame): Unit = {
-    val objectName = DynamicCompiler.classNameFor(name)
+    val objectName = DynamicCompiler.classNameFor(name, spec.properties("scalaCode"))
     val compiled = DynamicCompiler.compileCached(
       DynamicCompiler.wrap(objectName, spec.properties("scalaCode")))
     compiled.shipTo(ctx.spark)
@@ -359,6 +375,31 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
     try fn.invoke(input, ctx.graftContext)
     finally Thread.currentThread().setContextClassLoader(prevCl)
   }
+}
+
+/** PySpark program stage — DECISION RECORD for the reference's fourth
+  * plugin entry point (reference: PySparkProgram.java:54-70, which
+  * launches user Python through spark-submit). Execution is
+  * intentionally descoped in this build: the environment is
+  * zero-egress with no Python/pyspark runtime available to library
+  * code (SURVEY.md §7 risk 4), and a spark-submit subprocess launcher
+  * that can never succeed here would fail later and less clearly than
+  * an explicit validate-time error. The stage type therefore EXISTS —
+  * a pipeline carrying it parses — but validation and execution both
+  * fail with a message naming the supported migration path
+  * (scalaCompute / scalaProgram). Wiring a real launcher back in is a
+  * matter of replacing `transform` with a `spark-submit` subprocess
+  * call in an environment that has one.
+  */
+final class PySparkProgram(val spec: StageSpec) extends ComputeStage {
+  private val descopeMsg =
+    s"stage '$name': pysparkProgram is descoped in this build (no Python " +
+      "runtime in the zero-egress environment); port the script to a " +
+      "scalaCompute/scalaProgram stage, or run it via spark-submit outside " +
+      "the pipeline"
+  override def validate(): Seq[String] = Seq(descopeMsg)
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame =
+    throw new UnsupportedOperationException(descopeMsg)
 }
 
 /** Whole-program action stage (reference ScalaSparkProgram as a DAG

@@ -71,6 +71,39 @@ class DynamicSpec extends SparkSpec {
     assert(got == golden)
   }
 
+  test("Spark 2.1 user-code idioms run unchanged: df.explode(in, out)(fn) + registerTempTable (reference ScalaSparkTest.java:276-280,397-400)") {
+    // verbatim reference-era idioms. Both APIs are deprecated-but-
+    // present in Spark 4 (verified against spark-sql-api Dataset), so
+    // migrated user code compiles natively; the one real migration
+    // hazard is that the explode LAMBDA is a user class that must ship
+    // to executors — shipTo (which the scalaCompute stage always
+    // calls) covers it.
+    val code =
+      """def transform(df: DataFrame, ctx: GraftContext): DataFrame = {
+        |  val words = df.explode("body", "word")((line: String) => line.split(" "))
+        |  words.registerTempTable("exploded21")
+        |  ctx.spark.sql(
+        |    "SELECT word, count(*) AS count FROM exploded21 GROUP BY word")
+        |}
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("compat21", code)
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    compiled.shipTo(spark)
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+  }
+
+  test("classNameFor: same stage name, different code → distinct class names") {
+    val a = DynamicCompiler.classNameFor("stage", "def transform(df: DataFrame) = df")
+    val b = DynamicCompiler.classNameFor("stage", "def transform(df: DataFrame) = df.limit(1)")
+    assert(a != b)
+    assert(DynamicCompiler.classNameFor("stage",
+      "def transform(df: DataFrame) = df") == a) // stable
+  }
+
   test("whole program: GraftMain + run(SparkSession) + main(args) dispatch (testScalaProgram)") {
     val out1 = Files.createTempDirectory("graft-prog").resolve("p1")
     val src =

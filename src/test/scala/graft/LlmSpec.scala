@@ -98,10 +98,84 @@ class LlmSpec extends SparkSpec {
     val viaUnionFind = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaUnionFind == expect)
-    // force the distributed min-label path and require identical output
-    val viaPropagation = Dedup.nearDupClusters(pairs, driverEdgeThreshold = 0)
+    // force the distributed large-star/small-star path and require
+    // identical output
+    val viaStars = Dedup.nearDupClusters(pairs, driverBytesThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaPropagation == expect)
+    assert(viaStars == expect)
+  }
+
+  test("embedding near-dups: triangle-blocked join equals naive all-pairs, any block count") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // naive all-pairs reference (the pre-round-2 formulation)
+    val withNorm = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.l2Norm(col("v")))
+    val a = withNorm.select(col("id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (blocks <- Seq(1, 4, 16)) {
+      val tri = Dedup.embeddingNearDups(emb, "embedding", "vec_id", 0.4, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(tri == naive, s"blocks=$blocks differs from all-pairs")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("embedding near-dup LSH scale path: exact precision, high recall at near-dup angles") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tight threshold = true near-dups: recall must be high
+    val exactTight = toSet(Dedup.embeddingNearDups(emb, "embedding", "vec_id", 0.9))
+    val lshTight = toSet(Dedup.embeddingNearDupsLsh(emb, "embedding", "vec_id", 0.9,
+      bits = 8, probeBits = 2))
+    assert((lshTight -- exactTight).isEmpty, "LSH emitted a pair the exact join rejects")
+    if (exactTight.nonEmpty) {
+      val recall = (exactTight & lshTight).size.toDouble / exactTight.size
+      assert(recall >= 0.9, s"near-dup LSH recall $recall below 0.9")
+    }
+  }
+
+  test("minhash near-dups: exact-dup collapse re-expands byte-identical docs correctly") {
+    import spark.implicits._
+    // docs 1,2,3 byte-identical (long enough to shingle); 4 near-dup of
+    // them; 5 unrelated; 6,7 identical but too short to shingle
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"),
+      (5L, "the quick brown fox jumps over dogs"),
+      (6L, "tiny doc"),
+      (7L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // intra-group pairs at exactly 1.0
+    assert(got((1L, 2L)) == 1.0 && got((1L, 3L)) == 1.0 && got((2L, 3L)) == 1.0)
+    // cross-group expansion: 4 pairs with each of 1,2,3 at the same jaccard
+    assert(got.contains((1L, 4L)) && got.contains((2L, 4L)) && got.contains((3L, 4L)))
+    assert(got((1L, 4L)) == got((2L, 4L)) && got((2L, 4L)) == got((3L, 4L)))
+    // shingle-less identical docs produce NO jaccard pair (undefined),
+    // and nothing pairs with the unrelated doc
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 7L || a == 5L || b == 5L })
+  }
+
+  test("dropNearDups removes byte-identical docs shorter than the shingle width") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "the quick brown fox jumps over dogs"),
+      (6L, "tiny doc"),
+      (7L, "tiny doc")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 6L))
   }
 
   test("LSH ANN recall on clustered data >= 0.8 with multi-probe") {

@@ -250,4 +250,29 @@ class PipelineEngineSpec extends SparkSpec {
     val e = intercept[IllegalStateException](new Pipeline(schemaMismatch).run(spark))
     assert(e.getMessage.contains("missing field 'nope'"))
   }
+
+  test("pysparkProgram stage: documented descope error at validate and run") {
+    val p = PipelineSpec(Seq(
+      pipeline.StageSpec("src", "range", Map("end" -> "10")),
+      pipeline.StageSpec("py", "pysparkProgram", Map("pythonCode" -> "print('hi')")),
+      pipeline.StageSpec("out", "memorySink", Map("key" -> "py1"))),
+      Seq(pipeline.Connection("src", "py"), pipeline.Connection("py", "out")))
+    val errs = new Pipeline(p).validate()
+    assert(errs.exists(_.contains("descoped")), errs.mkString("; "))
+    assert(errs.exists(_.contains("scalaCompute")))
+    val e2 = intercept[IllegalStateException](new Pipeline(p).run(spark))
+    assert(e2.getMessage.contains("descoped"))
+  }
+
+  test("splitExprs: string literals are opaque to paren/comma scanning") {
+    import graft.pipeline.StageRegistry.splitExprs
+    assert(splitExprs("concat(a, ',', b) as ab, c") ==
+      Seq("concat(a, ',', b) as ab", "c"))
+    assert(splitExprs("regexp_replace(x, '\\(', '') as clean") ==
+      Seq("regexp_replace(x, '\\(', '') as clean"))
+    // SQL '' escaping inside a literal
+    assert(splitExprs("concat(a, 'it''s, fine(', b) as s, d") ==
+      Seq("concat(a, 'it''s, fine(', b) as s", "d"))
+    assert(splitExprs("a, b, c") == Seq("a", "b", "c"))
+  }
 }

@@ -7,13 +7,24 @@ import graft.pipeline.{Connection, MemorySink, Pipeline, PipelineSpec, StageSpec
 class RelationalSpec extends SparkSpec {
 
   test("approx_count_distinct stays within HLL error of exact") {
-    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sfDir).collect()
+    // the gate query now emits the bound verdict; assert the raw
+    // estimate directly here
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.1,
         s"approx $approx vs exact $exact off by >10%")
     }
+    // and the gate query's verdict column is all-ones (what the
+    // DuckDB oracle pins)
+    val gate = SparkEntry.queries("agg_approx_distinct")(spark, sfDir).collect()
+    assert(gate.forall(_.getInt(2) == 1))
   }
 
   test("RDD-mode dynamic transform (reference 4-shape matrix)") {
