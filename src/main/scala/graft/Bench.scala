@@ -27,6 +27,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      // measurement isolation: clear any cached plans a prior query
+      // leaked so no query silently reuses another's work. Deliberately
+      // NO System.gc() here: a forced full GC triggers ContextCleaner
+      // shuffle-cleanup storms whose MapOutputTracker contention lands
+      // inside the NEXT timed region (measured: 8 s → 30-60 s on the
+      // dedup pipeline with gc, stable 7.7 s without).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

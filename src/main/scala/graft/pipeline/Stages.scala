@@ -97,6 +97,38 @@ object StageRegistry {
     case "scalaCompute" => new DynamicCompute(spec)
     case "scalaProgram" => new DynamicProgram(spec)
     case "pysparkProgram" => new PySparkProgram(spec)
+    // ---- training-data (LLM) operators as declarative stages -------
+    // (SURVEY §2.11 surfaced through the pipeline DSL; same code paths
+    // as the SparkEntry queries)
+    case "textStats"   => new ExprCompute(spec, (df, p) =>
+      graft.llm.TextAnalysis.stats(df, p.getOrElse("textCol", "text")))
+    case "textQuality" => new ExprCompute(spec, (df, p) =>
+      graft.llm.TextAnalysis.quality(df, p.getOrElse("textCol", "text")))
+    case "langId"      => new ExprCompute(spec, (df, p) =>
+      df.withColumn(p.getOrElse("as", "pred_lang"),
+        graft.llm.TextAnalysis.langId(col(p.getOrElse("textCol", "text")))))
+    case "tokenCount"  => new ExprCompute(spec, (df, p) =>
+      df.withColumn(p.getOrElse("as", "n_tokens"),
+        graft.llm.TextAnalysis.bpeTokenCount(col(p.getOrElse("textCol", "text")))))
+    case "fingerprint" => new ExprCompute(spec, (df, p) =>
+      df.withColumn(p.getOrElse("as", "fingerprint"),
+        graft.llm.TextAnalysis.fingerprint(col(p.getOrElse("textCol", "text")))))
+    case "exactDedup"  => new ExprCompute(spec, (df, p) => {
+      val (t, id) = (p.getOrElse("textCol", "text"), p.getOrElse("idCol", "doc_id"))
+      df.join(graft.llm.Dedup.exact(df, t, id).select(col("keep_id").as(id)),
+        Seq(id), "left_semi")
+    })
+    case "minhashDedup" => new ExprCompute(spec, (df, p) =>
+      graft.llm.Dedup.dropNearDups(df,
+        p.getOrElse("textCol", "text"), p.getOrElse("idCol", "doc_id"),
+        p.getOrElse("shingleN", "3").toInt,
+        p.getOrElse("threshold", "0.5").toDouble))
+    case "embeddingDedupPairs" => new ExprCompute(spec, (df, p) =>
+      graft.llm.Dedup.embeddingNearDups(df,
+        p.getOrElse("vecCol", "embedding"), p.getOrElse("idCol", "vec_id"),
+        p.getOrElse("threshold", "0.9").toDouble,
+        p.getOrElse("blocks", "16").toInt))
+    case "annTopK" => new AnnTopKCompute(spec)
     // ---- streaming (SURVEY §2.9): streams are DataFrames, so every
     // compute above applies; these add the stream-only wiring.
     case "streamSource" => new StreamSource(spec)
@@ -104,6 +136,9 @@ object StageRegistry {
     case "streamDedup"  => new ExprCompute(spec, (df, p) =>
       graft.streaming.StreamStages.dedupWithinWatermark(df, p("timeCol"),
         p("watermark"), p("keys").split(",").map(_.trim).toSeq))
+    case "streamSessionize" => new ExprCompute(spec, (df, p) =>
+      graft.streaming.StreamStages.statefulSessions(df, p("userCol"),
+        p("timeCol"), p("watermark"), p.getOrElse("gapUs", "1800000000").toLong))
     case "streamSink"   => new StreamSink(spec)
     // ---- sinks ----------------------------------------------------
     case "parquetSink" | "csvSink" | "jsonSink" | "textSink" | "orcSink" => new FormatSink(spec)
@@ -286,6 +321,29 @@ final class JoinCompute(val spec: StageSpec) extends ComputeStage {
       case Some(cols) => l.join(r, cols.split(",").map(_.trim).toSeq,
         p.getOrElse("joinType", "inner"))
       case None => l.join(r, expr(p("condition")), p.getOrElse("joinType", "inner"))
+    }
+  }
+}
+
+/** Two-input ANN stage: inputs(0) = queries, inputs(1) = corpus (both
+  * with `vec_id` + `embedding` columns, per the Similarity contract).
+  * `method`: `exact` (brute-force oracle), `ivf` (centroid probe,
+  * needs a `label` column), or `lsh` (random hyperplanes,
+  * structure-free) — the 100 TB paths are ivf/lsh.
+  */
+final class AnnTopKCompute(val spec: StageSpec) extends ComputeStage {
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.length == 2, s"annTopK '$name' needs exactly 2 inputs (queries, corpus)")
+    val p = spec.properties
+    val k = p.getOrElse("k", "10").toInt
+    p.getOrElse("method", "lsh") match {
+      case "exact" => graft.llm.Similarity.bruteForceTopK(inputs(0), inputs(1), k)
+      case "ivf"   => graft.llm.Similarity.ivfTopK(inputs(0), inputs(1), k,
+        p.getOrElse("nprobe", "3").toInt)
+      case "lsh"   => graft.llm.Similarity.lshTopK(inputs(0), inputs(1), k,
+        p.getOrElse("bits", "8").toInt)
+      case other => throw new IllegalArgumentException(
+        s"annTopK method '$other' (want exact|ivf|lsh)")
     }
   }
 }

@@ -2,8 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.schema.SchemaJson
+
+/** Emitted by [[StreamStages.statefulSessions]]: one closed session. */
+final case class SessionOut(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Int)
+
+/** Open-session state carried between micro-batches (µs epoch). */
+final case class SessionState(start: Long, last: Long, n: Int)
 
 /** Structured Streaming layer (SURVEY.md §2.9): the engine's analogue
   * of the reference's data-streams deployment (pom:30,
@@ -58,6 +65,65 @@ object StreamStages {
       keys: Seq[String]): DataFrame =
     df.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Custom-state sessionization — the `flatMapGroupsWithState`
+    * surface (SURVEY §2.9 / §2.11 "custom state"): per-user gap-based
+    * sessions with an event-time timeout, the streaming twin of the
+    * batch `sessionize` query. State per key is one open session
+    * (bounded); a session closes either when a same-batch event
+    * arrives more than `gapUs` after it (emitted immediately) or when
+    * the watermark passes `last + gap` (emitted on timeout) — so
+    * output is identical to the batch computation once the watermark
+    * passes, regardless of how events split across micro-batches.
+    *
+    * At 100 TB/day the state store holds one small fixed-size row per
+    * ACTIVE user — the watermark timeout is what keeps it from
+    * growing without bound.
+    */
+  def statefulSessions(df: DataFrame, userCol: String, tsCol: String,
+      watermark: String, gapUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evts = df
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("t"))
+      .withWatermark("t", watermark)
+      .as[(Long, java.sql.Timestamp)]
+    evts.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, events, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            // within a batch events can arrive unordered; sort before
+            // folding so intra-batch gaps close deterministically
+            val times = events.map(e => us(e._2)).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapUs =>
+                  open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the event-time watermark passes the gap
+              state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
 
   /** Memory sink for tests/smoke: processes everything currently
     * available, synchronously, then returns the finished query.

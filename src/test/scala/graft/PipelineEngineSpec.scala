@@ -264,6 +264,46 @@ class PipelineEngineSpec extends SparkSpec {
     assert(e2.getMessage.contains("descoped"))
   }
 
+  test("LLM operator stages: minhashDedup + textStats + annTopK through the DSL") {
+    // end-to-end dedup as a declarative stage must equal the API call
+    val dedupJson =
+      s"""{"stages": [
+         |  {"name": "src", "type": "parquet", "properties": {"path": "$sfDir/documents.parquet"}},
+         |  {"name": "dd", "type": "minhashDedup", "properties": {"threshold": "0.5"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "dd1"}}
+         |], "connections": [{"from": "src", "to": "dd"}, {"from": "dd", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(dedupJson).run(spark)
+    val got = MemorySink.results("dd1").map(_.getAs[Long]("doc_id")).toSet
+    val expect = graft.llm.Dedup.dropNearDups(
+        Tables.load(spark, sfDir, "documents"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+
+    val statsJson =
+      s"""{"stages": [
+         |  {"name": "src", "type": "parquet", "properties": {"path": "$sfDir/documents.parquet"}},
+         |  {"name": "st", "type": "textStats", "properties": {}},
+         |  {"name": "flt", "type": "filter", "properties": {"condition": "n_tokens >= 10"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "st1"}}
+         |], "connections": [{"from": "src", "to": "st"}, {"from": "st", "to": "flt"},
+         |  {"from": "flt", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(statsJson).run(spark)
+    assert(MemorySink.results("st1").nonEmpty)
+
+    // two-input ANN: queries = every 50th vector, corpus = all
+    val annJson =
+      s"""{"stages": [
+         |  {"name": "emb", "type": "parquet", "properties": {"path": "$sfDir/embeddings.parquet"}},
+         |  {"name": "qs", "type": "filter", "properties": {"condition": "vec_id % 50 = 0"}},
+         |  {"name": "ann", "type": "annTopK", "properties": {"method": "exact", "k": "3"}},
+         |  {"name": "out", "type": "memorySink", "properties": {"key": "ann1"}}
+         |], "connections": [{"from": "emb", "to": "qs"}, {"from": "qs", "to": "ann"},
+         |  {"from": "emb", "to": "ann"}, {"from": "ann", "to": "out"}]}""".stripMargin
+    Pipeline.fromJson(annJson).run(spark)
+    val ann = MemorySink.results("ann1")
+    assert(ann.nonEmpty && ann.forall(_.getAs[Int]("rank") <= 3))
+  }
+
   test("splitExprs: string literals are opaque to paren/comma scanning") {
     import graft.pipeline.StageRegistry.splitExprs
     assert(splitExprs("concat(a, ',', b) as ab, c") ==

@@ -84,6 +84,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == ev.count())
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch gap-fold across replayed batches") {
+    val base = Files.createTempDirectory("graft-sess")
+    val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
+    val gapUs = 1800000000L // 30 min, matching the batch sessionize query
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "ets")
+    ev.coalesce(1).write.mode("overwrite").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+
+    def runPhase(): Unit = {
+      val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
+      val sess = StreamStages.statefulSessions(src, "user_id", "ets", "1 minute", gapUs)
+      val q = StreamStages.toParquet(sess, out.toString, cp.toString)
+      q.awaitTermination()
+    }
+    runPhase() // phase 1: real events; final sessions still open (no timeout yet)
+
+    // phase 2: a far-future sentinel for a fake user pushes the
+    // watermark past every real session's timeout → they all emit
+    val maxTs = ev.agg(max("ets")).collect().head.getTimestamp(0)
+    spark.createDataFrame(Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 86400 * 1000))))
+      .toDF("user_id", "ets").coalesce(1).write.mode("append").parquet(in.toString)
+    runPhase()
+
+    val got = spark.read.parquet(out.toString)
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Int]("n_events"))).toSet
+
+    // batch expectation: per-user sort + gap fold
+    val expect = ev.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getTimestamp(1).toInstant.getEpochSecond * 1000000L
+          + r.getTimestamp(1).toInstant.getNano / 1000L))
+      .groupBy(_._1).flatMap { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var (start, last, n) = (ts.head, ts.head, 1)
+        ts.tail.foreach { t =>
+          if (t - last <= gapUs) { last = t; n += 1 }
+          else { sessions += ((start, last, n)); start = t; last = t; n = 1 }
+        }
+        sessions += ((start, last, n))
+        sessions.map { case (s, e, c) => (u, s, e, c) }
+      }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("streaming pipeline via JSON spec: source → windowAgg → memory sink") {
     val streamDir = Files.createTempDirectory("graft-stream4")
     Tables.load(spark, sfDir, "events")
