@@ -21,13 +21,14 @@ def norm(df):
     return df
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, timeout_s=None):
+    import threading
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
@@ -37,12 +38,26 @@ def main(out_dir, sf_dir):
         if name not in oracle:
             print(f"  {name}: NO ORACLE (rows-only check) rows={len(got)}")
             continue
+        timer = None
+        timed_out = []
+        if timeout_s:
+            timer = threading.Timer(timeout_s,
+                                    lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"  {name}: ORACLE SQL ERROR: {e}")
-            n_fail += 1
+            if timed_out:
+                print(f"  {name}: ORACLE TIMEOUT >{timeout_s}s (skipped; "
+                      f"engine rows={len(got)})")
+                n_skip += 1
+            else:
+                print(f"  {name}: ORACLE SQL ERROR: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"  {name}: COLUMN MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
@@ -79,9 +94,11 @@ def main(out_dir, sf_dir):
             n_pass += 1
         else:
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} oracle-timeout, "
+          f"{len(names)} total")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    to = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], to))
