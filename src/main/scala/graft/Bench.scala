@@ -21,6 +21,14 @@ object Bench {
       // joins) get small per-task hash/agg state; small stages shrink
       // back to ~cpus partitions automatically
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+      // NOTE: spark.sql.files.maxPartitionBytes stays at the 128 MB
+      // default. Lowering it to split the single-digit-MB test files
+      // was measured and REVERTED: parquet splits align to row groups
+      // and these files have ONE row group, so extra splits are empty
+      // tasks — pure scheduling overhead (+10 s across the suite).
+      // CPU-dense narrow ops get parallelism via an explicit
+      // repartition inside the operator instead (TextAnalysis
+      // .repetition's `parallelism` arg).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -87,6 +87,36 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher-style repetition filters (boilerplate/spam signal) -
+    QDef("text_repetition", (s, dir) =>
+      TextAnalysis.repetition(Tables.load(s, dir, "documents"), "text",
+          parallelism = s.sparkContext.defaultParallelism)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |b AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+        |  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |  ELSE [] END AS bg FROM tok),
+        |c AS (SELECT doc_id, ws, len(bg) AS nb,
+        |  list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d))) AS cnts
+        |  FROM b)
+        |SELECT doc_id, CAST(nb AS INT) AS n_bigrams,
+        |  CASE WHEN nb > 0 THEN CAST(list_max(cnts) AS DOUBLE) / CAST(nb AS DOUBLE) END AS top_bigram_frac,
+        |  CASE WHEN nb > 0 THEN CAST(coalesce(list_sum(list_filter(cnts, c2 -> c2 >= 2)), 0) AS DOUBLE) / CAST(nb AS DOUBLE) END AS dup_bigram_frac,
+        |  CASE WHEN len(ws) > 0 THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS dup_token_frac
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- pattern scrubbing (the PII/boilerplate-removal primitive;
+    // here scrubbing stopword tokens, which this corpus actually
+    // contains — the regex machinery is identical for emails/URLs) --
+    QDef("text_scrub", (s, dir) =>
+      TextAnalysis.scrub(Tables.load(s, dir, "documents"), "text",
+          "\\b(a|the)\\b", "<STOP>")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_replace(text, '\b(a|the)\b', '<STOP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- rolling-hash fingerprint (native codegen'd expression) ----
     QDef("doc_fingerprint", (s, dir) =>
       Tables.load(s, dir, "documents")

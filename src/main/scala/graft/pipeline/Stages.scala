@@ -113,6 +113,11 @@ object StageRegistry {
     case "fingerprint" => new ExprCompute(spec, (df, p) =>
       df.withColumn(p.getOrElse("as", "fingerprint"),
         graft.llm.TextAnalysis.fingerprint(col(p.getOrElse("textCol", "text")))))
+    case "textRepetition" => new ExprCompute(spec, (df, p) =>
+      graft.llm.TextAnalysis.repetition(df, p.getOrElse("textCol", "text")))
+    case "textScrub" => new ExprCompute(spec, (df, p) =>
+      graft.llm.TextAnalysis.scrub(df, p.getOrElse("textCol", "text"),
+        p("pattern"), p.getOrElse("replacement", "")))
     case "exactDedup"  => new ExprCompute(spec, (df, p) => {
       val (t, id) = (p.getOrElse("textCol", "text"), p.getOrElse("idCol", "doc_id"))
       df.join(graft.llm.Dedup.exact(df, t, id).select(col("keep_id").as(id)),

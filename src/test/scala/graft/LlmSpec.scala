@@ -105,6 +105,38 @@ class LlmSpec extends SparkSpec {
     assert(viaStars == expect)
   }
 
+  test("repetition metrics: run-length formulation, edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),      // bigrams: xy yx xy yx xy → top=3/5, dup=5/5
+      (2L, "a b c d"),           // all bigrams unique → top=1/3, dup=0
+      (3L, "solo"),              // 1 token → no bigrams → nulls
+      (4L, "")                   // no tokens → all null
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 5 && r(0).getDouble(2) == 3.0 / 5 && r(0).getDouble(3) == 1.0)
+    assert(r(0).getDouble(4) == 1.0 - 2.0 / 6) // x,y distinct of 6 tokens
+    assert(r(1).getInt(1) == 3 && r(1).getDouble(2) == 1.0 / 3 && r(1).getDouble(3) == 0.0)
+    assert(r(2).getInt(1) == 0 && r(2).isNullAt(2) && r(2).isNullAt(3))
+    assert(r(3).isNullAt(4)) // 0 tokens → dup_token_frac null
+    // parallelism path returns identical values
+    val p = TextAnalysis.repetition(docs, "text", parallelism = 3)
+      .orderBy("doc_id").collect()
+    assert(p.toSeq.map(_.toSeq) == r.toSeq.map(_.toSeq))
+  }
+
+  test("scrub replaces and counts pattern matches") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat saw a dog and the bird"), (2L, "nothing here"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(docs, "text", "\\b(a|the)\\b", "<STOP>")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "<STOP> cat saw <STOP> dog and <STOP> bird")
+    assert(r(0).getInt(2) == 3)
+    assert(r(1).getString(1) == "nothing here" && r(1).getInt(2) == 0)
+  }
+
   test("embedding near-dups: triangle-blocked join equals naive all-pairs, any block count") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // naive all-pairs reference (the pre-round-2 formulation)
