@@ -155,7 +155,14 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // exact-dup collapse: one representative (min id) per distinct text
+    // exact-dup collapse: one representative (min id) per distinct
+    // text. Two tuning dead-ends measured here and rejected:
+    // materializing repDocs/sets via localCheckpoint (6.5 s → 18 s,
+    // pathological under AQE — matching the earlier finding in
+    // nearDupClusters' iteration loop), and lowering AQE's
+    // minPartitionSize to parallelize the shingle HOF (regressed the
+    // downstream join stages). The plan as-is shares work via AQE
+    // exchange reuse.
     val hashed = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
       md5(col(textCol)).as("ch"))
     val repDocs = hashed.groupBy("ch")
@@ -337,7 +344,13 @@ object Dedup {
   // bucket), count common shingles per pair, derive Jaccard.
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, shingleN)
+    // cut lineage after a repartition so the interpreted shingle HOF
+    // runs across cores rather than inside a (possibly single) scan
+    // task — same reasoning as minhashNearDups/TextAnalysis.repetition
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = df.select(col(idCol), col(textCol))
+      .repartition(par).localCheckpoint(true)
+    val sets = shingleSets(src, textCol, idCol, shingleN)
     // Inverted-index count join: index keyed by an 8-byte shingle hash
     // (same result — 64-bit collisions negligible — at ~10× less
     // shuffle bytes than shingle strings); set size rides along so the
