@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines
+  * (SURVEY.md §2.11): deterministic domain mixing and context-window
+  * sequence packing. Both are pure narrow/window transforms — the
+  * only shuffle is packing's per-shard window, keyed on the shard
+  * column, so both hold at 100 TB.
+  */
+object Sampling {
+
+  /** Deterministic per-stratum downsampling — the "domain mixing"
+    * step that reweights sources in a training corpus. A row is kept
+    * iff `id mod modulus < rate(stratum)`, so the decision is a pure
+    * function of the row (reproducible across runs, engines, and
+    * partitionings — unlike `sample()`, whose output depends on
+    * partition layout). Rates are per-mille-style integers against
+    * `modulus` (50 of 100 = keep half).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultRate: Int, modulus: Int = 100): DataFrame = {
+    val rate: Column = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(modulus)) < rate)
+  }
+
+  /** Greedy in-order context-window packing: within each shard
+    * (`strataCol`), documents in `idCol` order are laid head-to-tail
+    * and each is assigned the window its FIRST token lands in
+    * (`seq_window = floor(tokens-before / budget)`), plus its token
+    * offset inside that window — the bookkeeping a sequence-packing
+    * dataloader needs to cut fixed-length training windows without a
+    * sequential pass. One shuffle on the shard key; windows never
+    * span shards.
+    */
+  def packSequences(df: DataFrame, idCol: String, strataCol: String,
+      nTokensCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tokens_through", sum(col(nTokensCol)).over(w))
+      .withColumn("tokens_before", col("tokens_through") - col(nTokensCol))
+      .withColumn("seq_window", floor(col("tokens_before") / budget))
+      .withColumn("window_offset", col("tokens_before") % budget)
+      .drop("tokens_through")
+  }
+}

@@ -117,6 +117,35 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- domain mixing: deterministic per-source downsampling ------
+    QDef("stratified_sample", (s, dir) =>
+      graft.llm.Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+          "doc_id", "source", Map("src0" -> 80, "src1" -> 40), defaultRate = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+        |WHERE doc_id % 100 < CASE source WHEN 'src0' THEN 80
+        |                                 WHEN 'src1' THEN 40 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- context-window sequence packing (per-shard window cumsum) -
+    QDef("pack_sequences", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withTok = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      graft.llm.Sampling.packSequences(withTok, "doc_id", "source", "n_tokens", 512)
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH t AS (SELECT doc_id, source, CAST(len($DuckToks) AS INT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tokens_before,
+        |  CAST(floor(CAST(tokens_before AS DOUBLE) / 512) AS BIGINT) AS seq_window,
+        |  tokens_before % 512 AS window_offset
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- rolling-hash fingerprint (native codegen'd expression) ----
     QDef("doc_fingerprint", (s, dir) =>
       Tables.load(s, dir, "documents")

@@ -115,6 +115,17 @@ object StageRegistry {
         graft.llm.TextAnalysis.fingerprint(col(p.getOrElse("textCol", "text")))))
     case "textRepetition" => new ExprCompute(spec, (df, p) =>
       graft.llm.TextAnalysis.repetition(df, p.getOrElse("textCol", "text")))
+    case "stratifiedSample" => new ExprCompute(spec, (df, p) => {
+      // rates: "src0=80,src1=40"
+      val rates = p.getOrElse("rates", "").split(",").filter(_.nonEmpty)
+        .map(_.split("=")).map(a => a(0).trim -> a(1).trim.toInt).toMap
+      graft.llm.Sampling.stratifiedSample(df, p("idCol"), p("strataCol"),
+        rates, p.getOrElse("defaultRate", "100").toInt,
+        p.getOrElse("modulus", "100").toInt)
+    })
+    case "packSequences" => new ExprCompute(spec, (df, p) =>
+      graft.llm.Sampling.packSequences(df, p("idCol"), p("strataCol"),
+        p("nTokensCol"), p.getOrElse("budget", "8192").toInt))
     case "textScrub" => new ExprCompute(spec, (df, p) =>
       graft.llm.TextAnalysis.scrub(df, p.getOrElse("textCol", "text"),
         p("pattern"), p.getOrElse("replacement", "")))
