@@ -64,9 +64,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { n =>
-      n -> (0 until reps).map(_ => runOnce(n)).filter(_ >= 0)
-        .minOption.getOrElse(-1.0)
+    // interleaved rounds (all queries once, then again) rather than
+    // back-to-back reps: transient debt a heavy neighbor leaves
+    // behind (GC, shuffle-file cleanup) then hits a given query in at
+    // most one round, and min-of-rounds discards it
+    val rounds = (0 until reps).map(_ => names.map(n => runOnce(n)))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> rounds.map(_(i)).filter(_ >= 0).minOption.getOrElse(-1.0)
     }
     // Locale.ROOT: a comma-decimal default locale would emit broken JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
