@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.bridge
-import graft.functions.{PolyHash, VectorDot}
+import graft.functions.{PolyHash, VectorDot, WordShingles}
 
 /** Session wiring for the engine.
   *
@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -39,6 +45,8 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     bridge.registerFunction(spark, "poly_hash", exprs => PolyHash(exprs.head))
     bridge.registerFunction(spark, "vector_dot", exprs => VectorDot(exprs(0), exprs(1)))
+    bridge.registerFunction(spark, "word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
   }
 
   /** Engine-tuned local session. `cores` should match the box in

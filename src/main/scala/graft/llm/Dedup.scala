@@ -25,14 +25,15 @@ object Dedup {
 
   // ---------------------------------------------------------------
   // Shingling
-  /** Distinct word n-gram shingles of a text column (array column). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  /** Distinct word n-gram shingles of a text column (array column).
+    * Native codegen'd expression (graft.functions.WordShingles) —
+    * bit-identical to the HOF chain
+    * `array_distinct(transform(sequence(...), concat_ws(...)))` it
+    * replaces, but one tokenize pass per row instead of interpreted
+    * per-element lambdas (shingling dominated every dedup pipeline).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** (doc_id, shingles array) pairs. */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
