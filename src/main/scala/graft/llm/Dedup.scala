@@ -345,13 +345,10 @@ object Dedup {
   // bucket), count common shingles per pair, derive Jaccard.
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    // cut lineage after a repartition so the interpreted shingle HOF
-    // runs across cores rather than inside a (possibly single) scan
-    // task — same reasoning as minhashNearDups/TextAnalysis.repetition
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = df.select(col(idCol), col(textCol))
-      .repartition(par).localCheckpoint(true)
-    val sets = shingleSets(src, textCol, idCol, shingleN)
+    // (a repartition + lineage cut lived here while shingling was an
+    // interpreted HOF chain; with the native WordShingles expression
+    // the shingle pass is scan-speed and needs no crutch)
+    val sets = shingleSets(df, textCol, idCol, shingleN)
     // Inverted-index count join: index keyed by an 8-byte shingle hash
     // (same result — 64-bit collisions negligible — at ~10× less
     // shuffle bytes than shingle strings); set size rides along so the

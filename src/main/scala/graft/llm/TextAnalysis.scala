@@ -83,72 +83,32 @@ object TextAnalysis {
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1: docs
     * dominated by a few repeated n-grams are boilerplate/spam):
     * per-doc top-bigram fraction, duplicate-bigram fraction, and
-    * duplicate-token fraction. Pure Column expressions — no shuffle,
-    * scan speed at 100 TB. Occurrence counts come from a SORT + one
-    * run-length pass per row (O(n log n)), not the naive
-    * O(distinct × n) count-each-distinct form (HOF lambdas are
-    * interpreted per element; the naive form measured 9.6 s vs
-    * ~1 s at sf0.1 for identical results). Fractions are exact-int
-    * divisions → identical double bits across engines; docs with
-    * < 2 tokens yield nulls.
+    * duplicate-token fraction. The integer statistics come from ONE
+    * native codegen'd pass per row (graft.functions.RepetitionStats)
+    * — no shuffle, no materialization, scan speed at 100 TB. (Two
+    * earlier formulations are preserved in git history: the naive
+    * count-each-distinct HOF chain, 9.6 s at sf0.1, and a sort +
+    * run-length HOF pass that additionally needed a repartition +
+    * lineage cut to even run parallel, ~1.9 s; the native pass does
+    * ~0.5 s with no crutch.) Fractions are exact-int divisions →
+    * identical double bits across engines; docs with < 2 tokens
+    * yield nulls.
     */
-  /** `parallelism > 0` inserts a repartition between bigram
-    * generation and the metric pass. Two real effects at once: (a) an
-    * exchange is a hard optimizer barrier, so CollapseProject cannot
-    * inline the sorted-bigram array into its several consumers and
-    * re-evaluate it per reference (HOF projections are interpreted —
-    * no codegen CSE rescues them); (b) small single-row-group parquet
-    * inputs scan as ONE task regardless of maxPartitionBytes, and the
-    * shuffle spreads the CPU-dense pass across cores. At production
-    * scale with many multi-GB files, leave it 0 — scan splits already
-    * parallelize, and the shuffle would cost a full corpus pass.
-    */
-  def repetition(df: DataFrame, textCol: String, parallelism: Int = 0): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bg = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array())
-    // repartition the RAW rows so the expensive interpreted-HOF
-    // projection runs across cores, not in the (possibly single) scan
-    // task. A bare repartition is NOT enough: Catalyst pushes
-    // deterministic projections straight through it, landing the
-    // heavy compute back in the scan task — the localCheckpoint cuts
-    // lineage so the projection stays above the exchange (cheap here:
-    // it materializes only the raw id+text rows).
-    val src = if (parallelism > 0)
-      df.select(col("doc_id"), col(textCol)).repartition(parallelism)
-        .localCheckpoint(true)
-    else df
-    val base = src.select(col("doc_id"), toks.as("toks"),
-        array_sort(bg).as("sb"))
-      .select(col("doc_id"), col("toks"), col("sb"), size(col("sb")).as("nb"))
-    // longest run in the sorted array = max occurrence count
-    val maxRun = aggregate(col("sb"),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("maxv")),
-      (a, x) => {
-        val r = when(x === a.getField("prev"), a.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), r.as("run"), greatest(a.getField("maxv"), r).as("maxv"))
-      },
-      a => a.getField("maxv"))
-    // an element is a singleton iff it differs from both sorted
-    // neighbors; occurrences in ≥2-count bigrams = nb − singletons.
-    // (guarded element_at args stay in [1, nb] — the boolean guard
-    // already decides the boundary cases)
-    val singletons = size(filter(col("sb"), (x, i) =>
-      (i === 0 || x =!= element_at(col("sb"), greatest(i, lit(1)))) &&
-        (i === col("nb") - 1 || x =!= element_at(col("sb"), least(i + 2, col("nb"))))))
-    base.select(col("doc_id"),
-      col("nb").as("n_bigrams"),
-      when(col("nb") > 0,
-        maxRun.cast("double") / col("nb").cast("double")).as("top_bigram_frac"),
-      when(col("nb") > 0,
-        (col("nb") - singletons).cast("double") / col("nb").cast("double"))
-        .as("dup_bigram_frac"),
-      when(size(col("toks")) > 0,
-        lit(1.0) - size(array_distinct(col("toks"))).cast("double")
-          / size(col("toks")).cast("double"))
-        .as("dup_token_frac"))
+  def repetition(df: DataFrame, textCol: String): DataFrame = {
+    val st = graft.functions.RepetitionStats(col(textCol), 2)
+    df.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_grams").as("n_bigrams"),
+        when(col("st.n_grams") > 0,
+          col("st.top_cnt").cast("double") / col("st.n_grams").cast("double"))
+          .as("top_bigram_frac"),
+        when(col("st.n_grams") > 0,
+          col("st.dup_occ").cast("double") / col("st.n_grams").cast("double"))
+          .as("dup_bigram_frac"),
+        when(col("st.n_tokens") > 0,
+          lit(1.0) - col("st.n_distinct_tokens").cast("double")
+            / col("st.n_tokens").cast("double"))
+          .as("dup_token_frac"))
   }
 
   /** Pattern scrubbing (PII/boilerplate removal shape): replace every

@@ -89,8 +89,7 @@ object LlmQueries {
 
     // ---- Gopher-style repetition filters (boilerplate/spam signal) -
     QDef("text_repetition", (s, dir) =>
-      TextAnalysis.repetition(Tables.load(s, dir, "documents"), "text",
-          parallelism = s.sparkContext.defaultParallelism)
+      TextAnalysis.repetition(Tables.load(s, dir, "documents"), "text")
         .orderBy("doc_id"),
       Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
         |b AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2

@@ -120,10 +120,6 @@ class LlmSpec extends SparkSpec {
     assert(r(1).getInt(1) == 3 && r(1).getDouble(2) == 1.0 / 3 && r(1).getDouble(3) == 0.0)
     assert(r(2).getInt(1) == 0 && r(2).isNullAt(2) && r(2).isNullAt(3))
     assert(r(3).isNullAt(4)) // 0 tokens → dup_token_frac null
-    // parallelism path returns identical values
-    val p = TextAnalysis.repetition(docs, "text", parallelism = 3)
-      .orderBy("doc_id").collect()
-    assert(p.toSeq.map(_.toSeq) == r.toSeq.map(_.toSeq))
   }
 
   test("scrub replaces and counts pattern matches") {
