@@ -42,16 +42,20 @@ object TextAnalysis {
     when(bestScore > 0, bestLang).otherwise(lit("und"))
   }
 
-  /** doc stats: token count, distinct tokens, avg/max token length. */
+  /** doc stats: token count, distinct tokens, avg/max token length.
+    * One native pass (graft.functions.TokenStats) — identical values
+    * to the HOF chain it replaces (empty text ⇒ null avg/max, as
+    * before: Spark division by zero yields null and the max is
+    * null-guarded).
+    */
   def stats(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.select(col("doc_id"), toks.as("toks"))
+    val st = graft.functions.TokenStats(col(textCol))
+    df.select(col("doc_id"), st.as("st"))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
-        (aggregate(transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x)
-          .cast("double") / size(col("toks"))).as("avg_token_len"),
-        array_max(transform(col("toks"), w => length(w))).as("max_token_len"))
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_uniq").as("n_uniq"),
+        (col("st.sum_len").cast("double") / col("st.n_tokens")).as("avg_token_len"),
+        when(col("st.n_tokens") > 0, col("st.max_len")).as("max_token_len"))
   }
 
   /** Quality heuristic: 3 binary criteria → score 0..3, pass = 3.
@@ -59,12 +63,12 @@ object TextAnalysis {
     * LLM-corpus pipelines (C4-style heuristics).
     */
   def quality(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        (aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
-          .cast("double") / size(toks)).as("avg_len"),
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+    val st = graft.functions.TokenStats(col(textCol))
+    df.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        (col("st.sum_len").cast("double") / col("st.n_tokens")).as("avg_len"),
+        (col("st.n_uniq").cast("double") / col("st.n_tokens")).as("uniq_ratio"))
       .select(col("doc_id"),
         (col("n_tokens") >= 20 && col("n_tokens") <= 1000).cast("int").as("len_ok"),
         (col("avg_len") >= 2.0 && col("avg_len") <= 12.0).cast("int").as("shape_ok"),
