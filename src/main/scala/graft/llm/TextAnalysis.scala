@@ -24,16 +24,17 @@ object TextAnalysis {
     "en" -> Seq("a", "the", "of", "and", "to", "in", "is", "it"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour"))
 
-  /** Number of profile-word hits (duplicates counted) for one profile. */
-  def profileHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, w => w.isInCollection(words)))
+  /** Number of profile-word hits (duplicates counted) for one profile
+    * — native one-pass counter (graft.functions.ProfileHits).
+    */
+  def profileHits(text: Column, words: Seq[String]): Column =
+    graft.functions.ProfileHits(text, words)
 
   /** Predicted language: argmax of profile hits, ties broken by
     * profile order (de < en < fr), no hits ⇒ "und".
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langProfiles.map { case (lang, ws) => lang -> profileHits(toks, ws) }
+    val scores = langProfiles.map { case (lang, ws) => lang -> profileHits(text, ws) }
     // fold: keep (bestLang, bestScore); strict > so earlier profile wins ties
     val (bestLang, bestScore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (lang, sc)) =>
