@@ -72,9 +72,19 @@ object StreamStages {
     * batch `sessionize` query. State per key is one open session
     * (bounded); a session closes either when a same-batch event
     * arrives more than `gapUs` after it (emitted immediately) or when
-    * the watermark passes `last + gap` (emitted on timeout) — so
-    * output is identical to the batch computation once the watermark
-    * passes, regardless of how events split across micro-batches.
+    * the watermark passes `last + gap` (emitted on timeout).
+    *
+    * Guarantee: output matches the batch gap-fold exactly when events
+    * arrive in order ACROSS micro-batches (any order WITHIN a batch is
+    * fine — each batch is sorted before folding). Out-of-order arrival
+    * across batches (allowed while the watermark lags) is handled by
+    * interval distance against the open session: an event within
+    * `gapUs` of either end merges (extending `start` downward if
+    * needed); an event more than `gapUs` BEFORE the open session's
+    * start folds into a separate earlier session, emitted immediately.
+    * The one divergence from batch left open by append-mode semantics:
+    * a session already emitted cannot be re-opened by a yet-later
+    * straggler that would have bridged it.
     *
     * At 100 TB/day the state store holds one small fixed-size row per
     * ACTIVE user — the watermark timeout is what keeps it from
@@ -102,25 +112,36 @@ object StreamStages {
             // within a batch events can arrive unordered; sort before
             // folding so intra-batch gaps close deterministically
             val times = events.map(e => us(e._2)).toArray.sorted
-            var closed = List.empty[SessionOut]
-            var open = state.getOption
+            val batch = scala.collection.mutable.ArrayBuffer.empty[SessionState]
             times.foreach { t =>
-              open match {
+              batch.lastOption match {
                 case Some(s) if t - s.last <= gapUs =>
-                  open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  closed ::= SessionOut(user, s.start, s.last, s.n)
-                  open = Some(SessionState(t, t, 1))
-                case None =>
-                  open = Some(SessionState(t, t, 1))
+                  batch(batch.length - 1) = SessionState(s.start, t, s.n + 1)
+                case _ => batch += SessionState(t, t, 1)
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              // fire once the event-time watermark passes the gap
-              state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+            // merge the carried open session into the batch's sessions
+            // by the same gap rule over intervals: sorted by start, two
+            // intervals fuse when they are within gapUs of each other.
+            // This lowers `start` on a backward merge and keeps an
+            // event more than gapUs BEFORE the open session as its own
+            // earlier session instead of silently absorbing it.
+            val all = (state.getOption.toSeq ++ batch)
+              .sortBy(s => (s.start, s.last))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            all.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.start - p.last <= gapUs =>
+                  merged(merged.length - 1) =
+                    SessionState(p.start, math.max(p.last, s.last), p.n + s.n)
+                case _ => merged += s
+              }
             }
-            closed.reverseIterator
+            val open = merged.last
+            state.update(open)
+            // fire once the event-time watermark passes the gap
+            state.setTimeoutTimestamp(open.last / 1000L + gapUs / 1000L)
+            merged.init.iterator.map(s => SessionOut(user, s.start, s.last, s.n))
           }
       }.toDF()
   }

@@ -134,6 +134,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("stateful sessionization handles cross-batch out-of-order events") {
+    val base = Files.createTempDirectory("graft-sess2")
+    val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
+    val gapUs = 100L * 1000000L // 100 s
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def write(rows: Seq[(Long, Long)]): Unit =
+      spark.createDataFrame(rows.map { case (u, s) => (u, ts(s)) })
+        .toDF("user_id", "ets").coalesce(1).write.mode("append").parquet(in.toString)
+
+    write(Seq((1L, 1000L), (1L, 1010L)))
+    val schema = spark.read.parquet(in.toString).schema
+    def runPhase(): Unit = {
+      val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
+      val sess = StreamStages.statefulSessions(src, "user_id", "ets", "1 hour", gapUs)
+      val q = StreamStages.toParquet(sess, out.toString, cp.toString)
+      q.awaitTermination()
+    }
+    runPhase() // open session for user 1: [1000 s, 1010 s], n=2
+
+    // batch 2 arrives out of order (allowed: the watermark lags 1 h):
+    // 500 s is more than gapUs BEFORE the open session's start → its own
+    // earlier session, emitted; 950 s is within gapUs of start 1000 →
+    // merges, lowering session_start
+    write(Seq((1L, 500L), (1L, 950L)))
+    runPhase()
+
+    // sentinel pushes the watermark past the open session's timeout
+    write(Seq((-1L, 1000000L)))
+    runPhase()
+
+    val got = spark.read.parquet(out.toString).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Int]("n_events"))).toSet
+    assert(got == Set(
+      (1L, 500000000L, 500000000L, 1),
+      (1L, 950000000L, 1010000000L, 3)))
+  }
+
   test("streaming pipeline via JSON spec: source → windowAgg → memory sink") {
     val streamDir = Files.createTempDirectory("graft-stream4")
     Tables.load(spark, sfDir, "events")
