@@ -140,7 +140,15 @@ object Dedup {
     * 64 hashes as 32 bands × 2 ⇒ P(candidate | j) = 1-(1-j²)^32:
     * ≥ 0.9999 at j = 0.5, so verified output matches the exact
     * all-pairs answer with overwhelming probability — at a fraction of
-    * the cost (no O(n²) stage anywhere).
+    * the cost (no O(n²) stage anywhere). One further approximation
+    * rides along: LSH buckets larger than `maxBucketSize` enumerate a
+    * star around the bucket minimum instead of all pairs (see
+    * [[lshCandidates]]), so a non-center pair inside an oversized
+    * bucket is found only if another band also buckets it. The default
+    * cap (4096) is far above any bucket the gate data produces —
+    * results there are exact — but corpora with huge near-identical
+    * cliques that survive the exact-dup collapse trade those pairs for
+    * boundedness; tune the cap via the parameter.
     *
     * The exact-dup collapse (md5 group → one representative) is what
     * production LLM dedup does first: a corpus with heavy byte-exact
@@ -155,7 +163,8 @@ object Dedup {
     * semantics where an empty-shingle Jaccard is undefined).
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
     // exact-dup collapse: one representative (min id) per distinct
     // text. Two tuning dead-ends measured here and rejected:
     // materializing repDocs/sets via localCheckpoint (6.5 s → 18 s,
@@ -174,7 +183,7 @@ object Dedup {
 
     val sets = shingleSets(repDocs, "txt", "doc_id", shingleN)
     val sigs = minhashSignatures(sets, 64)
-    val cands = lshCandidates(sigs, bands = 32, rowsPerBand = 2)
+    val cands = lshCandidates(sigs, bands = 32, rowsPerBand = 2, maxBucketSize)
     val repPairs = verifyJaccard(cands, sets)
       .filter(col("jaccard") >= threshold)
 
@@ -282,23 +291,26 @@ object Dedup {
     var cur = fwd
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().cache()
-    // convergence: the canonical edge multiset only ever shrinks
-    // toward the star fixpoint; (count, Σa, Σb) stable ⟺ no edge
-    // moved (each transform maps an edge to one with a ≤ endpoint sum,
-    // so an unchanged triple means every edge was unchanged)
-    var prev: (Long, Long, Long) = (-1L, -1L, -1L)
+    // convergence: a true set comparison, not a hash/sum signature —
+    // both sides are distinct, so |next| = |cur| plus next∖cur = ∅
+    // implies set equality. (A (count, Σa, Σb) triple was used here
+    // before; it can in principle report a false fixpoint when two
+    // edge moves cancel in the sums, and the sums of 64-bit ids can
+    // overflow — either would silently mis-cluster at root extraction.)
+    var prevCount = -1L
     var i = 0
     var done = false
     while (!done && i < maxIter) {
       val next = smallStar(largeStar(cur)).cache()
-      val r = next.agg(count(lit(1)), sum("a"), sum("b")).head()
-      val sig = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cnt = next.count()
+      done = cnt == prevCount && next.exceptAll(cur).isEmpty
       cur.unpersist()
       cur = next
-      done = sig == prev
-      prev = sig
+      prevCount = cnt
       i += 1
     }
+    require(done || i < maxIter,
+      s"nearDupClusters did not converge within $maxIter star rounds")
     // converged: star graphs — every non-root holds exactly its
     // (root = component min) edge
     val nonRoot = cur.groupBy("a").agg(min("b").as("cluster_id"))
@@ -320,10 +332,19 @@ object Dedup {
     * the latter so byte-identical documents *shorter than the shingle
     * width* (whose Jaccard is undefined: no shingles) are still
     * deduplicated. Returns the kept rows of `df`.
+    *
+    * Inherits [[minhashNearDups]]'s LSH bucket-cap approximation
+    * (`maxBucketSize`); for clustering it is milder — a capped bucket
+    * still contributes star candidates through the bucket minimum, so
+    * connectivity (and hence which docs are dropped) survives the cap
+    * whenever those star pairs pass the Jaccard verify — but a doc
+    * whose only qualifying partners were non-center members of one
+    * oversized bucket can escape the drop.
     */
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val near = minhashNearDups(df, textCol, idCol, shingleN, threshold)
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val near = minhashNearDups(df, textCol, idCol, shingleN, threshold, maxBucketSize)
       .select("ia", "ib")
     // exact duplicates as star edges to the group min: enough for
     // connectivity, O(group size) rows

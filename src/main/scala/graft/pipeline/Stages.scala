@@ -177,18 +177,22 @@ object StageRegistry {
     */
   def splitExprs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var inStr = false
+    var depth = 0; var start = 0
+    var quote: Char = 0 // 0 = outside; else the delimiter we're inside
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\'') {
-          // '' inside a literal is an escaped quote, not a close
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
-          else inStr = false
+      if (quote != 0) {
+        // Spark SQL literal syntax: backslash escapes any next char in
+        // '…' and "…" (not in `…` identifiers); doubling the delimiter
+        // escapes it in all three.
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
+          else quote = 0
         }
       } else c match {
-        case '\'' => inStr = true
+        case '\'' | '"' | '`' => quote = c
         case '('  => depth += 1
         case ')'  => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1

@@ -314,5 +314,15 @@ class PipelineEngineSpec extends SparkSpec {
     assert(splitExprs("concat(a, 'it''s, fine(', b) as s, d") ==
       Seq("concat(a, 'it''s, fine(', b) as s", "d"))
     assert(splitExprs("a, b, c") == Seq("a", "b", "c"))
+    // backslash-escaped quote inside a single-quoted literal
+    assert(splitExprs("regexp_replace(x, '\\'', '') as q, y") ==
+      Seq("regexp_replace(x, '\\'', '') as q", "y"))
+    // double-quoted string literals are opaque too
+    assert(splitExprs("concat(a, \",\", b) as ab, c") ==
+      Seq("concat(a, \",\", b) as ab", "c"))
+    // backquoted identifiers may contain commas; backslash is NOT an
+    // escape there (doubled backtick is)
+    assert(splitExprs("`weird, name` as w, `path\\` as p, z") ==
+      Seq("`weird, name` as w", "`path\\` as p", "z"))
   }
 }
