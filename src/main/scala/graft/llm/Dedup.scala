@@ -94,13 +94,40 @@ object Dedup {
     * other `bands-1` (smaller) buckets. The default is far above
     * anything the gate data produces, so gate results are exact.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucketSize: Int = 4096): DataFrame = {
+  /** (band, bucket) structs for a signature column — collision-free
+    * packing of an r=2 band into one long. Shared by the candidate
+    * join and the bucket-size diagnostic so both see the same buckets.
+    */
+  private def bandBuckets(bands: Int, rowsPerBand: Int): Column = {
     require(rowsPerBand == 2, "band packing below assumes r=2")
-    val bandCols = transform(sequence(lit(0), lit(bands - 1)),
+    transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         (element_at(col("sig"), b * rowsPerBand + 1) * MinHashParams.P
           + element_at(col("sig"), b * rowsPerBand + 2)).as("bucket")))
+  }
+
+  /** Diagnostic for the [[lshCandidates]] star-path approximation:
+    * (number of buckets over `maxBucketSize`, largest bucket seen).
+    * Any nonzero first component means some non-center pairs inside
+    * oversized buckets were NOT enumerated this run (they are found
+    * only if another band also buckets them) — run this on the same
+    * signatures to make that exactness loss observable instead of
+    * silent. One small aggregation job (group sizes only, no pair
+    * join).
+    */
+  def lshBucketStats(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int): (Long, Long) = {
+    val sizes = sigs.select(explode(bandBuckets(bands, rowsPerBand)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket")).agg(count(lit(1)).as("bsz"))
+    val r = sizes.agg(
+      coalesce(sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)), lit(0L)),
+      coalesce(max("bsz"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val bandCols = bandBuckets(bands, rowsPerBand)
     // one shuffle on (band, bucket) computes both per-bucket size and
     // min; the self-join below then reuses the same partitioning
     val w = Window.partitionBy("band", "bucket")
@@ -164,7 +191,8 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096,
+      logBucketDiagnostics: Boolean = false): DataFrame = {
     // exact-dup collapse: one representative (min id) per distinct
     // text. Two tuning dead-ends measured here and rejected:
     // materializing repDocs/sets via localCheckpoint (6.5 s → 18 s,
@@ -183,6 +211,18 @@ object Dedup {
 
     val sets = shingleSets(repDocs, "txt", "doc_id", shingleN)
     val sigs = minhashSignatures(sets, 64)
+    if (logBucketDiagnostics) {
+      // opt-in extra pass (signatures recomputed — deliberately no
+      // cache here, see the dead-ends note above): surfaces whether
+      // any bucket took the star path this run, i.e. whether the
+      // output can differ from exact all-pairs at all
+      val (over, largest) = lshBucketStats(sigs, 32, 2, maxBucketSize)
+      if (over > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minhashNearDups: $over LSH bucket(s) over maxBucketSize=" +
+            s"$maxBucketSize (largest: $largest) took the star path — " +
+            "non-center pairs in those buckets rely on other bands")
+    }
     val cands = lshCandidates(sigs, bands = 32, rowsPerBand = 2, maxBucketSize)
     val repPairs = verifyJaccard(cands, sets)
       .filter(col("jaccard") >= threshold)
@@ -507,5 +547,47 @@ object Dedup {
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair can meet via several probed buckets
+  }
+
+  // ---------------------------------------------------------------
+  // Span-level (chunk) dedup — the C4-style pass that removes REPEATED
+  // SPANS across the corpus while keeping the documents themselves:
+  // boilerplate paragraphs, license headers, navigation text. Each doc
+  // is cut into consecutive `chunkWords`-word chunks; a chunk that
+  // already occurred anywhere earlier in the corpus (first occurrence
+  // = smallest (doc_id, position)) is dropped; the survivors are
+  // reassembled in document order.
+  /** Scale shape: one narrow chunking pass, one shuffle on the chunk
+    * key (window partitioned BY CHUNK — never global), one shuffle on
+    * doc_id to reassemble. Per-group state is bounded by the number of
+    * occurrences of one chunk / chunks of one doc — no driver state,
+    * no cross join. First-occurrence-wins is deterministic: the
+    * (doc_id, chunk_idx) order key is unique.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 10): DataFrame = {
+    val w = chunkWords
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    val docs = df.select(col(idCol).as("doc_id"),
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * w + 1, w), " ")))
+        .as("chunks"))
+    val exploded = docs.select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+    val firstWin = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    val kept = exploded
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+    docs.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 }

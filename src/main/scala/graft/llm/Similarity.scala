@@ -154,4 +154,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
+
+  /** Lloyd's k-means over an embedding column — the clustering step a
+    * training pipeline uses for domain discovery, diversity sampling,
+    * and (unlike [[ivfTopK]]'s label-mean stand-in) fitting REAL IVF
+    * cells when no labels ship with the data. Returns (vec_id,
+    * cluster).
+    *
+    * Deterministic by construction: init centroids are the embeddings
+    * of the `k` smallest ids; per-dimension centroid means use exact
+    * decimal sums (partial-agg order cannot drift them); argmin
+    * tie-breaks to the lowest cluster index via (dist, j) struct
+    * ordering. Two runs — any partitioning — give identical bits.
+    *
+    * Scale shape (the standard Spark Lloyd layout): centroids are k·dim
+    * doubles folded into the assignment expression as literals (a
+    * broadcast, compiled into codegen — the corpus is never shuffled to
+    * assign); the update is posexplode → groupBy (cluster, pos) with
+    * map-side partial aggregation — k·dim groups total — and only that
+    * k·dim-row result ever reaches the driver. Per iteration: one scan
+    * + one tiny shuffle. |x|² is dropped from the argmin (constant per
+    * row): dist'_j = |c_j|² − 2·x·c_j.
+    */
+  def kMeansAssign(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+
+    def assign(cents: IndexedSeq[Array[Double]]): DataFrame = {
+      val entries = cents.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(c.toSeq))).as("d"),
+          lit(j).as("j"))
+      }
+      v.withColumn("cluster", array_min(array(entries: _*)).getField("j"))
+    }
+
+    var cents: IndexedSeq[Array[Double]] = v.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toIndexedSeq
+    require(cents.nonEmpty, "k-means needs a non-empty corpus")
+
+    for (_ <- 1 to iters) {
+      val stats = assign(cents)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCluster = stats.groupBy(_.getInt(0))
+      cents = cents.indices.map { j =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                r.getDecimal(2).doubleValue() / r.getLong(3)
+            }
+            arr
+          case None => cents(j) // empty cluster keeps its centroid
+        }
+      }
+    }
+    assign(cents).select(col("vec_id"), col("cluster"))
+  }
 }

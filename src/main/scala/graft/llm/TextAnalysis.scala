@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.PolyHash
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md
@@ -131,4 +132,81 @@ object TextAnalysis {
     * codegen'd native expression).
     */
   def fingerprint(text: Column): Column = PolyHash(text)
+
+  /** TF-IDF top-k terms per document — the classic lexical-relevance
+    * signal (keyword extraction, quality filtering, near-dup feature
+    * weighting). tf = term count in the doc; df = number of docs
+    * containing the term; score = tf · ln(N/df).
+    *
+    * Scale shape: two hash-shuffles on bounded keys — (doc, term) for
+    * tf, term for df (both with map-side partial aggregation) — then a
+    * shuffle join on term (the document-frequency side is corpus-
+    * vocabulary sized: NOT broadcast) and a window partitioned by doc.
+    * No global sort, no driver state; N comes from a 1-row aggregate
+    * cross-joined in (Catalyst broadcasts it).
+    *
+    * Determinism: libm `ln` differs between JVM and DuckDB by 1 ulp on
+    * ~0.1% of inputs (measured), so the score is quantized to exact
+    * integers — idf_micro = floor(1e6·ln(N/df)) (BIGINT, verified
+    * bit-identical across engines for every N/df at gate scales) and
+    * score_micro = tf · idf_micro. Integer ordering has no float-tie
+    * ambiguity; residual ties rank by term ascending.
+    */
+  def tfIdfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        floor(log(col("n_docs").cast("double") / col("df_t").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df_t"), col("score_micro"))
+  }
+
+  /** Benchmark-contamination detection: for every corpus document, the
+    * share of its distinct word `n`-grams that also occur anywhere in
+    * the `benchmark` set (the held-out eval/test corpus). The standard
+    * pre-training hygiene check (GPT-3 §C, PaLM §7) — documents over
+    * the overlap threshold are quarantined before training.
+    *
+    * Scale shape: benchmark n-grams are distinct-collapsed and
+    * broadcast (an eval suite is MBs against a 100 TB corpus); the
+    * corpus side is one narrow shingle pass (native codegen'd
+    * WordShingles) + explode + broadcast-join + one shuffle on doc_id
+    * for the overlap count. Nothing is ever shuffled on the n-gram
+    * key for the corpus side.
+    *
+    * Docs with fewer than `n` words have no n-grams → null fraction
+    * (undefined, matching Jaccard-on-empty semantics elsewhere).
+    */
+  def contaminationNgram(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      threshold: Double = 0.2): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram")).distinct()
+    val docGrams = corpus.select(col(idCol).as("doc_id"),
+      Dedup.shingles(col(textCol), n).as("grams"))
+    val overlap = docGrams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docGrams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_overlap").cast("double") / col("n_grams").cast("double")))
+      .withColumn("contaminated",
+        (col("overlap_frac") >= threshold).cast("int"))
+  }
 }

@@ -33,6 +33,22 @@ class LlmSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH bucket stats surface the star-path approximation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+    val sigs = Dedup.minhashSignatures(sets, 64)
+    // the default cap is far above anything this corpus produces —
+    // zero oversized buckets means the gate output is exact all-pairs
+    val (overDefault, largest) = Dedup.lshBucketStats(sigs, 32, 2, 4096)
+    assert(overDefault == 0L)
+    assert(largest >= 1L)
+    // a cap of 1 forces every multi-doc bucket onto the star path and
+    // the diagnostic must report it (this corpus has near-dups, so
+    // multi-doc buckets exist)
+    val (overTiny, _) = Dedup.lshBucketStats(sigs, 32, 2, 1)
+    assert(overTiny > 0L)
+  }
+
   test("simhash: near-dup docs have small hamming distance") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.7)

@@ -38,14 +38,23 @@ def main(out_dir, sf_dir, timeout_s=None):
         if name not in oracle:
             print(f"  {name}: NO ORACLE (rows-only check) rows={len(got)}")
             continue
+        # Per-oracle cursor (own DuckDB connection over the shared
+        # catalog) + a done flag: a Timer that loses the race and fires
+        # after execute() returns can only interrupt this already-
+        # finished cursor, never the NEXT query on the main connection.
+        cur = con.cursor()
         timer = None
         timed_out = []
+        done = threading.Event()
         if timeout_s:
-            timer = threading.Timer(timeout_s,
-                                    lambda: (timed_out.append(1), con.interrupt()))
+            def _interrupt(c=cur, d=done, hit=timed_out):
+                if not d.is_set():
+                    hit.append(1)
+                    c.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
         try:
-            exp = con.execute(oracle[name]).df()
+            exp = cur.execute(oracle[name]).df()
         except Exception as e:
             if timed_out:
                 print(f"  {name}: ORACLE TIMEOUT >{timeout_s}s (skipped; "
@@ -56,8 +65,10 @@ def main(out_dir, sf_dir, timeout_s=None):
                 n_fail += 1
             continue
         finally:
+            done.set()
             if timer:
                 timer.cancel()
+            cur.close()
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"  {name}: COLUMN MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
