@@ -572,7 +572,7 @@ object Dedup {
     val docs = df.select(col(idCol).as("doc_id"),
       when(size(toks) === 0, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * w + 1, w), " ")))
+          i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
         .as("chunks"))
     val exploded = docs.select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")

@@ -23,6 +23,42 @@ object LlmQueries {
   private def duckPoly(e: String): String =
     s"list_reduce(list_transform(string_split($e, ''), x -> CAST(unicode(x) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** DuckDB replay of [[graft.llm.Similarity.kMeansAssign]], unrolled
+    * for a fixed (k, iters): init centroids = the k smallest vec_ids,
+    * per-iteration argmin assignment (|c|² − 2·x·c, ties to lowest j)
+    * and exact DECIMAL(28,10) per-dimension means. Scaled sums stay
+    * ≪ 2^53 so DuckDB's decimal→double cast and Java's
+    * BigDecimal.doubleValue() are both single-rounded — identical bits.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def dist(c: String) =
+      s"""list_reduce(list_transform($c.c, x -> x * x), (a, b) -> a + b)
+         |      - 2.0 * list_reduce(list_transform(list_zip(e.embedding, $c.c),
+         |          p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)""".stripMargin
+    def assign(i: Int) =
+      s"""a$i AS (SELECT vec_id, j AS cluster FROM (
+         |  SELECT e.vec_id, c.j, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dist("c")}, c.j) AS rn
+         |  FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""u$i AS (SELECT a.cluster AS j, t.pos,
+         |    CAST(sum(CAST(t.x AS DECIMAL(28, 10))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |        unnest(embedding) AS x FROM embeddings) t
+         |  JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+         |c$i AS (SELECT j, list(m ORDER BY pos) AS c FROM u$i GROUP BY j
+         |  UNION ALL SELECT p.j, p.c FROM c${i - 1} p
+         |  WHERE p.j NOT IN (SELECT DISTINCT cluster FROM a$i))""".stripMargin
+    val init =
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
+    (Seq("WITH " + init) ++ steps ++ Seq(assign(iters + 1)))
+      .mkString(",\n") +
+      s"\nSELECT vec_id, cluster FROM a${iters + 1} ORDER BY vec_id"
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- text stats ------------------------------------------------
@@ -336,6 +372,85 @@ object LlmQueries {
           emb.filter(col("vec_id") % 50 === 0), emb, k = 5, bits = 6)
         .orderBy("q_vec_id", "rank")
     }, None),
+
+    // ---- C4-style span (chunk) dedup: drop repeated 10-word chunks
+    // corpus-wide (first occurrence by (doc_id, idx) wins), keep the
+    // reassembled survivors per doc ---------------------------------
+    QDef("chunk_dedup", (s, dir) =>
+      Dedup.chunkDedup(Tables.load(s, dir, "documents"), "text", "doc_id",
+          chunkWords = 10)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |ch AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |  ELSE [array_to_string(ws[i*10+1 : i*10+10], ' ')
+        |        for i in range(0, CAST(ceil(len(ws) / 10.0) AS INT))] END AS chunks
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest([{'idx': i, 'chunk': chunks[i+1]}
+        |  for i in range(0, len(chunks))], recursive := true) FROM ch),
+        |fw AS (SELECT doc_id, idx, chunk,
+        |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ex),
+        |k AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |  FROM fw WHERE rn = 1 GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(chunks) AS INT) AS n_chunks,
+        |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_text, '') AS kept_text
+        |FROM ch c LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- TF-IDF top-k terms per document (integer-quantized idf so
+    // JVM/DuckDB libm 1-ulp ln() drift cannot flip the ranking) ------
+    QDef("tfidf_topk", (s, dir) =>
+      TextAnalysis.tfIdfTopK(Tables.load(s, dir, "documents"), "text",
+          "doc_id", k = 5)
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.term, tf, df_t,
+        |  tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df_t AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df_t, score_micro,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term) AS INT) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df_t, score_micro FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- benchmark-contamination check: distinct 3-gram overlap of
+    // every corpus doc against a broadcast "eval set" (here: every
+    // 20th doc stands in for the benchmark corpus) -------------------
+    QDef("contamination_ngram", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.contaminationNgram(docs,
+          docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+          n = 3, threshold = 0.2)
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |  THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+        |  ELSE [] END) AS grams FROM tok),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM dg
+        |  WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |  coalesce(o.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN len(grams) > 0
+        |    THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(grams) END AS overlap_frac,
+        |  CASE WHEN len(grams) > 0 THEN CAST(
+        |    CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(grams) >= 0.2 AS INT) END AS contaminated
+        |FROM sh s LEFT JOIN ov o USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- Lloyd k-means cluster assignment (domain discovery /
+    // diversity sampling / real IVF cells). Deterministic by
+    // construction (decimal centroid sums, struct-ordered argmin), so
+    // the oracle replays it exactly, unrolled ------------------------
+    QDef("kmeans_assign", (s, dir) =>
+      Similarity.kMeansAssign(Tables.load(s, dir, "embeddings"),
+          k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(kmeansSql(k = 4, iters = 2))),
 
     // ---- multimodal feature extraction (mapPartitions stub decode) -
     QDef("multimodal_features", (s, dir) =>
