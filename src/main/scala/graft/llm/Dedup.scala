@@ -550,6 +550,32 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Incremental (ingestion-time) dedup — the daily-batch shape: new
+  // documents arrive, anything already in the served corpus (or
+  // repeated within the batch) must not be ingested twice.
+  /** Drops batch docs whose content hash exists in `existing`, then
+    * keeps one representative (min id) per remaining in-batch
+    * duplicate group.
+    *
+    * Scale shape: the existing corpus reduces to its DISTINCT HASH SET
+    * first — one narrow projection + partial-agg'd distinct; hashes
+    * only, the 100 TB of text is never moved — then one shuffle for
+    * the left_anti join and one window on the same hash key (AQE
+    * reuses the exchange). In steady state the hash set is computed
+    * once, stored bucketed by hash, and reused across batches, making
+    * the per-batch cost one bucketed anti-join of batch-size rows.
+    */
+  def incrementalDedup(batch: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val eh = existing.select(md5(col(textCol)).as("content_hash")).distinct()
+    val w = Window.partitionBy("content_hash").orderBy(idCol)
+    batch.withColumn("content_hash", md5(col(textCol)))
+      .join(eh, Seq("content_hash"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---------------------------------------------------------------
   // Span-level (chunk) dedup — the C4-style pass that removes REPEATED
   // SPANS across the corpus while keeping the documents themselves:
   // boilerplate paragraphs, license headers, navigation text. Each doc

@@ -47,4 +47,27 @@ object Sampling {
       .withColumn("window_offset", col("tokens_before") % budget)
       .drop("tokens_through")
   }
+
+  /** Content-addressed train/val/test split: the split is a pure
+    * function of the DOCUMENT BYTES (PolyHash mod `modulus` against
+    * cumulative per-split upper bounds), not of row ids or partition
+    * layout — re-sharding, re-ingestion or id reassignment never moves
+    * a document across splits, and byte-identical duplicates always
+    * land in the SAME split, so exact dups cannot leak train→test
+    * (near-dups are upstream dedup's job). Pure narrow codegen'd
+    * projection — scan speed, no shuffle, no state.
+    *
+    * `bounds` are cumulative: Seq("train" -> 80, "val" -> 90,
+    * "test" -> 100) keeps hash<80 in train, 80-89 in val, rest test.
+    */
+  def splitByHash(df: DataFrame, contentCol: String,
+      bounds: Seq[(String, Int)], modulus: Int = 100): DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == modulus,
+      "bounds must be cumulative and end at modulus")
+    val h = pmod(graft.functions.PolyHash(col(contentCol)), lit(modulus.toLong))
+    val split = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, ub), els) => when(h < ub, lit(name)).otherwise(els)
+    }
+    df.withColumn("split_hash", h).withColumn("split", split)
+  }
 }

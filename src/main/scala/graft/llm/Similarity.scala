@@ -218,4 +218,22 @@ object Similarity {
     }
     assign(cents).select(col("vec_id"), col("cluster"))
   }
+
+  /** Cluster-stratified diversity sampling: k-means the corpus, keep
+    * the `perCluster` lowest-id members of each cluster — the
+    * standard "cover the embedding space" subset selection for
+    * eval-set construction and data pruning. Deterministic end to end
+    * (see [[kMeansAssign]]); adds one shuffle on the cluster key for
+    * the per-cluster window (k partitions of ~n/k rows — never
+    * global).
+    */
+  def diversitySample(corpus: DataFrame, k: Int, iters: Int,
+      perCluster: Int, dim: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy("vec_id")
+    kMeansAssign(corpus, k, iters, dim, vecCol, idCol)
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= perCluster)
+      .select("vec_id", "cluster", "pick_rank")
+  }
 }

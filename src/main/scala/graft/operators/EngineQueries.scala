@@ -91,7 +91,52 @@ object EngineQueries {
         |FROM e
         |WHERE epoch_us(day_start) + 86400000000 <= (SELECT wm FROM horizon)
         |GROUP BY day_start, event_type
-        |ORDER BY day_start, event_type""".stripMargin))
+        |ORDER BY day_start, event_type""".stripMargin)),
+
+    // Watermarked stream-stream inner join: view→purchase attribution
+    // within 30 minutes per user, both sides replayed as file streams.
+    // Inner-join matches emit in the micro-batch they arrive (no
+    // watermark horizon on output, unlike append-mode aggs), so the
+    // oracle is the exact batch join.
+    QDef("stream_stream_join", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-ssj")
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("ts_us").as("l_us"),
+          timestamp_micros(col("ts_us")).as("l_ets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/views")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+          col("ts_us").as("r_us"),
+          timestamp_micros(col("ts_us")).as("r_ets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/purchases")
+      val lSchema = s.read.parquet(s"$base/views").schema
+      val rSchema = s.read.parquet(s"$base/purchases").schema
+      val l = StreamStages.fileSource(s, "parquet", s"$base/views", lSchema.json)
+      val r = StreamStages.fileSource(s, "parquet", s"$base/purchases", rSchema.json)
+      val joined = StreamStages.streamStreamJoin(l, "l_ets", r, "r_ets",
+        watermark = "1 hour",
+        cond = col("user_id") === col("r_user") &&
+          col("r_ets") >= col("l_ets") &&
+          col("r_ets") <= col("l_ets") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          ((col("r_us") - col("l_us")) / 1000000L).cast("long").as("lag_s"))
+      StreamStages.runToMemory(joined, "gate_ssj")
+      s.table("gate_ssj").orderBy("user_id", "l_id", "r_id")
+    },
+      Some("""WITH v AS (SELECT user_id, event_id AS l_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS r_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, l_id, r_id,
+        |  CAST((r_us - l_us) // 1000000 AS BIGINT) AS lag_s
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND r_us >= l_us AND r_us <= l_us + 1800000000
+        |ORDER BY v.user_id, l_id, r_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

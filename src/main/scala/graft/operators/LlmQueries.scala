@@ -30,7 +30,7 @@ object LlmQueries {
     * ≪ 2^53 so DuckDB's decimal→double cast and Java's
     * BigDecimal.doubleValue() are both single-rounded — identical bits.
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def dist(c: String) =
       s"""list_reduce(list_transform($c.c, x -> x * x), (a, b) -> a + b)
          |      - 2.0 * list_reduce(list_transform(list_zip(e.embedding, $c.c),
@@ -54,10 +54,15 @@ object LlmQueries {
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
-    (Seq("WITH " + init) ++ steps ++ Seq(assign(iters + 1)))
-      .mkString(",\n") +
-      s"\nSELECT vec_id, cluster FROM a${iters + 1} ORDER BY vec_id"
+    (Seq("WITH " + init) ++ steps ++ Seq(assign(iters + 1))).mkString(",\n")
   }
+
+  /** Final-assignment CTE name for [[kmeansCtes]]. */
+  private def kmeansFinal(iters: Int): String = s"a${iters + 1}"
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) +
+      s"\nSELECT vec_id, cluster FROM ${kmeansFinal(iters)} ORDER BY vec_id"
 
   val defs: Seq[QDef] = Seq(
 
@@ -451,6 +456,55 @@ object LlmQueries {
           k = 4, iters = 2)
         .orderBy("vec_id"),
       Some(kmeansSql(k = 4, iters = 2))),
+
+    // ---- cluster-stratified diversity sampling (cover the embedding
+    // space): k-means then keep the perCluster lowest ids per cell ---
+    QDef("diversity_sample", (s, dir) =>
+      Similarity.diversitySample(Tables.load(s, dir, "embeddings"),
+          k = 4, iters = 2, perCluster = 25)
+        .orderBy("vec_id"),
+      Some(kmeansCtes(k = 4, iters = 2) +
+        s""",
+        |d AS (SELECT vec_id, cluster, CAST(row_number() OVER (
+        |  PARTITION BY cluster ORDER BY vec_id) AS INT) AS pick_rank
+        |  FROM ${kmeansFinal(2)})
+        |SELECT vec_id, cluster, pick_rank FROM d
+        |WHERE pick_rank <= 25 ORDER BY vec_id""".stripMargin)),
+
+    // ---- content-addressed train/val/test split (re-shard-stable;
+    // byte-identical dups always share a split — no exact-dup
+    // train→test leakage by construction) ----------------------------
+    QDef("hash_split", (s, dir) =>
+      graft.llm.Sampling.splitByHash(Tables.load(s, dir, "documents"),
+          "text", Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select("doc_id", "split_hash", "split")
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${duckPoly("text")} % 100 AS split_hash
+        |  FROM documents)
+        |SELECT doc_id, split_hash,
+        |  CASE WHEN split_hash < 80 THEN 'train'
+        |       WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- ingestion-time incremental dedup: new batch (doc_id%5<>0)
+    // against the served corpus (doc_id%5=0) -------------------------
+    QDef("dedup_incremental", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    },
+      Some("""WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |b AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |f AS (SELECT doc_id, content_hash, row_number() OVER (
+        |    PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM b WHERE content_hash NOT IN (SELECT content_hash FROM ex))
+        |SELECT doc_id, content_hash FROM f WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- multimodal feature extraction (mapPartitions stub decode) -
     QDef("multimodal_features", (s, dir) =>

@@ -57,6 +57,30 @@ object StreamStages {
       .agg(expr(aggregates.head), aggregates.tail.map(expr): _*)
   }
 
+  /** Watermarked stream-stream inner join — the two-stream correlation
+    * primitive (view→purchase attribution, request→response pairing).
+    * Both sides carry watermarks and the caller's `cond` must bound
+    * the right event time relative to the left (e.g. r_ets BETWEEN
+    * l_ets AND l_ets + INTERVAL 30 MINUTES): that is what lets Spark
+    * PURGE join state — left rows once the watermark passes their
+    * upper bound, right rows once it passes their event time. State is
+    * then watermark-horizon × arrival-rate, independent of stream
+    * length; without the time bound, state grows unboundedly and the
+    * join is a 100 TB/day memory leak. Execution is a state-store
+    * equi-join on the key columns inside `cond` — each side shuffles
+    * once on the key, nothing is broadcast, matches emit in the
+    * micro-batch they arrive (inner joins never wait on the
+    * watermark).
+    *
+    * Caller renames columns to disjoint names first (the two sides of
+    * a stream self-join otherwise share attribute ids).
+    */
+  def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, watermark: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), cond)
+
   /** Exactly-once-style dedup on event keys within the watermark
     * horizon (bounded state — the unbounded form would leak state
     * forever at 100 TB/day).

@@ -49,6 +49,47 @@ class LlmSpec extends SparkSpec {
     assert(overTiny > 0L)
   }
 
+  test("incrementalDedup drops served + in-batch dups, keeps min id") {
+    import spark.implicits._
+    val existing = Seq((1L, "served doc"), (2L, "other served")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "served doc"),  // exact copy of corpus doc → dropped
+      (11L, "fresh one"),
+      (12L, "fresh one"),   // in-batch dup → loses to 11
+      (13L, "fresh two")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, existing, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
+  test("splitByHash: byte-identical docs share a split; bounds cover") {
+    import spark.implicits._
+    val df = Seq((1L, "dup text"), (2L, "dup text"), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.llm.Sampling.splitByHash(df, "text",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L)) // content-addressed: dups never straddle splits
+    assert(out.values.forall(Set("train", "val", "test")))
+    // corpus-level: every split hash lands inside [0, modulus)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hs = graft.llm.Sampling.splitByHash(docs, "text",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .agg(min("split_hash"), max("split_hash")).head()
+    assert(hs.getLong(0) >= 0L && hs.getLong(1) < 100L)
+  }
+
+  test("diversitySample: capped per cluster, covers every non-empty cluster") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val assign = Similarity.kMeansAssign(emb, k = 4, iters = 2)
+    val picked = Similarity.diversitySample(emb, k = 4, iters = 2, perCluster = 10)
+    val perCluster = picked.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCluster.values.forall(_ <= 10))
+    val liveClusters = assign.select("cluster").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(perCluster.keySet == liveClusters)
+  }
+
   test("simhash: near-dup docs have small hamming distance") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.7)
