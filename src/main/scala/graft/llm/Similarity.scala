@@ -219,6 +219,30 @@ object Similarity {
     assign(cents).select(col("vec_id"), col("cluster"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * vector-store compression step (4× smaller than float32; serve
+    * recall with int8, rerank survivors with the float originals).
+    * Per vector: scale = max|x|; q_i = trunc(x_i / scale · 127) ∈
+    * [−127, 127]; zero vectors quantize to zeros. Truncation (not
+    * round-half) because both engines truncate identically on
+    * double→int, so the gate stays bit-exact.
+    *
+    * Output is exploded (vec_id, pos, scale, q) for the gate's
+    * row-compare; a production pipeline would keep
+    * `transform(v, …)` array form — same expression, no explode.
+    * Scale shape: pure narrow projection + generate, no shuffle.
+    */
+  def quantizeInt8(corpus: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    corpus.select(col(idCol).as("vec_id"), scale.as("scale"),
+        posexplode(col(vecCol)))
+      .select(col("vec_id"), col("pos"), col("scale"),
+        when(col("scale") === 0d, 0)
+          .otherwise((col("col").cast("double") / col("scale") * 127.0)
+            .cast("int")).as("q"))
+  }
+
   /** Cluster-stratified diversity sampling: k-means the corpus, keep
     * the `perCluster` lowest-id members of each cluster — the
     * standard "cover the embedding space" subset selection for

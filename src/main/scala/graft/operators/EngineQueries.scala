@@ -123,7 +123,14 @@ object EngineQueries {
           col("r_ets") <= col("l_ets") + expr("INTERVAL 30 MINUTES"))
         .select(col("user_id"), col("l_id"), col("r_id"),
           ((col("r_us") - col("l_us")) / 1000000L).cast("long").as("lag_s"))
-      StreamStages.runToMemory(joined, "gate_ssj")
+      // state-store partition count is frozen at query start from
+      // shuffle.partitions; 4 stores/partition each commit a delta
+      // file per micro-batch, so size it to the STATE (gate: tiny),
+      // not the session's compute width. Scoped + restored.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamStages.runToMemory(joined, "gate_ssj")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("gate_ssj").orderBy("user_id", "l_id", "r_id")
     },
       Some("""WITH v AS (SELECT user_id, event_id AS l_id,

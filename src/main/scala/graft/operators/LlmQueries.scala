@@ -471,6 +471,22 @@ object LlmQueries {
         |SELECT vec_id, cluster, pick_rank FROM d
         |WHERE pick_rank <= 25 ORDER BY vec_id""".stripMargin)),
 
+    // ---- int8 symmetric embedding quantization (vector-store
+    // compression; exploded form for the gate's row compare) ---------
+    QDef("embed_quantize", (s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH sv AS (SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |  unnest(embedding) AS x FROM sv)
+        |SELECT vec_id, pos, scale,
+        |  CASE WHEN scale = 0 THEN 0 ELSE
+        |    CAST(trunc(CAST(x AS DOUBLE) / scale * 127.0) AS INT) END AS q
+        |FROM e ORDER BY vec_id, pos""".stripMargin)),
+
     // ---- content-addressed train/val/test split (re-shard-stable;
     // byte-identical dups always share a split — no exact-dup
     // train→test leakage by construction) ----------------------------

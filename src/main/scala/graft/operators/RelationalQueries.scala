@@ -193,6 +193,26 @@ object RelationalQueries {
         |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- banded range join: c_acctbal within ±10 of s_acctbal.
+    // The BANDED form (equi-join on overlap bands + exact re-check)
+    // replaces the BroadcastNestedLoopJoin Catalyst would pick for a
+    // bare interval predicate — the O(n·m) NL join is dead at scale,
+    // the band hash join shuffles each side once.
+    QDef("join_range_band", (s, dir) =>
+      RangeJoin.bandJoin(
+          t(s, dir, "customer").select("c_custkey", "c_acctbal"), "c_acctbal",
+          t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_acctbal"),
+              (col("s_acctbal") - 10.0).as("lo"),
+              (col("s_acctbal") + 10.0).as("hi")),
+          "lo", "hi", width = 25.0)
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        .orderBy("s_suppkey", "c_custkey"),
+      Some("""SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 10.0 AND c_acctbal <= s_acctbal + 10.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
     // ---- cross join (tiny×tiny only; broadcast NL at scale).
     QDef("join_cross", (s, dir) =>
       t(s, dir, "region").crossJoin(t(s, dir, "nation"))
