@@ -19,6 +19,48 @@ object EngineQueries {
       args: Map[String, String], stage: String): DataFrame =
     new Pipeline(spec).run(s, args)(stage)
 
+  /** Shared setup for the stream-stream join gate queries: replay
+    * view/purchase events as two file streams, join per user within
+    * 30 minutes, drain synchronously to a memory sink.
+    */
+  private def ssJoin(s: SparkSession, dir: String, joinType: String,
+      sink: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-gate-ssj")
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts_us").as("l_us"),
+        timestamp_micros(col("ts_us")).as("l_ets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/views")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts_us").as("r_us"),
+        timestamp_micros(col("ts_us")).as("r_ets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/purchases")
+    val lSchema = s.read.parquet(s"$base/views").schema
+    val rSchema = s.read.parquet(s"$base/purchases").schema
+    val l = StreamStages.fileSource(s, "parquet", s"$base/views", lSchema.json)
+    val r = StreamStages.fileSource(s, "parquet", s"$base/purchases", rSchema.json)
+    val joined = StreamStages.streamStreamJoin(l, "l_ets", r, "r_ets",
+      watermark = "1 hour",
+      cond = col("user_id") === col("r_user") &&
+        col("r_ets") >= col("l_ets") &&
+        col("r_ets") <= col("l_ets") + expr("INTERVAL 30 MINUTES"),
+      joinType = joinType)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        ((col("r_us") - col("l_us")) / 1000000L).cast("long").as("lag_s"))
+    // state-store partition count is frozen at query start from
+    // shuffle.partitions; 4 stores/partition each commit a delta
+    // file per micro-batch, so size it to the STATE (gate: tiny),
+    // not the session's compute width. Scoped + restored.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try StreamStages.runToMemory(joined, sink)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(sink).orderBy("user_id", "l_id", "r_id")
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // declarative pipeline: source → filter → aggregate → sort, with a
@@ -98,41 +140,8 @@ object EngineQueries {
     // Inner-join matches emit in the micro-batch they arrive (no
     // watermark horizon on output, unlike append-mode aggs), so the
     // oracle is the exact batch join.
-    QDef("stream_stream_join", (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-gate-ssj")
-      val ev = Tables.load(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-      ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("event_id").as("l_id"),
-          col("ts_us").as("l_us"),
-          timestamp_micros(col("ts_us")).as("l_ets"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/views")
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
-          col("ts_us").as("r_us"),
-          timestamp_micros(col("ts_us")).as("r_ets"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/purchases")
-      val lSchema = s.read.parquet(s"$base/views").schema
-      val rSchema = s.read.parquet(s"$base/purchases").schema
-      val l = StreamStages.fileSource(s, "parquet", s"$base/views", lSchema.json)
-      val r = StreamStages.fileSource(s, "parquet", s"$base/purchases", rSchema.json)
-      val joined = StreamStages.streamStreamJoin(l, "l_ets", r, "r_ets",
-        watermark = "1 hour",
-        cond = col("user_id") === col("r_user") &&
-          col("r_ets") >= col("l_ets") &&
-          col("r_ets") <= col("l_ets") + expr("INTERVAL 30 MINUTES"))
-        .select(col("user_id"), col("l_id"), col("r_id"),
-          ((col("r_us") - col("l_us")) / 1000000L).cast("long").as("lag_s"))
-      // state-store partition count is frozen at query start from
-      // shuffle.partitions; 4 stores/partition each commit a delta
-      // file per micro-batch, so size it to the STATE (gate: tiny),
-      // not the session's compute width. Scoped + restored.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try StreamStages.runToMemory(joined, "gate_ssj")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("gate_ssj").orderBy("user_id", "l_id", "r_id")
-    },
+    QDef("stream_stream_join", (s, dir) =>
+      ssJoin(s, dir, "inner", "gate_ssj"),
       Some("""WITH v AS (SELECT user_id, event_id AS l_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
         |  FROM events WHERE event_type = 'view'),
@@ -143,7 +152,38 @@ object EngineQueries {
         |  CAST((r_us - l_us) // 1000000 AS BIGINT) AS lag_s
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND r_us >= l_us AND r_us <= l_us + 1800000000
-        |ORDER BY v.user_id, l_id, r_id""".stripMargin))
+        |ORDER BY v.user_id, l_id, r_id""".stripMargin)),
+
+    // Left-outer variant: null-extended views emit only when the
+    // watermark proves no future purchase can match (state eviction in
+    // the trailing no-data micro-batch). The oracle reproduces that
+    // horizon exactly: per-source watermark = ms-truncated max event
+    // time − 1h, global = min of the two; a view is evictable when its
+    // 30-min match window closes strictly below it. Views still inside
+    // the horizon stay in state and are NOT emitted — real append-mode
+    // outer-join semantics, not batch left join.
+    QDef("stream_stream_left_join", (s, dir) =>
+      ssJoin(s, dir, "left_outer", "gate_ssj_left"),
+      Some("""WITH v AS (SELECT user_id, event_id AS l_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS r_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT (max(l_us) // 1000 - 3600000) * 1000 FROM v),
+        |    (SELECT (max(r_us) // 1000 - 3600000) * 1000 FROM p)) AS wm_us),
+        |m AS (SELECT v.user_id, l_id, r_id,
+        |    CAST((r_us - l_us) // 1000000 AS BIGINT) AS lag_s
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND r_us >= l_us AND r_us <= l_us + 1800000000),
+        |um AS (SELECT user_id, l_id, CAST(NULL AS BIGINT) AS r_id,
+        |    CAST(NULL AS BIGINT) AS lag_s
+        |  FROM v WHERE l_id NOT IN (SELECT l_id FROM m)
+        |    AND l_us + 1800000000 < (SELECT wm_us FROM wm))
+        |SELECT user_id, l_id, r_id, lag_s FROM m
+        |UNION ALL SELECT user_id, l_id, r_id, lag_s FROM um
+        |ORDER BY user_id, l_id, r_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

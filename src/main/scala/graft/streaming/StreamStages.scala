@@ -75,11 +75,18 @@ object StreamStages {
     * Caller renames columns to disjoint names first (the two sides of
     * a stream self-join otherwise share attribute ids).
     */
+  /** `joinType` "inner" emits matches eagerly; "left_outer" also
+    * emits null-extended left rows — but only once the watermark
+    * proves they can never match (state eviction in the trailing
+    * no-data micro-batch), which is the append-mode horizon the gate
+    * oracle reproduces.
+    */
   def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,
       rightTs: String, watermark: String,
-      cond: org.apache.spark.sql.Column): DataFrame =
+      cond: org.apache.spark.sql.Column,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark), cond)
+      .join(right.withWatermark(rightTs, watermark), cond, joinType)
 
   /** Exactly-once-style dedup on event keys within the watermark
     * horizon (bounded state — the unbounded form would leak state
