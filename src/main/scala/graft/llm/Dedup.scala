@@ -592,14 +592,11 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 10): DataFrame = {
-    val w = chunkWords
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    // chunking is a native codegen'd expression (one tokenize pass per
+    // row) — the equivalent transform(sequence…slice…) HOF chain runs
+    // interpreted per chunk element (see WordShingles for the family)
     val docs = df.select(col(idCol).as("doc_id"),
-      when(size(toks) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
-        .as("chunks"))
+      graft.functions.WordChunks(col(textCol), chunkWords).as("chunks"))
     val exploded = docs.select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
     val firstWin = Window.partitionBy("chunk").orderBy("doc_id", "idx")

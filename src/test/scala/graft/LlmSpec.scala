@@ -49,6 +49,23 @@ class LlmSpec extends SparkSpec {
     assert(overTiny > 0L)
   }
 
+  test("WordChunks native expression matches the HOF slice chain") {
+    import spark.implicits._
+    val df = Seq("a b c d e f g", "one two", "", "  x  ", "a b c d e f g h i j k")
+      .toDF("text")
+    val w = 3
+    val toks = TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    val hof = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+    val rows = df.select(graft.functions.WordChunks(col("text"), w).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "d e f", "g"))
+    assert(rows(2).getSeq[String](0).isEmpty)
+  }
+
   test("incrementalDedup drops served + in-batch dups, keeps min id") {
     import spark.implicits._
     val existing = Seq((1L, "served doc"), (2L, "other served")).toDF("doc_id", "text")
