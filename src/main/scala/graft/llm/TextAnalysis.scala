@@ -128,6 +128,17 @@ object TextAnalysis {
       regexp_replace(col(textCol), pattern, replacement).as("clean_text"),
       regexp_count(col(textCol), lit(pattern)).as("n_scrubbed"))
 
+  /** Canonical text normalization (the pre-dedup / pre-tokenize pass
+    * every corpus pipeline runs first): lowercase, strip everything
+    * outside [a-z0-9 ], collapse runs of spaces, trim. Three chained
+    * codegen'd regex/string expressions — one scan, no UDF; the
+    * RE2-safe character classes mean the DuckDB oracle applies the
+    * exact same rules.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Deterministic document fingerprint (polynomial rolling hash via a
     * codegen'd native expression).
     */

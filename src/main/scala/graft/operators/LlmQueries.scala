@@ -157,6 +157,20 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- canonical normalization: the pre-dedup cleanup pass -------
+    QDef("text_normalize", (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm_text"),
+          length(TextAnalysis.normalize(col("text"))).as("norm_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- domain mixing: deterministic per-source downsampling ------
     QDef("stratified_sample", (s, dir) =>
       graft.llm.Sampling.stratifiedSample(Tables.load(s, dir, "documents"),

@@ -751,7 +751,182 @@ object RelationalQueries {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |)
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- distribution windows: percent_rank / cume_dist (exact
+    // (rank-1)/(n-1) and rank/n integer divisions — bit-identical
+    // across engines) + first/last/nth_value over an explicit
+    // full-row frame on a unique order. One shuffle on the partition
+    // key, same plan family as window_rank.
+    QDef("window_pct", (s, dir) => {
+      val byVal = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"))
+      val unique = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          percent_rank().over(byVal).as("pct_rank"),
+          cume_dist().over(byVal).as("cdist"),
+          first(col("o_orderkey")).over(unique).as("cheapest_key"),
+          last(col("o_orderkey")).over(unique).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(unique).as("second_key"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER v AS pct_rank,
+        |  cume_dist() OVER v AS cdist,
+        |  first_value(o_orderkey) OVER u AS cheapest_key,
+        |  last_value(o_orderkey) OVER u AS priciest_key,
+        |  nth_value(o_orderkey, 2) OVER u AS second_key
+        |FROM orders
+        |WINDOW v AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+        |  u AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- unpivot / melt: wide measure columns → (measure, val) rows.
+    // Narrow 1→4 projection, no shuffle — Spark's Expand node, the
+    // same operator rollup/cube lower to; scan stays pruned to the 6
+    // referenced columns.
+    QDef("unpivot_melt", (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // ---- time-series resample + gap fill: hourly grid per event
+    // type, zero-filled where no events landed. The spine is
+    // metadata-scale (hours × types — time-bounded no matter the data
+    // volume), built with sequence+explode and broadcast against the
+    // pre-aggregated (type, hour) rollup; the only data-sized shuffle
+    // is the partial-agg groupBy.
+    QDef("resample_gapfill", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("h"), col("value"))
+      val agg = e.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+      val hrs = e.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val types = e.select("event_type").distinct()
+      hrs.crossJoin(broadcast(types))
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          timestamp_micros(col("h") * 3600000000L).as("hour_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("val_sum"), lit(0.0)).as("val_sum"))
+        .orderBy("event_type", "hour_start")
+    },
+      Some("""WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, h, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |  FROM e GROUP BY event_type, h),
+        |hrs AS (
+        |  SELECT unnest(generate_series((SELECT min(h) FROM e), (SELECT max(h) FROM e))) AS h),
+        |ty AS (SELECT DISTINCT event_type FROM e)
+        |SELECT ty.event_type AS event_type, make_timestamp(hrs.h * 3600000000) AS hour_start,
+        |  coalesce(agg.n, 0) AS n, coalesce(agg.val_sum, 0.0) AS val_sum
+        |FROM hrs CROSS JOIN ty
+        |LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.h = hrs.h
+        |ORDER BY ty.event_type, hour_start""".stripMargin)),
+
+    // ---- CDC upsert (merge latest-wins): apply a change stream to a
+    // snapshot — latest change per key (window on the change side
+    // only) full-outer-joined with the snapshot; kept / updated /
+    // inserted all in one pass. Both sides shuffle once on the key;
+    // the window runs on the (smaller) change side, never the
+    // snapshot.
+    QDef("cdc_upsert", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val latest = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "refund"))
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value"))
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      snap.join(latest, col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("c_custkey")).as("key"),
+          coalesce(col("value"), col("c_acctbal")).as("bal"),
+          when(col("user_id").isNull, "kept")
+            .when(col("c_custkey").isNull, "inserted")
+            .otherwise("updated").as("op"))
+        .orderBy("key")
+    },
+      Some("""WITH ch AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('purchase', 'refund')),
+        |u AS (SELECT user_id, value FROM ch WHERE rn = 1)
+        |SELECT coalesce(u.user_id, c.c_custkey) AS key,
+        |  coalesce(u.value, c.c_acctbal) AS bal,
+        |  CASE WHEN u.user_id IS NULL THEN 'kept'
+        |       WHEN c.c_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS op
+        |FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.user_id
+        |ORDER BY key""".stripMargin)),
+
+    // ---- regex group extraction (RE2-safe pattern subset so Java
+    // regex and DuckDB agree); rlike/regexp_matches prefilter keeps
+    // non-matching rows out of both engines' outputs rather than
+    // relying on matching empty-string conventions.
+    QDef("regex_extract", (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("props").rlike("\"k\": \\d+"))
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"(k)\": (\\d+)", 1).as("key_name"),
+          regexp_extract(col("props"), "\"(k)\": (\\d+)", 2)
+            .cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        |  regexp_extract(props, '"(k)": (\d+)', 1) AS key_name,
+        |  CAST(regexp_extract(props, '"(k)": (\d+)', 2) AS INT) AS k
+        |FROM events WHERE regexp_matches(props, '"k": \d+')
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- Z-order clustering key (ZOrder.scala): Morton interleave of
+    // customer × order-day, the write-time layout that lets parquet
+    // min/max stats prune scans on EITHER dimension. The oracle SQL is
+    // generated from the same bit loop as the Column expression, so
+    // the two engines share one formula. The gate hashes the key; the
+    // locality property (disjoint per-partition key ranges after
+    // repartitionByRange) is asserted in RelationalSpec.
+    QDef("zorder_cluster", (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 65536).as("x"),
+          (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000") % 65536).as("y"))
+        .select(col("o_orderkey"),
+          ZOrder.zkey(col("x"), col("y"), 16).as("zkey"))
+        .orderBy("o_orderkey"),
+      Some(s"""WITH d AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(${ZOrder.zkeySql("x", "y", 16)} AS BIGINT) AS zkey
+        |FROM d ORDER BY o_orderkey""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

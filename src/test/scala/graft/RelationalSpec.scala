@@ -49,6 +49,34 @@ class RelationalSpec extends SparkSpec {
     } finally Thread.currentThread().setContextClassLoader(prevCl)
   }
 
+  test("zorder cluster yields disjoint per-partition key ranges") {
+    import graft.operators.ZOrder
+    val df = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 65536).as("x"),
+        (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000") % 65536).as("y"))
+    val clustered = ZOrder.cluster(df, col("x"), col("y"), bits = 16,
+      numPartitions = 8)
+    // each output partition must own a contiguous, non-overlapping
+    // zkey range — that's the property that makes parquet footer
+    // min/max stats prunable on either source dimension
+    val ranges = clustered.select("zkey").rdd
+      .mapPartitions(it => {
+        val v = it.map(_.getLong(0)).toSeq
+        if (v.isEmpty) Iterator.empty else Iterator((v.min, v.max, v.length))
+      }).collect().sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi <= lo,
+        s"partition ranges overlap: max $hi vs next min $lo")
+      case _ =>
+    }
+    // interleave sanity: zkey of (x=3,y=5) = 0b100111 = 39
+    val probe = spark.range(1).select(
+      ZOrder.zkey(lit(3L), lit(5L), 16).as("z")).head().getLong(0)
+    assert(probe == 39L, s"interleave formula broken: got $probe")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
