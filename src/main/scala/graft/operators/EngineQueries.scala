@@ -183,7 +183,76 @@ object EngineQueries {
         |    AND l_us + 1800000000 < (SELECT wm_us FROM wm))
         |SELECT user_id, l_id, r_id, lag_s FROM m
         |UNION ALL SELECT user_id, l_id, r_id, lag_s FROM um
-        |ORDER BY user_id, l_id, r_id""".stripMargin))
+        |ORDER BY user_id, l_id, r_id""".stripMargin)),
+
+    // Within-watermark streaming dedup: the stream replays every event
+    // TWICE (two files, one micro-batch) and
+    // dropDuplicatesWithinWatermark must emit each key exactly once —
+    // the oracle is plain `events`, so any duplicate or drop breaks
+    // the hash. State is bounded by the watermark horizon; the
+    // unbounded dropDuplicates form would leak state forever at
+    // 100 TB/day.
+    QDef("stream_dedup", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-sdedup")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+      ev.coalesce(1).write.mode("append").parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      val src = StreamStages.fileSource(s, "parquet", s"$base/in", schema.json)
+      val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
+        Seq("event_id"))
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ets")).as("ts_us"))
+      StreamStages.runToMemory(deduped, "gate_sdedup")
+      s.table("gate_sdedup").orderBy("event_id")
+    },
+      Some("""SELECT event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Stateful sessionization (flatMapGroupsWithState): 30-min-gap
+    // sessions per user with an event-time timeout. Closed sessions
+    // emit in-batch; the still-open last session per user emits only
+    // when the watermark passes `last + gap` in the trailing no-data
+    // batch (timeout fires on timestamp < watermark). The oracle is
+    // the batch gap-fold RESTRICTED to that horizon: a user's final
+    // session is included only if its end + 30 min sits strictly below
+    // the ms-truncated final watermark (max event time − 1 h) — real
+    // append-mode semantics, not just stream ≡ batch.
+    QDef("stream_sessionize", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-ssess")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
+        .coalesce(1).write.mode("overwrite").parquet(base.toString)
+      val schema = s.read.parquet(base.toString).schema
+      val src = StreamStages.fileSource(s, "parquet", base.toString, schema.json)
+      val sess = StreamStages.statefulSessions(src, "user_id", "ets",
+        watermark = "1 hour", gapUs = 1800000000L)
+      StreamStages.runToMemory(sess, "gate_ssess")
+      s.table("gate_ssess").orderBy("user_id", "session_start_us")
+    },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |wm AS (SELECT max(t) // 1000 - 3600000 AS wm_ms FROM e),
+        |g AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |         OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, min(t) AS session_start_us,
+        |    max(t) AS session_end_us, CAST(count(*) AS INT) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |lastsid AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY user_id)
+        |SELECT sess.user_id AS user_id, session_start_us, session_end_us, n_events
+        |FROM sess JOIN lastsid ON sess.user_id = lastsid.user_id
+        |WHERE sid < max_sid
+        |   OR session_end_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
+        |ORDER BY user_id, session_start_us""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -705,18 +705,20 @@ object RelationalQueries {
     // ---- approximate percentile sketch (same oracle pattern as the
     // HLL query: the exact column is hash-checked; the sketch value is
     // pinned to an error-bound verdict column the oracle fixes at 1.
-    // approx_percentile with accuracy a guarantees rank error ≤ n/a;
-    // asserting the VALUE within the rank-error quantile band needs
-    // the exact quantiles, so the verdict checks the approx value lies
-    // between the exact (p−ε) and (p+ε) quantiles, ε = 1/accuracy).
+    // approx_percentile with accuracy a guarantees rank error ≤ n/a,
+    // so the verdict checks the approx value lies between the exact
+    // (p−ε) and (p+ε) quantiles with ε = 0.01 ≫ 1/a — and ε must stay
+    // ≥ ~1.5 ranks at the SMALLEST gate scale too (the sketch returns
+    // an actual element; `percentile` interpolates BETWEEN elements,
+    // so a sub-element band can exclude every element).
     QDef("agg_approx_percentile", (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           // one sort-buffer for all three exact quantiles (the 3
           // scalar-percentile form costs 3 buffers ≈ 2.5× the query)
-          expr("percentile(l_extendedprice, array(0.499, 0.5, 0.501))").as("ps"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
+          expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("ps"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
         .select(col("l_returnflag"), col("ps")(1).as("exact_p50"),
           (col("ap") >= col("ps")(0) && col("ap") <= col("ps")(2))
             .cast("int").as("approx_in_band"))
