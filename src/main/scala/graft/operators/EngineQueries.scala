@@ -205,7 +205,12 @@ object EngineQueries {
         Seq("event_id"))
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ets")).as("ts_us"))
-      StreamStages.runToMemory(deduped, "gate_sdedup")
+      // size the state-store count to the state, not the compute
+      // width (see ssJoin) — scoped + restored
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamStages.runToMemory(deduped, "gate_sdedup")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("gate_sdedup").orderBy("event_id")
     },
       Some("""SELECT event_id, event_type,
@@ -230,7 +235,10 @@ object EngineQueries {
       val src = StreamStages.fileSource(s, "parquet", base.toString, schema.json)
       val sess = StreamStages.statefulSessions(src, "user_id", "ets",
         watermark = "1 hour", gapUs = 1800000000L)
-      StreamStages.runToMemory(sess, "gate_ssess")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamStages.runToMemory(sess, "gate_ssess")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("gate_ssess").orderBy("user_id", "session_start_us")
     },
       Some("""WITH e AS (

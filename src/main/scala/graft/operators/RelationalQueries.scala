@@ -787,6 +787,47 @@ object RelationalQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- bounded ROWS frame: 4-row moving sum/avg per customer —
+    // the moving-average shape. Decimal-exact sum; avg as exact
+    // sum / frame count so both engines divide the same numbers.
+    QDef("window_moving", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("mov_sum"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double") / count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- value-RANGE frame with a numeric offset: peers within
+    // 1000 of the current price count into the frame regardless of
+    // row distance — the frame type ROWS can't express.
+    QDef("window_value_range", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_within_1k"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- unpivot / melt: wide measure columns → (measure, val) rows.
     // Narrow 1→4 projection, no shuffle — Spark's Expand node, the
     // same operator rollup/cube lower to; scan stays pruned to the 6

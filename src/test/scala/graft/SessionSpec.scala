@@ -24,6 +24,37 @@ class SessionSpec extends SparkSpec {
     ext.apply(holder) // must not throw
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB behavior worth pinning: with a selective filter on
+    // the dimension side, Spark injects a bloom-filter semi-join
+    // (InjectRuntimeFilter) so fact rows that can't match are dropped
+    // at scan/filter time instead of surviving to the join shuffle
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // sf0.001 sits under the default 10GB/10MB thresholds' radar
+      // only because stats are tiny; force the feature observable
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val ord = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(j.collect().nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // skew: one hot key with 10k rows
