@@ -16,10 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry: rare transient task failures (observed once: an
+      // executor's fetch of an addArtifact'd dynamic jar raced its
+      // registration) must not zero a whole round's row for a query
+      // that is deterministic and green on re-run
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed (retrying): ${e1.getMessage}")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -787,6 +787,95 @@ object RelationalQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- array aggregation (collect_list) — emitted as a sorted
+    // joined string so the value-hash is order- and type-stable
+    // across engines. One shuffle with map-side partial collect.
+    QDef("agg_collect", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("order_keys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+        |  string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- correlation / covariance / stddev via exact decimal moment
+    // sums. Each FACTOR is cast to DECIMAL(18,2) first (o_totalprice
+    // is 2dp, o_custkey integral — the per-factor double→decimal
+    // round has ~7 orders of magnitude of margin), and the products
+    // are formed in the decimal domain where multiplication is exact:
+    // the five moments are then EXACT regardless of partial-agg merge
+    // order. (Casting the double PRODUCT instead was measured to flip
+    // a last-place digit at sf0.1: ulp(6e11) ≈ the scale-4 rounding
+    // boundary.) Final double formulas share one parenthesization on
+    // both sides; built-in corr()/covar_samp() stream engine-specific
+    // summation orders and drift.
+    QDef("agg_corr", (s, dir) => {
+      def m(c: Column): Column = sum(c).cast("double")
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val y = col("o_custkey").cast(DecimalType(18, 2))
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("double").as("n"),
+          m(x).as("sx"), m(y).as("sy"), m(x * y).as("sxy"),
+          m(x * x).as("sxx"), m(y * y).as("syy"))
+        .select(col("o_orderstatus"), col("n").cast("long").as("n_rows"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_price_cust"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+            .as("covar_price_cust"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * (col("n") - 1))).as("stddev_price"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH d AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    CAST(o_custkey AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |mom AS (
+        |  -- sums go double via VARCHAR: DuckDB's direct decimal→double
+        |  -- cast divides two already-rounded doubles (unscaled > 2^53
+        |  -- here), which double-rounds; the string path is correctly
+        |  -- rounded, matching Java's BigDecimal.doubleValue()
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM d GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_cust,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_price_cust,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_price
+        |FROM mom ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- higher-order array functions (the lambda surface):
+    // transform → aggregate fold (sequential in both engines →
+    // bit-identical doubles), filter + size, array_max. Narrow
+    // projection, scan speed, no shuffle.
+    QDef("array_funcs", (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b)").as("sumsq"),
+          size(col("embedding")).as("dim"),
+          expr("size(filter(embedding, x -> x > 0.0F))").as("n_pos"),
+          array_max(col("embedding")).as("max_elem"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b) AS sumsq,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+        |  list_max(embedding) AS max_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // ---- bounded ROWS frame: 4-row moving sum/avg per customer —
     // the moving-average shape. Decimal-exact sum; avg as exact
     // sum / frame count so both engines divide the same numbers.

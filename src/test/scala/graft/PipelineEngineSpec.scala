@@ -165,6 +165,36 @@ class PipelineEngineSpec extends SparkSpec {
     assert(MemorySink.results("jsonBack").size == 5)
   }
 
+  test("partitionBy sink writes hive-layout dirs and reads back partition-pruned") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val json =
+      s"""{"stages": [
+         |  {"name": "src", "type": "parquet",
+         |   "properties": {"path": "$sfDir/events.parquet"}},
+         |  {"name": "snk", "type": "parquetSink",
+         |   "properties": {"path": "$out/ev", "partitionBy": "event_type"}}
+         |],
+         |"connections": [{"from": "src", "to": "snk"}]}""".stripMargin
+    Pipeline.fromJson(json).run(spark)
+    // hive layout on disk
+    val dirs = new java.io.File(s"$out/ev").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")), dirs.mkString(","))
+    // 100 TB behavior: a partition-key predicate becomes a
+    // PartitionFilter — whole directories skipped, never opened —
+    // not a row-level data filter
+    val rd = spark.read.parquet(s"$out/ev").filter(col("event_type") === "view")
+    val scan = rd.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition predicate not pushed to PartitionFilters:\n$scan")
+    val expected = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "view").count()
+    assert(rd.count() == expected)
+  }
+
   test("dependency wildcard expands a directory of jars") {
     val helper = graft.dynamic.DynamicCompiler.compile(
       "object WildConst { val N = 7 }")
