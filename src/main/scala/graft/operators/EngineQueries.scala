@@ -260,7 +260,65 @@ object EngineQueries {
         |FROM sess JOIN lastsid ON sess.user_id = lastsid.user_id
         |WHERE sid < max_sid
         |   OR session_end_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
-        |ORDER BY user_id, session_start_us""".stripMargin))
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // The full training-corpus preparation pipeline as ONE declarative
+    // DAG — normalize → quality filter → canonical exact dedup →
+    // content-hash split → token count → sequence packing — run by the
+    // pipeline engine and hash-checked end to end against a DuckDB
+    // replay of every step. This is the flagship composition: each
+    // stage is an operator already gated on its own; here the DAG
+    // executor, macro resolution and stage chaining are on the hook
+    // too. Scale shape: two narrow scans + one dedup shuffle + one
+    // per-stratum window — nothing quadratic, nothing driver-side.
+    QDef("llm_pipeline_e2e", (s, dir) => {
+      val spec = PipelineSpec(Seq(
+        StageSpec("src", "parquet", Map("path" -> "${sf}/documents.parquet")),
+        StageSpec("norm", "textNormalize",
+          Map("textCol" -> "text", "outputCol" -> "norm_text")),
+        StageSpec("qf", "filter", Map("condition" -> "length(norm_text) >= 50")),
+        StageSpec("dd", "exactDedup",
+          Map("textCol" -> "norm_text", "idCol" -> "doc_id")),
+        StageSpec("sp", "hashSplit", Map("contentCol" -> "norm_text")),
+        StageSpec("tf", "filter", Map("condition" -> "split = 'train'")),
+        StageSpec("tok", "withColumn", Map("name" -> "n_tokens",
+          "expression" -> "size(filter(split(norm_text, ' '), w -> w != ''))")),
+        StageSpec("pk", "packSequences", Map("idCol" -> "doc_id",
+          "strataCol" -> "source", "nTokensCol" -> "n_tokens",
+          "budget" -> "256")),
+        StageSpec("sel", "select", Map("columns" ->
+          ("doc_id, source, split_hash, split, n_tokens, tokens_before, "
+            + "seq_window, window_offset"))),
+        StageSpec("srt", "sort", Map("columns" -> "doc_id"))),
+        Seq("src" -> "norm", "norm" -> "qf", "qf" -> "dd", "dd" -> "sp",
+          "sp" -> "tf", "tf" -> "tok", "tok" -> "pk", "pk" -> "sel",
+          "sel" -> "srt").map { case (a, b) => Connection(a, b) })
+      runStage(spec, s, Map("sf" -> dir), "srt")
+    },
+      Some(s"""WITH n AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |q AS (SELECT * FROM n WHERE len(nt) >= 50),
+        |d AS (SELECT * FROM q
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY nt)),
+        |s AS (SELECT doc_id, source, nt,
+        |    ${LlmQueries.duckPoly("nt")} % 100 AS split_hash
+        |  FROM d),
+        |tr AS (SELECT doc_id, source, split_hash,
+        |    CAST(len(list_filter(string_split(nt, ' '), w -> w <> '')) AS INT) AS n_tokens
+        |  FROM s WHERE split_hash < 80),
+        |c AS (SELECT doc_id, source, split_hash, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS tokens_before
+        |  FROM tr)
+        |SELECT doc_id, source, split_hash, 'train' AS split, n_tokens,
+        |  tokens_before,
+        |  CAST(floor(CAST(tokens_before AS DOUBLE) / 256) AS BIGINT) AS seq_window,
+        |  tokens_before % 256 AS window_offset
+        |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -19,8 +19,9 @@ object LlmQueries {
 
   /** DuckDB fragment: whitespace tokens of `text`, empties dropped. */
   private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
+  /** DuckDB fragment shared with EngineQueries' e2e pipeline oracle. */
   /** DuckDB fragment: PolyHash replay over a string expression. */
-  private def duckPoly(e: String): String =
+  private[operators] def duckPoly(e: String): String =
     s"list_reduce(list_transform(string_split($e, ''), x -> CAST(unicode(x) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 
   /** DuckDB replay of [[graft.llm.Similarity.kMeansAssign]], unrolled

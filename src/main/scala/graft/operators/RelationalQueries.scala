@@ -1020,6 +1020,58 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.user_id
         |ORDER BY key""".stripMargin)),
 
+    // ---- SCD2 / temporal history: event-sourced attribute history
+    // with validity intervals — valid_from = the event, valid_to =
+    // lead(event) per key, open interval (null) = current. One
+    // shuffle on the key; the interval assembly is a single window.
+    QDef("scd2_history", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "refund"))
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("value").as("bal"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+          lead(col("ts_us"), 1).over(w).isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, value AS bal,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type IN ('purchase', 'refund'))
+        |SELECT user_id, event_id, bal, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER w AS valid_to_us,
+        |  CAST(lead(ts_us) OVER w IS NULL AS INT) AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
+    // ---- mergeable HLL sketches (DataSketches): per-day partial
+    // sketches unioned to a per-type total — the pre-aggregate-once,
+    // union-at-query-time pattern that makes distinct counts cheap
+    // over 100 TB (daily sketch tables instead of re-scanning raw
+    // events). Oracle pattern as agg_approx_distinct: exact count
+    // hash-checked, sketch estimate pinned to an error-band verdict.
+    QDef("sketch_hll_union", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val unioned = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(unioned, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= col("exact_users").cast("double") * 0.05).cast("int")
+            .as("est_within_5pct"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  1 AS est_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- regex group extraction (RE2-safe pattern subset so Java
     // regex and DuckDB agree); rlike/regexp_matches prefilter keeps
     // non-matching rows out of both engines' outputs rather than

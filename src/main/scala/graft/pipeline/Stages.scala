@@ -129,6 +129,16 @@ object StageRegistry {
     case "textScrub" => new ExprCompute(spec, (df, p) =>
       graft.llm.TextAnalysis.scrub(df, p.getOrElse("textCol", "text"),
         p("pattern"), p.getOrElse("replacement", "")))
+    case "textNormalize" => new ExprCompute(spec, (df, p) =>
+      df.withColumn(p.getOrElse("outputCol", "norm_text"),
+        graft.llm.TextAnalysis.normalize(col(p.getOrElse("textCol", "text")))))
+    case "hashSplit" => new ExprCompute(spec, (df, p) => {
+      // bounds: "train:80,val:90,test:100" — cumulative upper bounds
+      val bounds = p.getOrElse("bounds", "train:80,val:90,test:100")
+        .split(",").map(_.split(":")).map(a => a(0).trim -> a(1).trim.toInt).toSeq
+      graft.llm.Sampling.splitByHash(df, p.getOrElse("contentCol", "text"),
+        bounds, p.getOrElse("modulus", "100").toInt)
+    })
     case "exactDedup"  => new ExprCompute(spec, (df, p) => {
       val (t, id) = (p.getOrElse("textCol", "text"), p.getOrElse("idCol", "doc_id"))
       df.join(graft.llm.Dedup.exact(df, t, id).select(col("keep_id").as(id)),
