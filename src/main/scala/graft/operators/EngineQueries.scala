@@ -262,6 +262,37 @@ object EngineQueries {
         |   OR session_end_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
         |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Stream-static enrichment join: the streaming side joins a static
+    // dimension snapshot (broadcast — no state store, no watermark
+    // required for inner equality): the per-micro-batch lookup shape
+    // every streaming pipeline uses for dimension attributes. Oracle =
+    // the batch inner join (stream-static inner joins emit eagerly and
+    // exactly).
+    QDef("stream_static_join", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-ssj2")
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+        .coalesce(1).write.mode("overwrite").parquet(base.toString)
+      val schema = s.read.parquet(base.toString).schema
+      val src = StreamStages.fileSource(s, "parquet", base.toString, schema.json)
+      val dim = broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = src.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("value"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamStages.runToMemory(joined, "gate_ssj2")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("gate_ssj2").orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)),
+
     // The full training-corpus preparation pipeline as ONE declarative
     // DAG — normalize → quality filter → canonical exact dedup →
     // content-hash split → token count → sequence packing — run by the
