@@ -262,6 +262,90 @@ object EngineQueries {
         |   OR session_end_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
         |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // Source/sink format round-trips, oracle-gated: the engine's OWN
+    // sink stage writes, its OWN source stage reads back (schema
+    // enforced for the untyped csv), and the aggregate must still
+    // hash-match the parquet-derived oracle — gating the full
+    // serialize/parse path, not just the scan.
+    QDef("source_csv_roundtrip", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-csv")
+      val wspec = PipelineSpec(Seq(
+        StageSpec("src", "parquet", Map("path" -> s"$dir/lineitem.parquet")),
+        StageSpec("sel", "select", Map("columns" ->
+          "l_orderkey, l_returnflag, l_quantity, l_extendedprice")),
+        StageSpec("snk", "csvSink", Map("path" -> s"$base/li",
+          "option.header" -> "true"))),
+        Seq(Connection("src", "sel"), Connection("sel", "snk")))
+      new Pipeline(wspec).run(s)
+      val schemaJson = s.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .schema.json
+      val rspec = PipelineSpec(Seq(
+        StageSpec("src", "csv", Map("path" -> s"$base/li",
+          "schema" -> schemaJson, "option.header" -> "true")),
+        StageSpec("agg", "aggregate", Map("groupBy" -> "l_returnflag",
+          "aggregates" -> ("count(*) AS n, sum(l_quantity) AS qty, "
+            + "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price"))),
+        StageSpec("srt", "sort", Map("columns" -> "l_returnflag"))),
+        Seq(Connection("src", "agg"), Connection("agg", "srt")))
+      runStage(rspec, s, Map.empty, "srt")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("source_orc_roundtrip", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-orc")
+      val wspec = PipelineSpec(Seq(
+        StageSpec("src", "parquet", Map("path" -> s"$dir/orders.parquet")),
+        StageSpec("snk", "orcSink", Map("path" -> s"$base/ord"))),
+        Seq(Connection("src", "snk")))
+      new Pipeline(wspec).run(s)
+      val rspec = PipelineSpec(Seq(
+        StageSpec("src", "orc", Map("path" -> s"$base/ord")),
+        StageSpec("agg", "aggregate", Map("groupBy" -> "o_orderpriority",
+          "aggregates" -> ("count(*) AS n, "
+            + "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total"))),
+        StageSpec("srt", "sort", Map("columns" -> "o_orderpriority"))),
+        Seq(Connection("src", "agg"), Connection("agg", "srt")))
+      runStage(rspec, s, Map.empty, "srt")
+    },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // JDBC round-trip against embedded Derby (in /opt/spark/jars):
+    // sink writes the snapshot, source reads it back PARTITIONED
+    // (4 ranges on c_custkey — the parallel-read shape a warehouse
+    // extract uses; each executor opens its own connection for its
+    // range). reference: JdbcSource/JdbcSink knobs, SURVEY §2.2.
+    QDef("source_jdbc_roundtrip", (s, dir) => {
+      val url = "jdbc:derby:memory:graftgate;create=true"
+      val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+      val wspec = PipelineSpec(Seq(
+        StageSpec("src", "parquet", Map("path" -> s"$dir/customer.parquet")),
+        StageSpec("sel", "select", Map("columns" ->
+          "c_custkey, c_mktsegment, c_acctbal")),
+        StageSpec("snk", "jdbcSink", Map("url" -> url, "driver" -> drv,
+          "dbtable" -> "cust_gate", "mode" -> "overwrite"))),
+        Seq(Connection("src", "sel"), Connection("sel", "snk")))
+      new Pipeline(wspec).run(s)
+      val rspec = PipelineSpec(Seq(
+        StageSpec("src", "jdbc", Map("url" -> url, "driver" -> drv,
+          "dbtable" -> "cust_gate", "partitionColumn" -> "c_custkey",
+          "numPartitions" -> "4", "lowerBound" -> "0",
+          "upperBound" -> "1000000")),
+        StageSpec("agg", "aggregate", Map("groupBy" -> "c_mktsegment",
+          "aggregates" -> ("count(*) AS n, "
+            + "CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal"))),
+        StageSpec("srt", "sort", Map("columns" -> "c_mktsegment"))),
+        Seq(Connection("src", "agg"), Connection("agg", "srt")))
+      runStage(rspec, s, Map.empty, "srt")
+    },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Stream-static enrichment join: the streaming side joins a static
     // dimension snapshot (broadcast — no state store, no watermark
     // required for inner equality): the per-micro-batch lookup shape
