@@ -1020,6 +1020,21 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.user_id
         |ORDER BY key""".stripMargin)),
 
+    // ---- JSON struct path: from_json with an explicit schema →
+    // typed field access → to_json re-serialization (the typed
+    // counterpart of json_funcs' get_json_object string path).
+    QDef("json_struct", (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          to_json(col("p")).as("rejson"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS rejson
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- SCD2 / temporal history: event-sourced attribute history
     // with validity intervals — valid_from = the event, valid_to =
     // lead(event) per key, open interval (null) = current. One
