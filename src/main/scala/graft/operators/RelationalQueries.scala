@@ -1020,6 +1020,54 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.user_id
         |ORDER BY key""".stripMargin)),
 
+    // ---- positional generator (posexplode): 1→N expansion that
+    // keeps the element index — order-preserving flatMap. DuckDB has
+    // no WITH ORDINALITY; the oracle explodes over generated
+    // subscripts instead.
+    QDef("explode_indexed", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), w -> w != '')"))
+            .as(Seq("idx", "word")))
+        .filter(col("idx") < 5)
+        .orderBy("doc_id", "idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS idx, ws[i] AS word
+        |FROM t, unnest(generate_series(1, len(ws))) AS s(i)
+        |WHERE i <= 5 ORDER BY doc_id, idx""".stripMargin)),
+
+    // ---- native session_window aggregation: Spark's built-in
+    // gap-session operator (one shuffle + in-partition merge —
+    // the same plan family works unchanged on a stream). Equivalent
+    // to the manual lag+cumsum `sessionize` but with window bounds
+    // in the output: end = last event + gap.
+    QDef("session_window_agg", (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |g AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |         OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin)),
+
     // ---- JSON struct path: from_json with an explicit schema →
     // typed field access → to_json re-serialization (the typed
     // counterpart of json_funcs' get_json_object string path).
