@@ -546,6 +546,41 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
         |  hex(substr(text, 1, 4)) AS header_hex,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- frame sampling: every 4th 256-byte frame, max 8 per record
+    // (the bounded video frame-sample schedule). ASCII payloads make
+    // byte offsets replayable with substr in the oracle.
+    QDef("multimodal_frames", (s, dir) =>
+      Multimodal.frameSample(s,
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id", "frame_idx"),
+      Some("""WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n, i AS frame_idx
+        |  FROM t, unnest(generate_series(0, (n + 255) // 256 - 1)) AS s(i)
+        |  WHERE i % 4 = 0),
+        |r AS (SELECT doc_id, frame_idx,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rn,
+        |    frame_idx * 256 AS frame_off,
+        |    least(256, n - frame_idx * 256) AS frame_len,
+        |    hex(substr(text, CAST(frame_idx * 256 + 1 AS INT),
+        |      CAST(least(4, n - frame_idx * 256) AS INT))) AS frame_hex
+        |  FROM f)
+        |SELECT doc_id, frame_idx, frame_off, frame_len, frame_hex
+        |FROM r WHERE rn <= 8 ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- resize stub: every 4th byte survives (downsample shape) ---
+    QDef("multimodal_resize", (s, dir) =>
+      Multimodal.resizeStub(s,
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_len,
+        |  CAST((len(text) + 3) // 4 AS BIGINT) AS resized_len,
+        |  hex(substr(text, 1, 1)
+        |    || CASE WHEN len(text) >= 5 THEN substr(text, 5, 1) ELSE '' END
+        |    || CASE WHEN len(text) >= 9 THEN substr(text, 9, 1) ELSE '' END
+        |    || CASE WHEN len(text) >= 13 THEN substr(text, 13, 1) ELSE '' END)
+        |    AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
