@@ -313,6 +313,22 @@ class LlmSpec extends SparkSpec {
     assert(row.header_hex == text.take(4).getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString)
   }
 
+  test("frame sample and resize handle empty/short/multi-frame payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, ""),                       // empty → no frames, resized len 0
+      (1L, "ab"),                     // sub-frame → one frame of 2
+      (2L, "x" * 1300))               // 6 frames → sampled idx 0, 4
+      .toDF("doc_id", "text")
+    val m = Multimodal.mediaTable(media.withColumn("text", col("text")))
+    val frames = Multimodal.frameSample(spark, m).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.frame_len)).sortBy(x => (x._1, x._2))
+    assert(frames.toSeq == Seq((1L, 0L, 2L), (2L, 0L, 256L), (2L, 4L, 256L)))
+    val rs = Multimodal.resizeStub(spark, m).collect()
+      .map(r => r.doc_id -> (r.orig_len, r.resized_len)).toMap
+    assert(rs(0L) == (0L, 0L) && rs(1L) == (2L, 1L) && rs(2L) == (1300L, 325L))
+  }
+
   test("langId is deterministic and falls back to 'und'") {
     import spark.implicits._
     val df = Seq("the cat is here", "der hund ist gut", "xyzzy blorp").toDF("text")
