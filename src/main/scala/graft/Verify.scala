@@ -2,10 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Usage: Verify <sfDir> <outDir> [comma-separated query filter]
+  * (the filter is a builder-side iteration aid; the driver passes 2 args)
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,22 +22,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // one retry: rare transient task failures (observed once: an
-      // executor's fetch of an addArtifact'd dynamic jar raced its
-      // registration) must not zero a whole round's row for a query
-      // that is deterministic and green on re-run
-      def attempt(): Unit = fn(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
-      try attempt()
-      catch { case e1: Throwable =>
-        System.err.println(s"[verify] $name failed (retrying): ${e1.getMessage}")
+    // Flakiness must be visible in the round artifact, not just stderr
+    // (ADVICE r5): queries that needed the retry, and queries that
+    // failed both attempts, are recorded in verify_meta.json next to
+    // the results the driver hashes.
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        // one retry: rare transient task failures (observed once: an
+        // executor's fetch of an addArtifact'd dynamic jar raced its
+        // registration) must not zero a whole round's row for a query
+        // that is deterministic and green on re-run
+        def attempt(): Unit = fn(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
         try attempt()
-        catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+        catch { case e1: Throwable =>
+          System.err.println(s"[verify] $name failed (retrying): ${e1.getMessage}")
+          retried += name
+          try attempt()
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+            failed += name
+          }
         }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,6 +63,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val meta = s"""{"retried": [${retried.map(q).mkString(", ")}], """ +
+      s""""failed": [${failed.map(q).mkString(", ")}]}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

@@ -155,6 +155,39 @@ object Similarity {
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
 
+  /** Gate harness for approximate top-k (the `agg_approx_distinct`
+    * verdict-column pattern): emit the EXACT top-k rows (hash-checkable
+    * — the oracle reproduces them in SQL) plus one engine-computed
+    * `recall_ok` verdict column the oracle pins to 1. The verdict is
+    * the approximate operator's global recall against the exact
+    * baseline ≥ `minRecall`; if the approximate path breaks (wrong
+    * buckets, empty probe set, bad join), recall collapses and the
+    * driver's hash gate fails.
+    *
+    * The windowed totals have no partition key, but the window input
+    * is the top-k RESULT — k·|Q| rows by construction (200 at sf0.1),
+    * metadata-scale regardless of corpus size — so the single-partition
+    * window is bounded, unlike a corpus-scale global window. One pass;
+    * neither input is recomputed.
+    *
+    * `minRecall` is calibrated per operator config on the uniform
+    * testdata (measured: IVF nprobe=3/10 cells ⇒ 0.36–0.52 across
+    * sf0.001–0.1; LSH bits=6 multi-probe ⇒ 0.26–0.30) and the engine
+    * is bit-deterministic, so the verdict is stable. The HIGH-recall
+    * guarantee on clustered data lives in LlmSpec; this gate pins the
+    * operating point on unclustered data.
+    */
+  def topKWithRecallVerdict(exact: DataFrame, approx: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hits = approx.select(col("q_vec_id"), col("n_vec_id"))
+      .withColumn("hit", lit(1L))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exact.join(hits, Seq("q_vec_id", "n_vec_id"), "left")
+      .select(col("q_vec_id"), col("rank"), col("n_vec_id"), col("cos"),
+        (sum(coalesce(col("hit"), lit(0L))).over(w) >=
+          count(lit(1)).over(w) * minRecall).cast("int").as("recall_ok"))
+  }
+
   /** Lloyd's k-means over an embedding column — the clustering step a
     * training pipeline uses for domain discovery, diversity sampling,
     * and (unlike [[ivfTopK]]'s label-mean stand-in) fitting REAL IVF
