@@ -48,6 +48,54 @@ object RelationalQueries {
 
   final case class QDef(name: String, fn: Q, sql: Option[String])
 
+  /** Approx-quantile band boundaries for [[cumulativeRangeCount]]:
+    * `nBands-1` sketch quantiles of `valueCol`, dedup'd (heavy skew
+    * collapses repeated quantiles onto the hot value) and sorted. A
+    * one-pass GK sketch — metadata to the driver, like AQE stats.
+    */
+  private[graft] def quantileBandBounds(df: DataFrame, valueCol: String,
+      nBands: Int): Array[Double] = {
+    val probs = (1 until nBands).map(_.toDouble / nBands).toArray
+    df.stat.approxQuantile(valueCol, probs, 0.001).distinct.sorted
+  }
+
+  /** Band index of a value: the count of boundaries STRICTLY below it.
+    * Strict `<` guarantees equal keys share a band (RANGE-frame peers
+    * can never straddle a partition) and every row in a lower band is
+    * strictly below every value in a higher one — so a per-band
+    * cumulative window plus the lower-band row-count offset equals the
+    * global RANGE frame exactly, even when a boundary equals the hot
+    * value. O(|bounds|) codegen'd comparisons per row (≤255), the
+    * Bucketizer trade at scan speed.
+    */
+  private[graft] def bandOf(bounds: Array[Double], v: Column): Column =
+    if (bounds.isEmpty) lit(0)
+    else size(filter(typedLit(bounds.toSeq), b => b < v)).cast("int")
+
+  /** Global cumulative-RANGE count (`n_cheaper_or_eq` = rows with
+    * value ≤ mine) WITHOUT a global window: approx-quantile bands over
+    * `valueCol` (balanced under skew — uniform-value bands degenerate
+    * when the key mass concentrates; quantile bands put the hot value
+    * alone in its band and spread the rest), per-band start offsets
+    * from a ≤nBands-row collected aggregate (metadata-scale), then the
+    * RANGE frame runs PARTITIONED by band.
+    */
+  private[graft] def cumulativeRangeCount(df: DataFrame, valueCol: String,
+      nBands: Int = 256): DataFrame = {
+    val bounds = quantileBandBounds(df, valueCol, nBands)
+    val banded = df.withColumn("band", bandOf(bounds, col(valueCol)))
+    val cnts = banded.groupBy("band").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF("band", "off")
+    val wIn = Window.partitionBy("band").orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offDf), "band")
+      .withColumn("n_cheaper_or_eq", col("off") + count(lit(1)).over(wIn))
+      .drop("band", "off")
+  }
+
   // ------------------------------------------------------------------
   val defs: Seq[QDef] = Seq(
 
@@ -351,35 +399,19 @@ object RelationalQueries {
     // ---- RANGE frame: cumulative including peers — deterministic
     // under ties by construction. A naive global `Window.orderBy`
     // funnels the whole table through ONE partition (WindowExec
-    // warns); instead: histogram bands over the order key, per-band
-    // start offsets computed from a 256-row aggregate collected and
-    // broadcast (metadata-scale, like AQE stats), and the cumulative
+    // warns); instead approx-QUANTILE bands over the order key (skew-
+    // proof: a hot value gets its own band, the rest stay balanced —
+    // the round-5 value-uniform bands degraded when the key mass
+    // concentrated), per-band start offsets from a ≤256-row collected
+    // aggregate (metadata-scale, like AQE stats), and the cumulative
     // RANGE frame runs PARTITIONED by band. Equal keys share a band,
     // so no frame ever spans bands — identical semantics, parallel
-    // window. (Skew caveat: value-uniform bands degrade if the key
-    // mass concentrates in one band; swap the band rule for
-    // approx-quantile boundaries in that regime.)
-    QDef("window_range", (s, dir) => {
-      val ord = t(s, dir, "orders")
-      val mm = ord.agg(min("o_totalprice"), max("o_totalprice")).head()
-      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-      val nBands = 256
-      val bw = math.max((mx - mn) / nBands, 1e-9)
-      val banded = ord.withColumn("band",
-        least(floor((col("o_totalprice") - mn) / bw), lit(nBands - 1)).cast("int"))
-      val cnts = banded.groupBy("band").agg(count(lit(1)).as("c")).collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }.toSeq
-      import s.implicits._
-      val offDf = offsets.toDF("band", "off")
-      val wIn = Window.partitionBy("band").orderBy(col("o_totalprice"))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      banded.join(broadcast(offDf), "band")
-        .select(col("o_orderkey"), col("o_totalprice"),
-          (col("off") + count(lit(1)).over(wIn)).as("n_cheaper_or_eq"))
-        .orderBy("o_orderkey")
-    },
+    // window. See cumulativeRangeCount; skew balance is asserted in
+    // RelationalSpec.
+    QDef("window_range", (s, dir) =>
+      cumulativeRangeCount(t(s, dir, "orders"), "o_totalprice")
+        .select("o_orderkey", "o_totalprice", "n_cheaper_or_eq")
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_totalprice,
         |  count(*) OVER (ORDER BY o_totalprice RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cheaper_or_eq
         |FROM orders ORDER BY o_orderkey""".stripMargin)),

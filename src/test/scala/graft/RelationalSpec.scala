@@ -27,6 +27,46 @@ class RelationalSpec extends SparkSpec {
     assert(gate.forall(_.getInt(2) == 1))
   }
 
+  test("quantile-banded RANGE frame: exact under pathological skew, bands stay balanced") {
+    import spark.implicits._
+    import graft.operators.RelationalQueries
+    // 90% of the mass on ONE key value — the regime that degenerated
+    // round-5's value-uniform bands into a single partition.
+    val hot = 9000
+    val rows = (0 until hot).map(i => (i.toLong, 100.0)) ++
+      (0 until 1000).map(i => (hot + i.toLong, i.toDouble * 7.3 + 1))
+    val df = rows.toDF("id", "v").repartition(8)
+
+    val got = RelationalQueries.cumulativeRangeCount(df, "v")
+      .select("id", "n_cheaper_or_eq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: brute-force count of values <= mine
+    rows.foreach { case (id, v) =>
+      val expect = rows.count(_._2 <= v).toLong
+      assert(got(id) == expect, s"id=$id v=$v got=${got(id)} want=$expect")
+    }
+
+    // band balance: the hot value's band is irreducible (RANGE peers
+    // must be co-partitioned), but every OTHER band must stay near the
+    // ideal N/nBands share — the quantile sketch collapses ~90% of its
+    // boundaries onto the hot value (dedup'd to one) and spends the
+    // rest on the cold tail, so cold rows land ~nBands-proportional.
+    // (Round-5's value-uniform bands put hot AND all colds below it in
+    // one band and left the rest empty.)
+    val nBands = 256
+    val bounds = RelationalQueries.quantileBandBounds(df, "v", nBands)
+    val counts = df.withColumn("band", RelationalQueries.bandOf(bounds, col("v")))
+      .groupBy("band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hotBand = counts.maxBy(_._2)
+    assert(hotBand._2 >= hot, "hot value must share one band (RANGE peers)")
+    val rest = counts - hotBand._1
+    val ideal = rows.size.toDouble / nBands
+    assert(rest.size >= 16, s"skew collapsed banding to ${rest.size} cold bands")
+    assert(rest.values.max <= 4 * ideal,
+      s"cold band ${rest.values.max} rows vs ideal $ideal — banding unbalanced")
+  }
+
   test("RDD-mode dynamic transform (reference 4-shape matrix)") {
     import spark.implicits._
     val code =
