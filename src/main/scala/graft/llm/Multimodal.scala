@@ -106,4 +106,108 @@ object Multimodal {
         }
       }
   }
+
+  /** Decoded raster features (what a real image-decode stage keeps:
+    * dimensions, channels, exact integer luma so the gate hash is
+    * bit-stable — mean luma is `luma_sum / (n_pixels * 1000.0)`).
+    */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      channels: Int, maxval: Int, n_pixels: Long, luma_sum: Long)
+
+  /** Pure-JVM binary-PPM (P6) decode: header = "P6", then width,
+    * height, maxval as ASCII ints separated by whitespace, with
+    * `#`-to-newline comments allowed between tokens, a single
+    * whitespace after maxval, then width·height packed RGB bytes.
+    * No codec library needed — PPM is the uncompressed interchange
+    * format, which is exactly why it's the one real decoder this
+    * container can have. Returns None for anything that isn't a
+    * complete 8-bit P6 stream (truncated pixels, maxval > 255, other
+    * magic) so opaque formats fall through to [[decodeStub]].
+    *
+    * Luma is the integer ITU-R BT.601 weighting: per pixel
+    * 299·R + 587·G + 114·B (milli-units, exact in Long).
+    */
+  def decodePpm(bytes: Array[Byte]): Option[ImageFeatures] = {
+    var pos = 2
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def skipWsAndComments(): Boolean = {
+      var progressed = true
+      while (progressed && pos < bytes.length) {
+        progressed = false
+        while (pos < bytes.length && isWs(bytes(pos))) { pos += 1; progressed = true }
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          progressed = true
+        }
+      }
+      pos < bytes.length
+    }
+    def readInt(): Option[Int] = {
+      if (!skipWsAndComments()) return None
+      var v = 0L
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); any = true; pos += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly ONE whitespace byte separates the header from pixels
+      if pos < bytes.length && isWs(bytes(pos))
+      _ = { pos += 1 }
+      nPix = w.toLong * h
+      if bytes.length - pos >= nPix * 3
+    } yield {
+      var luma = 0L
+      var i = pos
+      val end = pos + (nPix * 3).toInt
+      while (i < end) {
+        luma += 299L * (bytes(i) & 0xff) + 587L * (bytes(i + 1) & 0xff) +
+          114L * (bytes(i + 2) & 0xff)
+        i += 3
+      }
+      ImageFeatures(0L, w, h, 3, maxval, nPix, luma)
+    }
+  }
+
+  /** Real image decode over a media table: PPM payloads parse to
+    * raster features; opaque payloads are dropped here (route them to
+    * [[decodeStub]] — the two-path split a production pipeline uses).
+    * Same scale shape as the stub: partition-wise, payload never
+    * survives the stage, nothing widens a shuffle.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap(r => decodePpm(r.payload).map(_.copy(doc_id = r.doc_id)))
+      }
+  }
+
+  /** Deterministic synthetic P6 image per doc: width/height cycle with
+    * doc_id, every third doc carries a header comment (exercises the
+    * parser's comment skip), pixel byte p = (doc_id·31 + 7p) mod 256 —
+    * a formula the DuckDB oracle replays WITHOUT parsing PPM, so the
+    * gate cross-checks writer and parser against independent math.
+    */
+  def syntheticPpmTable(docs: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      val w = 4 + (docId % 5).toInt
+      val h = 3 + (docId % 4).toInt
+      val header =
+        if (docId % 3 == 0) s"P6\n# synthetic $docId\n$w $h\n255\n"
+        else s"P6\n$w $h\n255\n"
+      val px = Array.tabulate(w * h * 3)(p => ((docId * 31 + 7L * p) % 256).toByte)
+      header.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ px
+    }
+    docs.select(col("doc_id"),
+      lit("image/x-portable-pixmap").as("media_type"),
+      gen(col("doc_id")).as("payload"))
+  }
 }

@@ -579,12 +579,20 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- frame sampling: every 4th 256-byte frame, max 8 per record
-    // (the bounded video frame-sample schedule). ASCII payloads make
-    // byte offsets replayable with substr in the oracle.
-    QDef("multimodal_frames", (s, dir) =>
-      Multimodal.frameSample(s,
-          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
-        .toDF().orderBy("doc_id", "frame_idx"),
+    // (the bounded video frame-sample schedule). The oracle replays
+    // byte offsets with substr over CHARACTERS, valid only while the
+    // corpus is pure ASCII (DuckDB can't byte-slice blobs) — so the
+    // engine emits an ascii_ok verdict the oracle pins to 1: if the
+    // data ever grows non-ASCII text the gate fails loudly instead of
+    // silently diverging (ADVICE r5).
+    QDef("multimodal_frames", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ascii = broadcast(docs.agg(
+        min((octet_length(col("text")) === length(col("text"))).cast("int"))
+          .as("ascii_ok")))
+      Multimodal.frameSample(s, Multimodal.mediaTable(docs))
+        .toDF().crossJoin(ascii).orderBy("doc_id", "frame_idx")
+    },
       Some("""WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents),
         |f AS (SELECT doc_id, text, n, i AS frame_idx
         |  FROM t, unnest(generate_series(0, (n + 255) // 256 - 1)) AS s(i)
@@ -596,22 +604,53 @@ object LlmQueries {
         |    hex(substr(text, CAST(frame_idx * 256 + 1 AS INT),
         |      CAST(least(4, n - frame_idx * 256) AS INT))) AS frame_hex
         |  FROM f)
-        |SELECT doc_id, frame_idx, frame_off, frame_len, frame_hex
+        |SELECT doc_id, frame_idx, frame_off, frame_len, frame_hex, 1 AS ascii_ok
         |FROM r WHERE rn <= 8 ORDER BY doc_id, frame_idx""".stripMargin)),
 
-    // ---- resize stub: every 4th byte survives (downsample shape) ---
-    QDef("multimodal_resize", (s, dir) =>
-      Multimodal.resizeStub(s,
-          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
-        .toDF().orderBy("doc_id"),
+    // ---- resize stub: every 4th byte survives (downsample shape);
+    // same ascii_ok guard as multimodal_frames -----------------------
+    QDef("multimodal_resize", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ascii = broadcast(docs.agg(
+        min((octet_length(col("text")) === length(col("text"))).cast("int"))
+          .as("ascii_ok")))
+      Multimodal.resizeStub(s, Multimodal.mediaTable(docs))
+        .toDF().crossJoin(ascii).orderBy("doc_id")
+    },
       Some("""SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_len,
         |  CAST((len(text) + 3) // 4 AS BIGINT) AS resized_len,
         |  hex(substr(text, 1, 1)
         |    || CASE WHEN len(text) >= 5 THEN substr(text, 5, 1) ELSE '' END
         |    || CASE WHEN len(text) >= 9 THEN substr(text, 9, 1) ELSE '' END
         |    || CASE WHEN len(text) >= 13 THEN substr(text, 13, 1) ELSE '' END)
-        |    AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |    AS head_hex,
+        |  1 AS ascii_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- REAL image decode: pure-JVM binary-PPM (P6) parse inside
+    // the same mapPartitions shape as the stub path. The fixture
+    // writes a deterministic P6 image per doc (pixel byte p =
+    // (doc_id*31 + 7p) mod 256, dimensions cycling with doc_id, a
+    // header comment every 3rd doc); the oracle computes the SAME
+    // features from the formula alone — writer and parser are
+    // cross-checked against independent math, so a header-offset or
+    // channel-order bug flips luma_sum.
+    QDef("multimodal_decode", (s, dir) =>
+      Multimodal.decodeImages(s,
+          Multimodal.syntheticPpmTable(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+        |l AS (SELECT doc_id, w, h,
+        |    299 * ((doc_id * 31 + 7 * (3 * i)) % 256)
+        |  + 587 * ((doc_id * 31 + 7 * (3 * i + 1)) % 256)
+        |  + 114 * ((doc_id * 31 + 7 * (3 * i + 2)) % 256) AS lum
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  3 AS channels, 255 AS maxval, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(lum) AS BIGINT) AS luma_sum
+        |FROM l GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -1110,9 +1110,15 @@ object RelationalQueries {
         .select(col("event_id"), col("p.k").as("k"),
           to_json(col("p")).as("rejson"))
         .orderBy("event_id"),
+      // rejson guards the missing-key case: Spark's to_json drops null
+      // struct fields ('{}'), while a naive NULL concat would yield
+      // SQL NULL — the guard keeps the oracle honest if the data ever
+      // grows rows without '$.k' (ADVICE r5).
       Some("""SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS INT) AS k,
-        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS rejson
+        |  CASE WHEN json_extract(props, '$.k') IS NULL THEN '{}'
+        |       ELSE '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+        |  END AS rejson
         |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- SCD2 / temporal history: event-sourced attribute history

@@ -329,6 +329,42 @@ class LlmSpec extends SparkSpec {
     assert(rs(0L) == (0L, 0L) && rs(1L) == (2L, 1L) && rs(2L) == (1300L, 325L))
   }
 
+  test("PPM decode: header variants parse, malformed payloads fall through") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    def ppm(header: String, px: Array[Byte]) =
+      header.getBytes(US_ASCII) ++ px
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60) // 2x1, two pixels
+    // plain header
+    val ok = Multimodal.decodePpm(ppm("P6\n2 1\n255\n", rgb)).get
+    assert(ok.width == 2 && ok.height == 1 && ok.channels == 3 && ok.maxval == 255)
+    assert(ok.n_pixels == 2 &&
+      ok.luma_sum == 299L * 10 + 587 * 20 + 114 * 30 + 299 * 40 + 587 * 50 + 114 * 60)
+    // comments between any header tokens, CRLF, multiple spaces
+    val commented = Multimodal.decodePpm(
+      ppm("P6\n# a comment\n 2 # inline\n1\r\n# more\n255\n", rgb))
+    assert(commented.map(f => (f.width, f.height, f.luma_sum)) ==
+      Some((2, 1, ok.luma_sum)))
+    // unsigned bytes: 0xFF pixel must count as 255, not -1
+    val bright = Multimodal.decodePpm(
+      ppm("P6\n1 1\n255\n", Array(0xff.toByte, 0xff.toByte, 0xff.toByte))).get
+    assert(bright.luma_sum == 255L * (299 + 587 + 114))
+    // malformed: wrong magic, truncated pixels, 16-bit maxval, zero dims
+    assert(Multimodal.decodePpm("JFIF....".getBytes(US_ASCII)).isEmpty)
+    assert(Multimodal.decodePpm(ppm("P6\n2 2\n255\n", rgb)).isEmpty)
+    assert(Multimodal.decodePpm(ppm("P6\n1 1\n65535\n",
+      Array[Byte](1, 2, 3, 4, 5, 6))).isEmpty)
+    assert(Multimodal.decodePpm(ppm("P6\n0 1\n255\n", Array[Byte]())).isEmpty)
+    // decodeImages drops opaque payloads, keeps parseable ones
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image/x-portable-pixmap", ppm("P6\n2 1\n255\n", rgb)),
+      (2L, "application/octet-stream", "JFIF....".getBytes(US_ASCII)))
+      .toDF("doc_id", "media_type", "payload")
+    val decoded = Multimodal.decodeImages(spark, media).collect()
+    assert(decoded.map(_.doc_id).toSeq == Seq(1L))
+    assert(decoded.head.luma_sum == ok.luma_sum)
+  }
+
   test("langId is deterministic and falls back to 'und'") {
     import spark.implicits._
     val df = Seq("the cat is here", "der hund ist gut", "xyzzy blorp").toDF("text")
