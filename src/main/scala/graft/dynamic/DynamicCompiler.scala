@@ -96,16 +96,55 @@ object DynamicCompiler {
 
   /** Expand a dependencies config: comma-separated paths; a path
     * ending in "/ *" (no space) lists every jar in that directory
-    * (reference SparkCompilers.java:157-203).
+    * (reference SparkCompilers.java:157-203). Entries with a
+    * filesystem scheme (`file://`, `hdfs://`, anything Hadoop
+    * resolves) are fetched to a session temp dir first, mirroring the
+    * reference's remote-FS download (SparkCompilers.java:176-187) —
+    * a cluster user's jars usually live on HDFS/object storage, not
+    * on every executor's local disk. The wildcard works remotely too.
     */
   def expandDependencies(deps: String): Seq[Path] =
     deps.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { d =>
-      if (d.endsWith("/*")) {
-        val dir = new File(d.stripSuffix("/*"))
-        Option(dir.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".jar")).map(_.toPath)
-      } else Seq(new File(d).toPath)
+      val scheme =
+        try Option(new java.net.URI(d).getScheme)
+        catch { case _: java.net.URISyntaxException => None }
+      scheme match {
+        case Some(_) => fetchRemote(d)
+        case None if d.endsWith("/*") =>
+          val dir = new File(d.stripSuffix("/*"))
+          Option(dir.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".jar")).map(_.toPath)
+        case None => Seq(new File(d).toPath)
+      }
     }
+
+  /** Copy a scheme-qualified dependency (single jar or "dir/ *"
+    * wildcard, no space) to a local temp dir via the Hadoop FileSystem
+    * API and return the local paths. Temp dirs ride the same
+    * shutdown-hook cleanup as compile outputs.
+    */
+  private def fetchRemote(spec: String): Seq[Path] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val wildcard = spec.endsWith("/*")
+    val base = new HPath(if (wildcard) spec.stripSuffix("/*") else spec)
+    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val sources =
+      if (wildcard)
+        fs.listStatus(base).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".jar"))
+          .map(_.getPath)
+      else Seq(base)
+    if (sources.isEmpty) Seq.empty
+    else {
+      val tmp = Files.createTempDirectory("graft-deps")
+      Cleanup.register(tmp)
+      sources.map { src =>
+        val dst = tmp.resolve(src.getName)
+        fs.copyToLocalFile(false, src, new HPath(dst.toUri), true)
+        dst
+      }
+    }
+  }
 
   /** Process-wide memo: pipelines compile each dynamic stage at
     * validate time AND at run time — identical (source, classpath)
@@ -299,9 +338,23 @@ object DynamicCompiler {
 }
 
 /** Runtime context handed to user code — the engine's analogue of the
-  * reference's SparkExecutionPluginContext.
+  * reference's SparkExecutionPluginContext, including the named-dataset
+  * sugar reference user code addresses (`fromDataset`/`saveAsDataset`,
+  * ScalaSparkTest.java:118-128): thin wrappers over the session
+  * catalog's temp views, so a reference widget's transform body runs
+  * unchanged.
   */
-final case class GraftContext(spark: SparkSession, runtimeArgs: Map[String, String])
+final case class GraftContext(spark: SparkSession, runtimeArgs: Map[String, String]) {
+  /** Read a named dataset (temp view or catalog table). */
+  def fromDataset(name: String): DataFrame = spark.table(name)
+
+  /** Publish `df` under `name` for downstream stages (temp view —
+    * lazy, no materialization; pair with a FormatSink/TableSource for
+    * durable handoff).
+    */
+  def saveAsDataset(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+}
 
 /** Marker trait for whole-program user code (analogue of SparkMain,
   * ScalaSparkProgram.java:117-125).

@@ -153,6 +153,63 @@ class DynamicSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("ctx.fromDataset/saveAsDataset idiom parity (ScalaSparkTest.java:118-128)") {
+    // reference-widget-style body: address named datasets through the
+    // context, produce one, read it back — runs unchanged here.
+    lines.createOrReplaceTempView("dyn_lines")
+    val code =
+      """def transform(df: DataFrame, ctx: GraftContext): DataFrame = {
+        |  val counts = ctx.fromDataset("dyn_lines")
+        |    .select(explode(split(col("body"), "\\s+")).as("word"))
+        |    .groupBy("word").count()
+        |  ctx.saveAsDataset(counts, "counts")
+        |  ctx.fromDataset("counts")
+        |}
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("ctxds")
+    val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+    // the published view is visible to downstream stages too
+    assert(spark.table("counts").count() == 11)
+  }
+
+  test("remote-URI dependency jars: file:// fetch + remote wildcard (SparkCompilers.java:176-187)") {
+    // build a real dependency jar, then reference it ONLY through a
+    // scheme-qualified URI — expandDependencies must fetch it to a
+    // local temp path that compiles.
+    val helper = DynamicCompiler.compile(
+      "object RemoteDepConstants { val LIMIT: Int = 4 }")
+    val uri = helper.jar.toUri.toString // file:///tmp/...jar
+    assert(uri.startsWith("file:"))
+    val fetched = DynamicCompiler.expandDependencies(uri)
+    assert(fetched.size == 1 && java.nio.file.Files.exists(fetched.head))
+    assert(fetched.head != helper.jar, "URI deps must be copied, not aliased")
+
+    val code =
+      """def transform(df: DataFrame): DataFrame =
+        |  df.limit(RemoteDepConstants.LIMIT)
+        |""".stripMargin
+    val objName = DynamicCompiler.classNameFor("remotedep")
+    val compiled = DynamicCompiler.compile(
+      DynamicCompiler.wrap(objName, code), extraClasspath = fetched)
+    val fn = DynamicCompiler.resolveFunction(compiled.loadObject(objName), "transform", isVoid = false)
+    val out = fn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(out.count() == 4)
+
+    // remote wildcard: file://<dir>/* lists jars through Hadoop FS
+    val viaWildcard = DynamicCompiler.expandDependencies(
+      helper.jar.getParent.toUri.toString.stripSuffix("/") + "/*")
+    assert(viaWildcard.exists(_.getFileName == helper.jar.getFileName))
+    // local (schemeless) paths keep their no-copy behavior
+    val local = DynamicCompiler.expandDependencies(helper.jar.toString)
+    assert(local == Seq(helper.jar))
+  }
+
   test("closure serialization incl. nested arrays (testScalaSparkProgramClosure)") {
     val src =
       s"""import org.apache.spark.sql._
