@@ -329,6 +329,34 @@ class LlmSpec extends SparkSpec {
     assert(rs(0L) == (0L, 0L) && rs(1L) == (2L, 1L) && rs(2L) == (1300L, 325L))
   }
 
+  test("LSH hot bucket actually triggers the star path; connectivity preserved, stats observable") {
+    import spark.implicits._
+    // 100 docs with IDENTICAL signatures — every band puts them in one
+    // 100-doc bucket, far over cap=16 — plus 5 docs with unique sigs
+    // exercising the normal all-pairs path alongside.
+    val clique = (1L to 100L).map(i => (i, Seq.fill(64)(42L)))
+    val loners = (200L to 204L).map(i => (i, Seq.fill(64)(i * 1000)))
+    val sigs = (clique ++ loners).toDF("doc_id", "sig")
+    val cap = 16
+
+    // the diagnostic sees the overflow (this is what production
+    // monitoring would alert on)
+    val (oversized, maxBucket) = Dedup.lshBucketStats(sigs, 32, 2, cap)
+    assert(oversized == 32 && maxBucket == 100,
+      s"expected 32 hot bands of 100, got ($oversized, $maxBucket)")
+
+    def pairs(capN: Int) = Dedup.lshCandidates(sigs, 32, 2, capN).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = pairs(cap)
+    // star around the bucket minimum: O(m) edges, loners untouched
+    assert(star == (2L to 100L).map(j => (1L, j)).toSet)
+    // subset of the uncapped enumeration, and the same single
+    // connected component (what dedup clustering consumes)
+    val full = pairs(4096)
+    assert(star.subsetOf(full))
+    assert(full == (for (a <- 1L to 100L; b <- (a + 1) to 100L) yield (a, b)).toSet)
+  }
+
   test("PPM decode: header variants parse, malformed payloads fall through") {
     import java.nio.charset.StandardCharsets.US_ASCII
     def ppm(header: String, px: Array[Byte]) =

@@ -69,4 +69,78 @@ class SessionSpec extends SparkSpec {
     val shares = SkewJoin.topKeyShares(big, "k", 1).collect().head
     assert(shares.getLong(1) == 10000L)
   }
+
+  test("salted join balances tasks under a 10%-hot key (no task >4x median shuffle read)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val conf = spark.conf
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.get(k))
+    // scoped: AQE off so coalescing can't merge the tiny test
+    // partitions, broadcast off so the join actually shuffles (a
+    // broadcast join is skew-immune and wouldn't exercise salting)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val n = 200000
+      // hot key 77 carries 10% of the big side; 5000 cold keys the rest
+      val big = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(77L))
+          .otherwise(pmod(col("id"), lit(5000)) + 1000).as("k"),
+        col("id").as("payload"))
+      val small = spark.range(7000).select(col("id").as("sk"), (col("id") * 3).as("attr"))
+
+      // per-stage shuffle-read record counts; the join stage is the one
+      // reading the most records
+      val byStage = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+          if (te.taskMetrics != null)
+            byStage.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              te.taskMetrics.shuffleReadMetrics.recordsRead
+        }
+      }
+      def joinStageStats(df: org.apache.spark.sql.DataFrame): (Long, Seq[Long]) = {
+        byStage.synchronized(byStage.clear())
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val total = df.agg(sum(col("payload") + col("attr"))).head().getLong(0)
+          // listener bus drains asynchronously — poll until the join
+          // stage's task count stabilizes
+          var snapshot = Seq.empty[Long]
+          var stable = 0
+          var waited = 0
+          while (stable < 3 && waited < 100) {
+            Thread.sleep(100); waited += 1
+            val cur = listener.synchronized {
+              if (byStage.isEmpty) Seq.empty[Long]
+              else byStage.values.maxBy(_.sum).toSeq
+            }
+            if (cur == snapshot && cur.nonEmpty) stable += 1 else { stable = 0; snapshot = cur }
+          }
+          (total, snapshot)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+
+      val (plainTotal, plainTasks) = joinStageStats(big.join(small, big("k") === small("sk")))
+      val (saltedTotal, saltedTasks) =
+        joinStageStats(SkewJoin.saltedJoin(big, small, "k", "sk", saltBuckets = 32))
+      assert(saltedTotal == plainTotal, "salted join changed the result")
+
+      def ratio(ts: Seq[Long]): Double = {
+        val s = ts.sorted
+        s.last.toDouble / math.max(s(s.size / 2), 1L)
+      }
+      // the unsalted plan funnels the hot key into one task (the
+      // pathology the test must be able to see)...
+      assert(ratio(plainTasks) > 2.5,
+        s"skew fixture too mild: plain-join max/median ${ratio(plainTasks)}")
+      // ...the salted plan spreads it: max task <= 4x median input
+      assert(ratio(saltedTasks) <= 4.0,
+        s"salted join unbalanced: max/median ${ratio(saltedTasks)} over ${saltedTasks.size} tasks")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
