@@ -80,12 +80,19 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the
-    // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus an
-    // optional file sink as a parse-proof channel
+    // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus a
+    // file sink as a parse-proof channel. The file ALWAYS lands (default
+    // BENCH_ENGINE_LAST.json in cwd = repo root): whoever runs the bench
+    // — driver or builder — leaves the per-query engine-side numbers
+    // from that exact wall-clock window next to the round artifact, so
+    // host-contention noise can be diagnosed per query instead of
+    // argued from totals (BASELINE.md round-5 note).
     println(json)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes("UTF-8"))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ENGINE_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -4,6 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.PolyHash
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
+/** Tag for tests heavy enough to matter in the edit loop (sf0.1 scale);
+  * still part of plain `sbt test` so CI catches regressions — exclude
+  * locally with `testOnly * -- -l graft.SlowTest`.
+  */
+object SlowTest extends org.scalatest.Tag("graft.SlowTest")
+
 class LlmSpec extends SparkSpec {
 
   test("poly_hash matches the reference formula and codegen path") {
@@ -31,6 +37,26 @@ class LlmSpec extends SparkSpec {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
+  }
+
+  test("sf0.1 cross-check: minhash-LSH equals exact inverted index, 256 pairs bit-identical",
+      SlowTest) {
+    // the scale the DuckDB oracle can't reach (its quadratic replay
+    // times out at sf0.1): the collapse→LSH→verify→re-expand pipeline
+    // must equal the independent exact algorithm pair-for-pair AND
+    // bit-for-bit on jaccard. Promoted from tools/CrossCheck.scala so
+    // a re-expansion regression fails CI, not just the round gate.
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = pairs(Dedup.minhashNearDups(docs, "text", "doc_id", 3, 0.5))
+    val inv = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5))
+    assert(lsh.size == 256 && inv.size == 256,
+      s"sf0.1 corpus drifted: lsh=${lsh.size} inv=${inv.size} (expected 256)")
+    assert(lsh.keySet == inv.keySet, "pair sets differ")
+    val valueDiffs = lsh.keySet.filter(k => lsh(k) != inv(k))
+    assert(valueDiffs.isEmpty, s"jaccard bits differ on ${valueDiffs.take(5)}")
   }
 
   test("LSH bucket stats surface the star-path approximation") {
