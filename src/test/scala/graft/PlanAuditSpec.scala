@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-safety CI: no gate query may plan a cartesian product, a
+  * broadcast-nested-loop join, or an unpartitioned (single-task)
+  * window — the three shapes that silently stop scaling — unless it
+  * appears in the allowlist below with a reason. The allowlist is
+  * exact: an entry whose plan CLEANS UP also fails the test, so stale
+  * justifications can't rot in place.
+  *
+  * Streaming gates are excluded: calling their query fn executes a
+  * real micro-batch run and returns the drained memory table, whose
+  * plan says nothing about the streaming plan shape (StreamingSpec
+  * covers those semantics).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** query -> why its flagged shapes are bounded at 100 TB. Every
+    * flagged side is broadcast and metadata-scale by construction.
+    */
+  private val allowed: Map[String, String] = Map(
+    "ann_topk_exact" -> "brute-force oracle BY DESIGN: broadcast query side x corpus",
+    "ann_ivf" -> ("brute-force baseline feeding the recall verdict (gate harness); " +
+      "centroid probe = broadcast k-cell crossJoin; verdict window input is " +
+      "k*|Q| rows (top-k output), not corpus-scale"),
+    "ann_lsh" -> "same verdict harness as ann_ivf (exact baseline + bounded verdict window)",
+    "join_cross" -> "the cross-join operator itself (4-row region side, broadcast)",
+    "multimodal_frames" -> "ascii_ok verdict = crossJoin of a broadcast 1-row aggregate",
+    "multimodal_resize" -> "ascii_ok verdict = crossJoin of a broadcast 1-row aggregate",
+    "resample_gapfill" -> "hour-spine x event-type grid: both sides metadata-scale, broadcast",
+    "tfidf_topk" -> "crossJoin of the broadcast 1-row corpus doc count (idf denominator)")
+
+  test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
+    val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (name.startsWith("stream_")) None
+      else {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val hits = plan.collect {
+          case _: BroadcastNestedLoopJoinExec => "BNLJ"
+          case _: CartesianProductExec => "CARTESIAN"
+          case w: WindowExec if w.partitionSpec.isEmpty => "GLOBAL_WINDOW"
+        }
+        if (hits.isEmpty) None else Some(name -> hits)
+      }
+    }.toMap
+    val unlisted = findings.keySet -- allowed.keySet
+    assert(unlisted.isEmpty,
+      s"scale anti-pattern in unlisted queries: ${unlisted.toSeq.sorted
+        .map(n => s"$n=${findings(n).mkString("+")}").mkString(", ")}")
+    val stale = allowed.keySet -- findings.keySet
+    assert(stale.isEmpty,
+      s"allowlist entries whose plans are now clean (remove them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
