@@ -183,6 +183,65 @@ object TextAnalysis {
         col("df_t"), col("score_micro"))
   }
 
+  /** Corpus-trained unigram language-model score per document — the
+    * CCNet-style quality/perplexity primitive: documents whose tokens
+    * are improbable under the corpus's own unigram distribution score
+    * high (gibberish, boilerplate soup), well-formed prose scores low;
+    * pipelines bucket on it to keep/head/middle/discard. Emits exact
+    * integer sums (mean NLL = nll_micro_sum / n_tokens / 1e6;
+    * perplexity = exp of that) so the gate hash is bit-stable:
+    * per-term NLL is quantized like [[tfIdfTopK]]'s idf —
+    * nll_micro(t) = floor(1e6·ln(T/c_t)) with c_t the corpus count of
+    * t and T total corpus tokens.
+    *
+    * Scale shape: shuffles on (doc, term) for tf and on term for the
+    * corpus counts (both map-side combined), one shuffle join on term
+    * (vocabulary-sized side, NOT broadcast), one final doc aggregation;
+    * T rides a broadcast 1-row aggregate derived from the counts (no
+    * extra corpus scan). Empty docs keep a row with zero sums via the
+    * left join — the "undefined quality" marker a filter stage must
+    * decide on explicitly.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("c_t"))
+    val total = cnt.select(sum("c_t").as("t_total"))
+    val perDoc = tf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        floor(log(col("t_total").cast("double") / col("c_t").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("toks"), sum(col("tf") * col("nll_micro")).as("nll"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("toks"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0L)).as("nll_micro_sum"))
+  }
+
+  /** Mixture accounting per stratum (source × language × …): document
+    * and token counts, character mass, and the summed unigram NLL from
+    * [[unigramLogProb]] — the bookkeeping a training-mix designer
+    * reads before assigning per-domain sampling weights (and after,
+    * to audit what a weighted sample actually contained). One extra
+    * shuffle on the bounded stratum key.
+    */
+  def domainMixtureStats(df: DataFrame, textCol: String, idCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    val per = unigramLogProb(df, textCol, idCol)
+    df.select(strataCols.map(col) ++
+        Seq(col(idCol).as("doc_id"), length(col(textCol)).as("chars")): _*)
+      .join(per, "doc_id")
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars").cast("long")).as("n_chars"),
+        sum("n_tokens").as("n_tokens"),
+        sum("nll_micro_sum").as("nll_micro_sum"))
+  }
+
   /** Benchmark-contamination detection: for every corpus document, the
     * share of its distinct word `n`-grams that also occur anywhere in
     * the `benchmark` set (the held-out eval/test corpus). The standard

@@ -627,6 +627,54 @@ object LlmQueries {
         |  1 AS ascii_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus-trained unigram LM score (CCNet-style quality /
+    // perplexity bucketing). Exact integer sums; per-term NLL floor-
+    // quantized to micro units like tfidf_topk's idf.
+    QDef("unigram_logprob", (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM c),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(c_t AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(nll_micro_sum, 0) AS nll_micro_sum
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- training-mix accounting per (source, lang): doc/token/char
+    // mass + summed unigram NLL — what a mixture designer reads before
+    // setting per-domain sampling weights.
+    QDef("domain_mixture_stats", (s, dir) =>
+      TextAnalysis.domainMixtureStats(Tables.load(s, dir, "documents"),
+          "text", "doc_id", Seq("source", "lang"))
+        .orderBy("source", "lang"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM c),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(c_t AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(nll_micro_sum, 0)) AS BIGINT) AS nll_micro_sum
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
     // ---- REAL image decode: pure-JVM binary-PPM (P6) parse inside
     // the same mapPartitions shape as the stub path. The fixture
     // writes a deterministic P6 image per doc (pixel byte p =

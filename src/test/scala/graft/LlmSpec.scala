@@ -425,4 +425,34 @@ class LlmSpec extends SparkSpec {
     val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
     assert(got == Seq("en", "de", "und"))
   }
+
+  test("unigramLogProb matches hand-computed quantized NLL; empty doc keeps a zero row") {
+    import spark.implicits._
+    // Corpus counts: x=3, y=2, z=1, T=6.
+    //   nll_micro(x) = floor(1e6*ln(6/3)) = 693147
+    //   nll_micro(y) = floor(1e6*ln(6/2)) = 1098612
+    //   nll_micro(z) = floor(1e6*ln(6/1)) = 1791759
+    val df = Seq((1L, "x x x y"), (2L, "y z"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L * 693147L + 1098612L),
+      (2L, 2L, 1098612L + 1791759L),
+      (3L, 0L, 0L)))
+  }
+
+  test("domainMixtureStats aggregates doc/char/token/NLL mass per stratum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "web", "en", "x x x y"),
+      (2L, "web", "en", "y z"),
+      (3L, "book", "de", "")).toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.domainMixtureStats(df, "text", "doc_id",
+        Seq("source", "lang"))
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("book", "de", 1L, 0L, 0L, 0L),
+      ("web", "en", 2L, 10L, 6L, 3L * 693147L + 2L * 1098612L + 1791759L)))
+  }
 }
