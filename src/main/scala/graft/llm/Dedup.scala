@@ -576,6 +576,63 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Bloom-prefiltered incremental dedup — same EXACT semantics as
+  // [[incrementalDedup]], different scale shape: the corpus side never
+  // shuffles at all.
+  /** Exact ingestion-time dedup where the existing corpus is reduced
+    * to a Bloom filter (Spark's native `BloomFilterAggregate`: one
+    * corpus scan, per-partition filters OR-merged map-side — the rows
+    * themselves never shuffle) that prefilters the batch via the
+    * codegen'd `BloomFilterMightContain` predicate. Bloom has no false
+    * negatives, so `!might_contain` rows are provably new and skip the
+    * join entirely; the (true dups + fpp·|batch|) survivors are then
+    * verified exactly with two broadcast probes — corpus semi-joined
+    * against the SMALL suspect hash set, batch anti-joined against the
+    * confirmed hits — so the output is bit-identical to the plain
+    * anti-join.
+    *
+    * Driver state is the filter itself (`numBits/8` bytes, sized by
+    * `expectedItems`/`fpp` — bounded and caller-chosen, the same class
+    * of metadata as AQE stats or the k-means centroid literals). At
+    * corpus sizes where one filter is impractical (≫10⁹ docs),
+    * partition the corpus and OR the per-shard filters, or fall back
+    * to [[incrementalDedup]]'s bucketed hash-set join.
+    */
+  def bloomIncrementalDedup(batch: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val w = Window.partitionBy("content_hash").orderBy(idCol)
+    val firsts = batch.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // both sides key the filter on xxhash64(md5(text)) — the same
+    // value the batch probes with below
+    val bloomAgg = new BloomFilterAggregate(
+      bridge.expression(xxhash64(md5(col(textCol)))),
+      Literal(expectedItems), Literal(numBits))
+    val bloomBytes = existing
+      .agg(bridge.column(bloomAgg.toAggregateExpression()).as("bloom"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) return firsts // empty corpus: everything is new
+    val mightContain = bridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes), bridge.expression(xxhash64(col("content_hash")))))
+    val flagged = firsts.withColumn("bloom_hit", mightContain)
+    val provablyNew = flagged.filter(!col("bloom_hit")).drop("bloom_hit")
+    val suspects = flagged.filter(col("bloom_hit")).drop("bloom_hit")
+    val suspectHashes = suspects.select("content_hash").distinct()
+    val confirmedDups = existing.select(md5(col(textCol)).as("content_hash"))
+      .join(broadcast(suspectHashes), Seq("content_hash"), "left_semi")
+      .distinct()
+    provablyNew.unionByName(
+      suspects.join(broadcast(confirmedDups), Seq("content_hash"), "left_anti"))
+  }
+
+  // ---------------------------------------------------------------
   // Span-level (chunk) dedup — the C4-style pass that removes REPEATED
   // SPANS across the corpus while keeping the documents themselves:
   // boilerplate paragraphs, license headers, navigation text. Each doc

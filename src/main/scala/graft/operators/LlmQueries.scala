@@ -567,6 +567,31 @@ object LlmQueries {
         |SELECT doc_id, content_hash FROM f WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Bloom-prefiltered incremental dedup: same EXACT answer as
+    // dedup_incremental's shape (different fixture split), but the
+    // corpus side builds a native BloomFilterAggregate instead of
+    // shuffling its hash set; survivors are verified with broadcast
+    // probes. fpp deliberately loose (0.2) so false positives occur at
+    // gate scale and the verify join is provably exercised.
+    QDef("dedup_bloom_incremental", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.bloomIncrementalDedup(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0), "text", "doc_id",
+          expectedItems = 4096, fpp = 0.2)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    },
+      Some("""WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |b AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+        |  WHERE doc_id % 4 <> 0),
+        |f AS (SELECT doc_id, content_hash, row_number() OVER (
+        |    PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM b WHERE content_hash NOT IN (SELECT content_hash FROM ex))
+        |SELECT doc_id, content_hash FROM f WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal feature extraction (mapPartitions stub decode) -
     QDef("multimodal_features", (s, dir) =>
       Multimodal.decodeStub(s,

@@ -426,6 +426,29 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("bloomIncrementalDedup is exact under heavy false positives and matches the plain anti-join") {
+    import spark.implicits._
+    val existing = (1L to 200L).map(i => (i, s"doc ${i % 50}")).toDF("doc_id", "text")
+    val batch = (201L to 400L).map(i => (i, s"doc ${i % 80}")).toDF("doc_id", "text")
+    // 16 expected items at fpp 0.5 for a 160-distinct-hash corpus →
+    // the filter is saturated, so nearly every probe is a bloom hit and
+    // the broadcast verify join does all the real work
+    val got = Dedup.bloomIncrementalDedup(batch, existing, "text", "doc_id",
+        expectedItems = 16, fpp = 0.5)
+      .select("doc_id", "content_hash").orderBy("doc_id").collect().toSeq
+    val want = Dedup.incrementalDedup(batch, existing, "text", "doc_id")
+      .select("doc_id", "content_hash").orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // empty corpus: everything new, first occurrence per hash kept
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val all = Dedup.bloomIncrementalDedup(batch, emptyCorpus, "text", "doc_id")
+      .select("doc_id", "content_hash").orderBy("doc_id").collect().toSeq
+    val allWant = Dedup.incrementalDedup(batch, emptyCorpus, "text", "doc_id")
+      .select("doc_id", "content_hash").orderBy("doc_id").collect().toSeq
+    assert(all == allWant)
+  }
+
   test("unigramLogProb matches hand-computed quantized NLL; empty doc keeps a zero row") {
     import spark.implicits._
     // Corpus counts: x=3, y=2, z=1, T=6.
