@@ -670,4 +670,39 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  // ---------------------------------------------------------------
+  // Boilerplate removal — the RefinedWeb/C4 line-dedup variant that
+  // removes EVERY occurrence of a span whose distinct-document
+  // frequency exceeds a threshold (nav text, license headers, cookie
+  // banners), where [[chunkDedup]] keeps the first. Documents survive;
+  // only their boilerplate spans are cut.
+  /** Scale shape: one narrow chunking pass (native `WordChunks`), one
+    * `(chunk, doc)` distinct + partial-agg'd count for the document
+    * frequency (group state is one counter per chunk — a hot
+    * boilerplate chunk never materializes its occurrence list, unlike
+    * a collect_set-over-window formulation), one semi-join back on the
+    * chunk key, one doc-key shuffle to reassemble. No global window,
+    * no driver state.
+    */
+  def boilerplateRemoval(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 10, maxDocFreq: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      graft.functions.WordChunks(col(textCol), chunkWords).as("chunks"))
+    val exploded = docs.select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+    val rare = exploded.select("chunk", "doc_id").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxDocFreq)
+    val kept = exploded.join(rare, Seq("chunk"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+    docs.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -446,6 +446,29 @@ object LlmQueries {
         |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_text, '') AS kept_text
         |FROM ch c LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- boilerplate span removal (RefinedWeb line-dedup variant):
+    // drop EVERY occurrence of a chunk present in > maxDocFreq
+    // distinct docs; chunk_dedup above keeps the first instead -------
+    QDef("boilerplate_removal", (s, dir) =>
+      Dedup.boilerplateRemoval(Tables.load(s, dir, "documents"), "text",
+          "doc_id", chunkWords = 5, maxDocFreq = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |ch AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |  ELSE [array_to_string(ws[i*5+1 : i*5+5], ' ')
+        |        for i in range(0, CAST(ceil(len(ws) / 5.0) AS INT))] END AS chunks
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest([{'idx': i, 'chunk': chunks[i+1]}
+        |  for i in range(0, len(chunks))], recursive := true) FROM ch),
+        |rare AS (SELECT chunk FROM (SELECT chunk, count(DISTINCT doc_id) AS df_docs
+        |  FROM ex GROUP BY 1) WHERE df_docs <= 2),
+        |k AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |  FROM ex WHERE chunk IN (SELECT chunk FROM rare) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(chunks) AS INT) AS n_chunks,
+        |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_text, '') AS kept_text
+        |FROM ch c LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ---- TF-IDF top-k terms per document (integer-quantized idf so
     // JVM/DuckDB libm 1-ulp ln() drift cannot flip the ranking) ------
     QDef("tfidf_topk", (s, dir) =>

@@ -449,6 +449,28 @@ class LlmSpec extends SparkSpec {
     assert(all == allWant)
   }
 
+  test("boilerplateRemoval drops every occurrence above the doc-frequency threshold") {
+    import spark.implicits._
+    // chunkWords=2: "nav bar" appears in 3 docs (df=3 > 2) → removed
+    // everywhere; "body one"/"body two" are unique; doc 4 repeats
+    // "twice here" twice WITHIN itself (df=1) → both kept
+    val df = Seq(
+      (1L, "nav bar body one"),
+      (2L, "nav bar body two"),
+      (3L, "nav bar"),
+      (4L, "twice here twice here"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemoval(df, "text", "doc_id",
+        chunkWords = 2, maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2, 1, "body one"),
+      (2L, 2, 1, "body two"),
+      (3L, 1, 0, ""),
+      (4L, 2, 2, "twice here twice here"),
+      (5L, 0, 0, "")))
+  }
+
   test("unigramLogProb matches hand-computed quantized NLL; empty doc keeps a zero row") {
     import spark.implicits._
     // Corpus counts: x=3, y=2, z=1, T=6.
