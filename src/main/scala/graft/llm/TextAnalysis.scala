@@ -222,6 +222,55 @@ object TextAnalysis {
         coalesce(col("nll"), lit(0L)).as("nll_micro_sum"))
   }
 
+  /** CCNet-style quality bucketing: every document ranked by its mean
+    * unigram NLL (from [[unigramLogProb]], integer division so the
+    * key is an exact long) and split into `buckets` equal-frequency
+    * tiers — head/middle/tail in CCNet's vocabulary; pipelines keep
+    * head, re-score middle, drop tail. Token-less documents rank last
+    * via an explicit sentinel key (a filter stage must decide on them
+    * explicitly, same contract as [[unigramLogProb]]).
+    *
+    * The global ntile is computed WITHOUT a global window (a naive
+    * `Window.orderBy` funnels the corpus through one task): approx-
+    * quantile bands over the mean-NLL key (skew-proof — a hot value
+    * gets its own band), per-band start offsets from a ≤nBands-row
+    * collected aggregate (metadata-scale, the `cumulativeRangeCount`
+    * machinery), exact global rank = band offset + within-band
+    * row_number, and the tier from the rank by ntile's own
+    * arithmetic: the first n%k tiers take ⌊n/k⌋+1 rows, the rest
+    * ⌊n/k⌋. Ties on band boundaries can't straddle bands (strict-<
+    * banding), and the (mean, doc_id) order key is total, so the
+    * result is bit-identical to the single-window form.
+    */
+  def qualityBuckets(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 3, nBands: Int = 256): DataFrame = {
+    import graft.operators.RelationalQueries.{quantileBandBounds, bandOf}
+    val sentinel = 8000000000000000000L // far above any real mean NLL
+    val per = unigramLogProb(df, textCol, idCol)
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
+          .otherwise(lit(sentinel)))
+    val bounds = quantileBandBounds(per, "mean_nll_micro", nBands)
+    val banded = per.withColumn("band", bandOf(bounds, col("mean_nll_micro")))
+    val cnts = banded.groupBy("band").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }.toSeq
+    val n = acc
+    val offDf = per.sparkSession.createDataFrame(offsets).toDF("band", "off")
+    val wIn = Window.partitionBy("band").orderBy("mean_nll_micro", "doc_id")
+    val q = n / buckets
+    val r = n % buckets
+    banded.join(broadcast(offDf), "band")
+      .withColumn("nll_rank", col("off") + row_number().over(wIn))
+      .withColumn("quality_bucket",
+        expr(s"CAST(IF(nll_rank <= ${r * (q + 1)}, " +
+          s"(nll_rank - 1) div ${q + 1} + 1, " +
+          s"$r + (nll_rank - ${r * (q + 1)} - 1) div ${math.max(q, 1L)} + 1) AS INT)"))
+      .select("doc_id", "n_tokens", "mean_nll_micro", "nll_rank",
+        "quality_bucket")
+  }
+
   /** Mixture accounting per stratum (source × language × …): document
     * and token counts, character mass, and the summed unigram NLL from
     * [[unigramLogProb]] — the bookkeeping a training-mix designer

@@ -698,6 +698,38 @@ object LlmQueries {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- CCNet head/middle/tail quality bucketing: exact global
+    // ntile over mean unigram NLL, computed via quantile bands +
+    // band-offset ranks (no global window; bit-identical to the
+    // single-window form the oracle runs) ---------------------------
+    QDef("quality_buckets", (s, dir) =>
+      TextAnalysis.qualityBuckets(Tables.load(s, dir, "documents"),
+          "text", "doc_id", buckets = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM c),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(c_t AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1),
+        |per AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(nll_micro_sum, 0) AS nll_micro_sum
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |m AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 8000000000000000000
+        |         ELSE nll_micro_sum // n_tokens END AS mean_nll_micro
+        |  FROM per)
+        |SELECT doc_id, n_tokens, mean_nll_micro,
+        |  CAST(row_number() OVER w AS BIGINT) AS nll_rank,
+        |  CAST(ntile(3) OVER w AS INT) AS quality_bucket
+        |FROM m WINDOW w AS (ORDER BY mean_nll_micro, doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- training-mix accounting per (source, lang): doc/token/char
     // mass + summed unigram NLL — what a mixture designer reads before
     // setting per-domain sampling weights.

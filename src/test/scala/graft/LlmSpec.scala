@@ -486,6 +486,34 @@ class LlmSpec extends SparkSpec {
       (3L, 0L, 0L)))
   }
 
+  test("qualityBuckets is bit-identical to the single-global-window ntile form") {
+    import spark.implicits._
+    // heavy ties (hot token mix repeated) + unique docs + empty docs,
+    // n=97 indivisible by 3 and by 5
+    val df = (1L to 97L).map { i =>
+      val text = if (i % 5 == 0) "common words shared by many docs"
+      else if (i % 11 == 0) "" else s"unique${i % 23} tok${i % 31} filler"
+      (i, text)
+    }.toDF("doc_id", "text")
+    for (k <- Seq(3, 5)) {
+      val got = TextAnalysis.qualityBuckets(df, "text", "doc_id", buckets = k,
+          nBands = 8)
+        .orderBy("doc_id").collect().toSeq
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy("mean_nll_micro", "doc_id")
+      val want = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+        .withColumn("mean_nll_micro",
+          when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
+            .otherwise(lit(8000000000000000000L)))
+        .withColumn("nll_rank", row_number().over(wAll).cast("long"))
+        .withColumn("quality_bucket", ntile(k).over(wAll))
+        .select("doc_id", "n_tokens", "mean_nll_micro", "nll_rank",
+          "quality_bucket")
+        .orderBy("doc_id").collect().toSeq
+      assert(got == want, s"buckets=$k")
+    }
+  }
+
   test("domainMixtureStats aggregates doc/char/token/NLL mass per stratum") {
     import spark.implicits._
     val df = Seq(
