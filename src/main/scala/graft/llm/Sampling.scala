@@ -28,6 +28,53 @@ object Sampling {
     df.filter(pmod(col(idCol), lit(modulus)) < rate)
   }
 
+  /** Temperature-weighted domain mixing (the PaLM/LLaMA α-sampling
+    * rule): domain `d` holding `n_d` of `N` documents is sampled at a
+    * rate proportional to `n_d^α / n_d`, so small domains are
+    * up-weighted relative to their share (α<1 flattens the mixture; a
+    * domain whose computed rate exceeds 1 is kept whole — the standard
+    * cap). Target output size is `targetFracMicro/1e6 · N` in
+    * expectation.
+    *
+    * Deterministic end to end: per-domain rates are derived with
+    * integer arithmetic plus a single IEEE `sqrt` (α=0.5, the usual
+    * temperature; sqrt is correctly rounded by IEEE 754 in every
+    * engine, unlike `pow`/`ln` whose libm implementations drift by an
+    * ulp) — `w_milli = floor(1000·sqrt(n_d))`, `rate_micro =
+    * min(1e6, targetFracMicro·N·w_milli ÷ (Σw_milli·n_d))` in BigInt —
+    * and the keep decision is `(id mod modulus)·(1e6/modulus) <
+    * rate_micro`, a pure function of the row like [[stratifiedSample]]
+    * (`modulus` must divide 1e6; choose it ≤ the id spread so the
+    * decision actually varies — rate resolution is 1e6/modulus).
+    *
+    * Scale shape: one partial-agg'd count per domain (bounded key
+    * space, metadata to the driver — the same class as AQE stats),
+    * one broadcast join of the ≤|domains|-row rate table, narrow
+    * filter. Emits `rate_micro` so a mixture audit can read back what
+    * was applied.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      targetFracMicro: Long, modulus: Long = 1000000L): DataFrame = {
+    require(modulus > 0 && 1000000L % modulus == 0,
+      s"modulus must divide 1e6, got $modulus")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val wMilli = counts.map { case (d, nd) =>
+      (d, nd, math.floor(math.sqrt(nd.toDouble) * 1000.0).toLong)
+    }
+    val wTotal = wMilli.map(_._3).sum
+    val rates = wMilli.map { case (d, nd, w) =>
+      val r = (BigInt(targetFracMicro) * n * w) / (BigInt(wTotal) * nd)
+      (d, r.min(BigInt(1000000L)).toLong)
+    }.toSeq
+    val rateDf = df.sparkSession.createDataFrame(rates)
+      .toDF(strataCol, "rate_micro")
+    df.join(broadcast(rateDf), strataCol)
+      .filter(pmod(col(idCol), lit(modulus)) * lit(1000000L / modulus)
+        < col("rate_micro"))
+  }
+
   /** Greedy in-order context-window packing: within each shard
     * (`strataCol`), documents in `idCol` order are laid head-to-tail
     * and each is assigned the window its FIRST token lands in

@@ -203,6 +203,33 @@ object LlmQueries {
         |                                 WHEN 'src1' THEN 40 ELSE 10 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- temperature-weighted (α=0.5) domain mixing: rate ∝
+    // sqrt-share, integer-exact except one IEEE-correctly-rounded
+    // sqrt, keep decision a pure function of the row ----------------
+    QDef("temperature_sample", (s, dir) =>
+      // modulus 100 ≤ the gate id spread so the keep decision is
+      // actually exercised (row counts shrink to ~the target), not
+      // vacuously true for every small doc_id
+      graft.llm.Sampling.temperatureSample(Tables.load(s, dir, "documents"),
+          "doc_id", "source", targetFracMicro = 250000L, modulus = 100L)
+        .select("doc_id", "source", "rate_micro")
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_d
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM n),
+        |w AS (SELECT source, n_d,
+        |    CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1000.0) AS BIGINT) AS w_milli
+        |  FROM n),
+        |ww AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM w),
+        |r AS (SELECT source, CAST(least(CAST(1000000 AS HUGEINT),
+        |    (CAST(250000 AS HUGEINT) * n * w_milli)
+        |      // (CAST(w_total AS HUGEINT) * n_d)) AS BIGINT) AS rate_micro
+        |  FROM w CROSS JOIN tot CROSS JOIN ww)
+        |SELECT d.doc_id, d.source, rate_micro
+        |FROM documents d JOIN r USING (source)
+        |WHERE (d.doc_id % 100) * 10000 < rate_micro
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- context-window sequence packing (per-shard window cumsum) -
     QDef("pack_sequences", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")

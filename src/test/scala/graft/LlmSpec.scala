@@ -514,6 +514,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample flattens the mixture with hand-computed integer rates") {
+    import spark.implicits._
+    // a: 9 docs (90% share), b: 1 doc. w_milli: a=3000, b=1000, W=4000.
+    // target 50% of N=10:
+    //   rate_a = 500000*10*3000 / (4000*9)  = 416666 (µ) → flattened
+    //   rate_b = 500000*10*1000 / (4000*1)  = 1250000 → capped, kept whole
+    val df = ((1 to 9).map(i => (i * 100000L, "a")) :+ (999999L, "b"))
+      .toDF("doc_id", "source")
+    val got = graft.llm.Sampling.temperatureSample(df, "doc_id", "source", 500000L)
+      .select("doc_id", "source", "rate_micro")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (100000L, "a", 416666L), (200000L, "a", 416666L),
+      (300000L, "a", 416666L), (400000L, "a", 416666L),
+      (999999L, "b", 1000000L)))
+  }
+
   test("domainMixtureStats aggregates doc/char/token/NLL mass per stratum") {
     import spark.implicits._
     val df = Seq(
