@@ -222,6 +222,64 @@ object TextAnalysis {
         coalesce(col("nll"), lit(0L)).as("nll_micro_sum"))
   }
 
+  /** BM25 keyword retrieval: top-`k` documents per query under the
+    * Okapi BM25 ranking (idf · saturated-tf · length normalization) —
+    * the keyword leg of a retrieval/RAG pipeline and the standard
+    * "find training docs about X" tool.
+    *
+    * Determinism: idf is floor-quantized to micro units (the
+    * [[tfIdfTopK]] rule — ln is the one libm call, quantized so a
+    * 1-ulp drift can't flip a rank); the tf/length factor uses only
+    * IEEE +,-,*,/ which are bit-identical in any engine when the
+    * operation order is mirrored; per-term contributions are floored
+    * to longs BEFORE the per-document sum, so the aggregation is
+    * integer-exact and order-independent. Ties break by doc_id.
+    *
+    * Scale shape: one corpus scan builds (doc, term, tf) and doc
+    * lengths; the QUERY term set (small) is broadcast and prunes the
+    * postings before df/length joins, so only candidate postings
+    * shuffle; corpus stats ride a broadcast 1-row aggregate; the
+    * final top-k window partitions by query id (bounded). A stopword
+    * query term makes its posting list long — standard BM25 practice
+    * is to drop ultra-high-df terms query-side; the df column is
+    * emitted per contribution for that decision.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lens = terms.groupBy("doc_id").agg(count(lit(1)).as("len_d"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len_d").as("tot_len"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+      explode(tokens(col(qTextCol))).as("term")).distinct()
+    val cand = tf.join(broadcast(qterms), "term")
+    val dfreq = cand.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    val contrib = cand
+      .join(lens, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        floor(log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5))
+          / (col("df_t") + lit(0.5))) * lit(1000000.0)).cast("long"))
+      .withColumn("tf_factor",
+        (col("tf") * lit(k1 + 1)) / (col("tf") + lit(k1)
+          * (lit(1 - b) + lit(b) * col("len_d")
+            / (col("tot_len").cast("double") / col("n_docs")))))
+      .withColumn("contrib_micro",
+        floor(col("idf_micro").cast("double") * col("tf_factor")).cast("long"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_micro").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_micro")
+  }
+
   /** CCNet-style quality bucketing: every document ranked by its mean
     * unigram NLL (from [[unigramLogProb]], integer division so the
     * key is an exact long) and split into `buckets` equal-frequency

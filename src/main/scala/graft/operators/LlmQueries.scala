@@ -473,6 +473,54 @@ object LlmQueries {
         |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_text, '') AS kept_text
         |FROM ch c LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- BM25 keyword retrieval: top-5 docs per query (queries =
+    // every 97th doc's first 3 tokens). idf floor-quantized to micro;
+    // tf/length factor mirrors the IEEE op order; per-term floors
+    // before the sum so aggregation is integer-exact ----------------
+    QDef("bm25_topk", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
+            .as("qtext"))
+      TextAnalysis.bm25TopK(docs, queries, "text", "doc_id",
+          "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    },
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len_d
+        |  FROM terms GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len_d) AS BIGINT) AS tot_len FROM lens),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(($DuckToks)[1:3], ' ') AS qtext
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, unnest(
+        |    list_filter(string_split(qtext, ' '), w -> w <> '')) AS term FROM q),
+        |cand AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf
+        |  FROM tf JOIN qt USING (term)),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+        |  FROM (SELECT DISTINCT term, doc_id FROM cand) GROUP BY 1),
+        |contrib AS (SELECT query_id, c.doc_id,
+        |    CAST(floor(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |      * 1000000.0) AS BIGINT) AS idf_micro,
+        |    (c.tf * (1.2 + 1)) / (c.tf + 1.2 * ((1 - 0.75) + 0.75 * len_d
+        |      / (CAST(tot_len AS DOUBLE) / n_docs))) AS tf_factor
+        |  FROM cand c JOIN lens USING (doc_id) JOIN dfreq USING (term)
+        |  CROSS JOIN stats),
+        |scored AS (SELECT query_id, doc_id,
+        |    CAST(sum(CAST(floor(CAST(idf_micro AS DOUBLE) * tf_factor)
+        |      AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score_micro FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- boilerplate span removal (RefinedWeb line-dedup variant):
     // drop EVERY occurrence of a chunk present in > maxDocFreq
     // distinct docs; chunk_dedup above keeps the first instead -------

@@ -514,6 +514,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK matches an independently-computed score and ranks by tf/length") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple banana"), (2L, "apple banana banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (20L, "banana cherry"), (30L, "mango"))
+      .toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, queries, "text", "doc_id",
+        "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank").as[(Long, Int, Long, Long)].collect().toSeq
+    // independent replay in plain Scala doubles (same IEEE semantics)
+    val n = 3L; val avg = 7.0.toDouble / n
+    def idfMicro(dfT: Long): Long =
+      math.floor(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)) * 1000000.0).toLong
+    def contrib(dfT: Long, tf: Long, len: Long): Long =
+      math.floor(idfMicro(dfT).toDouble *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avg)))).toLong
+    assert(got == Seq(
+      (10L, 1, 1L, contrib(2, 2, 3)), // apple: d1 tf=2 beats d2 tf=1
+      (10L, 2, 2L, contrib(2, 1, 3)),
+      (20L, 1, 3L, contrib(1, 1, 1)), // cherry: rare term + short doc wins
+      (20L, 2, 2L, contrib(2, 2, 3)), // banana tf=2
+      (20L, 3, 1L, contrib(2, 1, 3)))) // mango query: no rows at all
+  }
+
   test("temperatureSample flattens the mixture with hand-computed integer rates") {
     import spark.implicits._
     // a: 9 docs (90% share), b: 1 doc. w_milli: a=3000, b=1000, W=4000.
