@@ -250,7 +250,9 @@ object TextAnalysis {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val lens = terms.groupBy("doc_id").agg(count(lit(1)).as("len_d"))
+    // doc length = Σ tf — derived from the (much smaller) tf relation,
+    // not a second scan of the corpus text
+    val lens = tf.groupBy("doc_id").agg(sum("tf").as("len_d"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum("len_d").as("tot_len"))
     val qterms = queries.select(col(qIdCol).as("query_id"),
