@@ -576,6 +576,49 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+  // the embedding level — k-means partitions the space, near-dup
+  // candidates are compared ONLY within their cluster, cosine-near
+  // groups collapse to one representative. The published recipe for
+  // web-scale corpora where global all-pairs is impossible and even
+  // LSH misses the "same meaning, different words" duplicates that
+  // embeddings catch.
+  /** Scale shape: `k` bounds every pairwise stage — the self-join is
+    * an equi-join on the cluster id (never a cross join), so cost is
+    * Σ per-cluster m², tuned by `k` exactly as in the paper (their
+    * k=11k for 134M docs); the component step reuses
+    * [[nearDupClusters]] (byte-budgeted union-find below, star rounds
+    * above). Output: every vector with its k-means cell, its semantic
+    * group representative (min id; itself for singletons), and the
+    * keep verdict.
+    */
+  def semDeDup(corpus: DataFrame, k: Int, iters: Int, threshold: Double,
+      dim: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val assigned = Similarity.kMeansAssign(corpus, k, iters, dim = dim,
+      vecCol = vecCol, idCol = idCol)
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2Norm(col("v")))
+      .join(assigned, "vec_id")
+    val a = v.select(col("cluster"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("cluster"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(Similarity.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")) >= threshold)
+      .select("ia", "ib")
+    val groups = nearDupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+    assigned.join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("group_id"), col("vec_id")).as("rep_id"),
+        (coalesce(col("group_id"), col("vec_id")) === col("vec_id"))
+          .as("is_kept"))
+  }
+
+  // ---------------------------------------------------------------
   // Bloom-prefiltered incremental dedup — same EXACT semantics as
   // [[incrementalDedup]], different scale shape: the corpus side never
   // shuffles at all.

@@ -600,6 +600,35 @@ object LlmQueries {
         .orderBy("vec_id"),
       Some(kmeansSql(k = 4, iters = 2))),
 
+    // ---- SemDeDup (arXiv:2303.09540): k-means cells bound the
+    // pairwise stage; within-cell cosine groups collapse to a min-id
+    // representative. Oracle = unrolled k-means replay + within-
+    // cluster pair join + recursive-CTE components ------------------
+    QDef("semdedup", (s, dir) =>
+      Dedup.semDeDup(Tables.load(s, dir, "embeddings"), k = 4, iters = 2,
+          threshold = 0.4)
+        .orderBy("vec_id"),
+      Some(kmeansCtes(k = 4, iters = 2).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+        |v AS (SELECT e.vec_id, e.embedding, a.cluster,
+        |    sqrt(list_reduce(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings e JOIN ${kmeansFinal(2)} a USING (vec_id)),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (a.nrm * b.nrm) >= 0.4),
+        |e2 AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM e2
+        |  UNION
+        |  SELECT e2.a, r.b FROM e2 JOIN reach r ON e2.b = r.a),
+        |g AS (SELECT a AS vec_id, min(b) AS group_id FROM reach GROUP BY a)
+        |SELECT v.vec_id, v.cluster, coalesce(g.group_id, v.vec_id) AS rep_id,
+        |  (coalesce(g.group_id, v.vec_id) = v.vec_id) AS is_kept
+        |FROM v LEFT JOIN g USING (vec_id) ORDER BY vec_id""".stripMargin)),
+
     // ---- cluster-stratified diversity sampling (cover the embedding
     // space): k-means then keep the perCluster lowest ids per cell ---
     QDef("diversity_sample", (s, dir) =>

@@ -514,6 +514,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
+    import spark.implicits._
+    // identical vectors always share a k-means cell (deterministic
+    // argmin) and have cos=1; orthogonal/negative pairs stay below the
+    // threshold whatever cell they land in — so the expected output is
+    // independent of where the centroids converge
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(-0.7f, -0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDeDup(vecs, k = 2, iters = 1, threshold = 0.9, dim = 2)
+      .orderBy("vec_id")
+      .select("vec_id", "rep_id", "is_kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
+  }
+
   test("bm25TopK matches an independently-computed score and ranks by tf/length") {
     import spark.implicits._
     val docs = Seq((1L, "apple apple banana"), (2L, "apple banana banana"),
