@@ -627,12 +627,12 @@ object Dedup {
     * corpus scan, per-partition filters OR-merged map-side — the rows
     * themselves never shuffle) that prefilters the batch via the
     * codegen'd `BloomFilterMightContain` predicate. Bloom has no false
-    * negatives, so `!might_contain` rows are provably new and skip the
-    * join entirely; the (true dups + fpp·|batch|) survivors are then
-    * verified exactly with two broadcast probes — corpus semi-joined
-    * against the SMALL suspect hash set, batch anti-joined against the
-    * confirmed hits — so the output is bit-identical to the plain
-    * anti-join.
+    * negatives, so a non-hit hash is provably new; the (true dups +
+    * fpp·|batch|) suspect hashes are verified exactly with two
+    * broadcast probes — corpus semi-joined against the SMALL suspect
+    * hash set, then the batch anti-joined against the confirmed hits
+    * (a tiny broadcast; bloom-clean rows pass it trivially) — so the
+    * output is bit-identical to the plain anti-join.
     *
     * Driver state is the filter itself (`numBits/8` bytes, sized by
     * `expectedItems`/`fpp` — bounded and caller-chosen, the same class
@@ -662,17 +662,18 @@ object Dedup {
       .agg(bridge.column(bloomAgg.toAggregateExpression()).as("bloom"))
       .head.getAs[Array[Byte]](0)
     if (bloomBytes == null) return firsts // empty corpus: everything is new
-    val mightContain = bridge.column(new BloomFilterMightContain(
-      Literal(bloomBytes), bridge.expression(xxhash64(col("content_hash")))))
-    val flagged = firsts.withColumn("bloom_hit", mightContain)
-    val provablyNew = flagged.filter(!col("bloom_hit")).drop("bloom_hit")
-    val suspects = flagged.filter(col("bloom_hit")).drop("bloom_hit")
-    val suspectHashes = suspects.select("content_hash").distinct()
+    // suspect set = DISTINCT batch hashes the filter flags — no window
+    // needed here, and confirmedDups ⊆ suspects means one anti-join of
+    // the windowed batch finishes the job (bloom-clean rows can't
+    // match it), so the windowed subtree is evaluated once
+    val suspectHashes = batch.select(md5(col(textCol)).as("content_hash"))
+      .distinct()
+      .filter(bridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes), bridge.expression(xxhash64(col("content_hash"))))))
     val confirmedDups = existing.select(md5(col(textCol)).as("content_hash"))
       .join(broadcast(suspectHashes), Seq("content_hash"), "left_semi")
       .distinct()
-    provablyNew.unionByName(
-      suspects.join(broadcast(confirmedDups), Seq("content_hash"), "left_anti"))
+    firsts.join(broadcast(confirmedDups), Seq("content_hash"), "left_anti")
   }
 
   // ---------------------------------------------------------------
