@@ -444,6 +444,40 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Containment pairs — the asymmetric companion to Jaccard: how much
+  // of doc A's shingle set lives inside B (and vice versa). Catches
+  // what symmetric measures miss — a tweet quoted whole inside an
+  // article has tiny Jaccard but containment 1.0 — and is the
+  // decision input for substring-dedup policies (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better").
+  /** Same inverted-index count join as [[ngramJaccardPairs]] (8-byte
+    * shingle hashes, map-side pair counting), WITHOUT the size-ratio
+    * prune — containment is exactly the measure where a tiny doc
+    * matching a huge one must surface, so no ratio bound is sound.
+    * Cost is the honest sum-of-df² of the index; at 100 TB the recall
+    * path is minhash banding first, containment verify after.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, shingleN)
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val l = inv.alias("l"); val r = inv.hint("shuffle_hash").alias("r")
+    val common = l.join(r, col("l.h") === col("r.h")
+        && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
+    common
+      .select(col("ia"), col("ib"),
+        (col("common").cast("double") / col("na")).as("containment_a"),
+        (col("common").cast("double") / col("nb")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
+  // ---------------------------------------------------------------
   // SimHash: 30-bit signatures from token polynomial hashes.
   // One explode + one shuffle on doc_id; the 30 bit-sums are computed
   // as parallel aggregate expressions (single pass, codegen'd).

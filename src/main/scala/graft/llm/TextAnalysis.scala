@@ -243,6 +243,12 @@ object TextAnalysis {
     * query term makes its posting list long — standard BM25 practice
     * is to drop ultra-high-df terms query-side; the df column is
     * emitted per contribution for that decision.
+    *
+    * The plan derives tf/lens/stats from the corpus scan per consumer;
+    * a production deployment materializes the `(doc, term, tf)`
+    * relation once as a table bucketed by term — the classic index
+    * build — and the per-query cost collapses to the broadcast-pruned
+    * candidate fetch plus metadata-scale stats.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,

@@ -366,6 +366,29 @@ object LlmQueries {
         |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
         |ORDER BY ia, ib""".stripMargin)),
 
+    // ---- asymmetric containment pairs (quote/subset detection —
+    // tiny-inside-huge has small Jaccard but containment 1.0) --------
+    QDef("dedup_containment", (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
+          "doc_id", shingleN = 2, threshold = 0.8)
+        .orderBy("ia", "ib"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
+        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |    ELSE [] END) AS shingles FROM tok),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(a.shingles) AS containment_a,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(b.shingles) AS containment_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0)
+        |SELECT ia, ib, containment_a, containment_b FROM p
+        |WHERE greatest(containment_a, containment_b) >= 0.8
+        |ORDER BY ia, ib""".stripMargin)),
+
     // ---- SimHash signatures ---------------------------------------
     QDef("dedup_simhash", (s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")

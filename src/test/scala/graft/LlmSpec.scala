@@ -514,6 +514,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs surfaces tiny-inside-huge docs that Jaccard misses") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c"), (3L, "x y z"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", shingleN = 2,
+        threshold = 0.8)
+      .orderBy("ia", "ib").as[(Long, Long, Double, Double)].collect().toSeq
+    // (1,2): jaccard = 2/4 = 0.5 — would NOT pass a 0.8 jaccard gate;
+    // containment_b = 1.0 does
+    assert(got == Seq((1L, 2L, 0.5, 1.0), (1L, 4L, 0.25, 1.0),
+      (2L, 4L, 0.5, 1.0)))
+  }
+
   test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
     import spark.implicits._
     // identical vectors always share a k-means cell (deterministic
