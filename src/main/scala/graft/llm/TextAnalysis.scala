@@ -337,6 +337,48 @@ object TextAnalysis {
         "quality_bucket")
   }
 
+  /** Bigram upgrade of [[unigramLogProb]]: per-document conditional
+    * NLL under a corpus-trained Laplace-smoothed bigram model —
+    * NLL(w₂|w₁) = ln((c(w₁·)+V)/(c(w₁w₂)+1)) with c(w₁·) the count of
+    * bigrams starting with w₁ and V the unigram vocabulary size. The
+    * n-gram step toward CCNet's KenLM scoring: orders above bigram
+    * repeat the same shape with longer context keys. Same determinism
+    * contract as the unigram form: per-bigram NLL floor-quantized to
+    * micro units, integer sums, docs with <2 tokens keep a zero row.
+    *
+    * Scale shape: one scan explodes bigram occurrences (guarded HOF —
+    * `sequence` would run DESCENDING on a 1-token doc), shuffles on
+    * (doc, bigram) then bigram then the w₁ context key — all
+    * map-side combined; V rides a broadcast 1-row aggregate.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withBigrams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws)-1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val tf = withBigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cBig = tf.groupBy("bg").agg(sum("tf").as("c_big"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cCtx = cBig.groupBy("w1").agg(sum("c_big").as("c_ctx"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct("term").as("v"))
+    val perDoc = tf.join(cBig, "bg").join(cCtx, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_micro",
+        floor(log((col("c_ctx") + col("v")).cast("double")
+          / (col("c_big") + lit(1L)).cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("bgs"), sum(col("tf") * col("nll_micro")).as("nll"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bgs"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0L)).as("nll_micro_sum"))
+  }
+
   /** Mixture accounting per stratum (source × language × …): document
     * and token counts, character mass, and the summed unigram NLL from
     * [[unigramLogProb]] — the bookkeeping a training-mix designer

@@ -825,6 +825,37 @@ object LlmQueries {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- bigram conditional NLL (Laplace-smoothed) — the n-gram
+    // step toward CCNet's KenLM scoring; same quantization contract
+    // as unigram_logprob --------------------------------------------
+    QDef("bigram_logprob", (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tok),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY 1, 2),
+        |cb AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c_big,
+        |    split_part(bg, ' ', 1) AS w1 FROM tf GROUP BY 1),
+        |cc AS (SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_ctx
+        |  FROM cb GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |  FROM (SELECT unnest($DuckToks) AS term FROM documents)),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(c_ctx + v AS DOUBLE)
+        |      / CAST(c_big + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN cb USING (bg) JOIN cc USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(nll_micro_sum, 0) AS nll_micro_sum
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- CCNet head/middle/tail quality bucketing: exact global
     // ntile over mean unigram NLL, computed via quantile bands +
     // band-offset ranks (no global window; bit-identical to the

@@ -486,6 +486,21 @@ class LlmSpec extends SparkSpec {
       (3L, 0L, 0L)))
   }
 
+  test("bigramLogProb matches hand-computed smoothed NLL; short docs keep zero rows") {
+    import spark.implicits._
+    // corpus bigrams: "x y"=2, "y x"=2; contexts: x=2, y=2; V=3
+    //   nll("x y") = nll("y x") = floor(1e6*ln((2+3)/(2+1))) = 510825
+    val df = Seq((1L, "x y x y"), (2L, "y x"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L * 510825L),
+      (2L, 1L, 510825L),
+      (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+  }
+
   test("qualityBuckets is bit-identical to the single-global-window ntile form") {
     import spark.implicits._
     // heavy ties (hot token mix repeated) + unique docs + empty docs,

@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "unigram_logprob" -> "crossJoin of the broadcast 1-row corpus token total (LM denominator)",
     "domain_mixture_stats" -> "same 1-row token total via unigramLogProb",
     "quality_buckets" -> "same 1-row token total via unigramLogProb",
-    "bm25_topk" -> "crossJoin of the broadcast 1-row corpus stats (N, avg doclen)")
+    "bm25_topk" -> "crossJoin of the broadcast 1-row corpus stats (N, avg doclen)",
+    "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
