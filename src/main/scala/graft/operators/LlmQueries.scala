@@ -369,7 +369,9 @@ object LlmQueries {
     // ---- asymmetric containment pairs (quote/subset detection —
     // tiny-inside-huge has small Jaccard but containment 1.0) --------
     QDef("dedup_containment", (s, dir) =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
+      // prefix-filtered form: lossless (ContainSpec: bit-identical to
+      // the full index join) and ~2x faster even at gate scale
+      Dedup.containmentPairsPrefix(Tables.load(s, dir, "documents"), "text",
           "doc_id", shingleN = 2, threshold = 0.8)
         .orderBy("ia", "ib"),
       Some("""WITH tok AS (

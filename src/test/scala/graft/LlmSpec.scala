@@ -542,6 +542,23 @@ class LlmSpec extends SparkSpec {
       (2L, 4L, 0.5, 1.0)))
   }
 
+  test("containmentPairsPrefix is bit-identical to the full index join") {
+    // lossless prefix bound: same pairs AND same double containments,
+    // on the real gate corpus and at two thresholds (0.8 exercises
+    // short prefixes; 0.5 longer ones + the ceil float guard)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (t <- Seq(0.8, 0.5)) {
+      val exact = Dedup.containmentPairs(docs, "text", "doc_id",
+          shingleN = 2, threshold = t)
+        .orderBy("ia", "ib").collect().toSeq
+      val pref = Dedup.containmentPairsPrefix(docs, "text", "doc_id",
+          shingleN = 2, threshold = t)
+        .orderBy("ia", "ib").collect().toSeq
+      assert(pref == exact, s"threshold=$t: prefix-filtered result diverged")
+      assert(exact.nonEmpty, s"threshold=$t: vacuous corpus equality")
+    }
+  }
+
   test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
     import spark.implicits._
     // identical vectors always share a k-means cell (deterministic
