@@ -256,6 +256,29 @@ object LlmQueries {
       Some(s"""SELECT doc_id, ${duckPoly("text")} AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- winnowing fingerprints (MOSS): rightmost-min k-gram hash
+    // per w-window — selection replayed exactly by the oracle via the
+    // same (hash asc, pos desc) packed-integer key --------------------
+    QDef("winnow_fingerprint", (s, dir) =>
+      TextAnalysis.winnow(Tables.load(s, dir, "documents"), "text",
+          "doc_id", k = 4, w = 4)
+        .orderBy("doc_id", "pos"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |g AS (SELECT doc_id, [array_to_string(ws[i+1 : i+4], ' ')
+        |    for i in range(0, len(ws) - 3)] AS grams
+        |  FROM tok WHERE len(ws) >= 4),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |    s -> ${duckPoly("s")}) AS hs FROM g),
+        |ks AS (SELECT doc_id, [hs[j+1] * 1048576 + (1048575 - j)
+        |    for j in range(0, len(hs))] AS keys FROM h),
+        |sel AS (SELECT doc_id, list_distinct([list_min(keys[i+1 : i+4])
+        |    for i in range(0, greatest(len(keys) - 4, 0) + 1)]) AS wkeys
+        |  FROM ks),
+        |u AS (SELECT doc_id, unnest(wkeys) AS wkey FROM sel)
+        |SELECT doc_id, CAST(1048575 - (wkey % 1048576) AS INT) AS pos,
+        |  wkey // 1048576 AS fp
+        |FROM u ORDER BY doc_id, pos""".stripMargin)),
+
     // ---- exact dedup ----------------------------------------------
     QDef("dedup_exact", (s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")

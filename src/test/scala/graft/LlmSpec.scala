@@ -559,6 +559,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("winnow selects rightmost window minima and honors the MOSS guarantee") {
+    import spark.implicits._
+    // All-equal tokens ⇒ all gram hashes equal ⇒ every window keeps its
+    // RIGHTMOST element: selected positions are exactly {w-1 .. n_grams-1}.
+    val uniform = Seq((1L, Array.fill(10)("z").mkString(" "))).toDF("doc_id", "text")
+    val posSel = TextAnalysis.winnow(uniform, "text", "doc_id", k = 4, w = 4)
+      .select("pos").as[Int].collect().toSet
+    assert(posSel == (3 to 6).toSet) // 7 grams, windows 0..3, rightmost each
+    // Guarantee: a shared token run of length ≥ w + k − 1 = 7 must share
+    // at least one fingerprint hash, wherever it sits in either doc.
+    val run = "q1 q2 q3 q4 q5 q6 q7"
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"one two three four $run")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, "text", "doc_id", k = 4, w = 4)
+      .select("doc_id", "fp").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // Short doc (< k tokens) contributes nothing; sub-w gram counts
+    // still emit their single whole-doc window.
+    val short = Seq((1L, "a b"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnow(short, "text", "doc_id", k = 4, w = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(1L) && byDoc(2L).length == 1)
+  }
+
   test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
     import spark.implicits._
     // identical vectors always share a k-means cell (deterministic
