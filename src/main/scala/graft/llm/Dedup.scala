@@ -554,6 +554,39 @@ object Dedup {
         >= threshold)
   }
 
+  /** Substring-level near-dup pairs over WINNOWING fingerprints
+    * (MOSS candidate pairing): docs sharing ≥ `minShared` distinct
+    * selected k-gram hashes, with the shared count and the overlap
+    * fraction vs the smaller fingerprint set. The winnowing guarantee
+    * makes this the sound sub-quadratic path for substring dedup: any
+    * common token run of length ≥ w + k − 1 is certain to land a
+    * shared fingerprint, while the inverted index holds only the
+    * ~2/(w+1) winnowed fraction of all k-grams — at 100 TB that is
+    * the difference between indexing every shingle
+    * ([[ngramJaccardPairs]]) and indexing a fixed-density sample with
+    * a recall proof. Same join discipline as the other indexes:
+    * 8-byte keys, map-side pair counting, shuffle-hash hint; cost is
+    * the winnowed index's sum-of-df², with hot boilerplate
+    * fingerprints surfacing in the counts rather than hiding.
+    */
+  def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    val fpsets = TextAnalysis.winnow(df, textCol, idCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sized = fpsets.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val inv = fpsets.join(sized, "doc_id")
+    val l = inv.alias("l"); val r = inv.hint("shuffle_hash").alias("r")
+    l.join(r, col("l.fp") === col("r.fp")
+        && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("l.n_fp")).as("nfa"), first(col("r.n_fp")).as("nfb"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("ia"), col("ib"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("nfa"), col("nfb")))
+          .as("overlap_frac"))
+  }
+
   // ---------------------------------------------------------------
   // SimHash: 30-bit signatures from token polynomial hashes.
   // One explode + one shuffle on doc_id; the 30 bit-sums are computed

@@ -24,6 +24,25 @@ object LlmQueries {
   private[operators] def duckPoly(e: String): String =
     s"list_reduce(list_transform(string_split($e, ''), x -> CAST(unicode(x) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** DuckDB replay of [[graft.llm.TextAnalysis.winnow]] (k=4, w=4):
+    * positional 4-gram hashes, the identical packed
+    * (hash asc, pos desc) BIGINT key, min per 4-window, distinct —
+    * ends at `u(doc_id, wkey)` for the caller to decode/join.
+    */
+  private val winnowCtes: String =
+    s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+       |g AS (SELECT doc_id, [array_to_string(ws[i+1 : i+4], ' ')
+       |    for i in range(0, len(ws) - 3)] AS grams
+       |  FROM tok WHERE len(ws) >= 4),
+       |h AS (SELECT doc_id, list_transform(grams,
+       |    s -> ${duckPoly("s")}) AS hs FROM g),
+       |ks AS (SELECT doc_id, [hs[j+1] * 1048576 + (1048575 - j)
+       |    for j in range(0, len(hs))] AS keys FROM h),
+       |sel AS (SELECT doc_id, list_distinct([list_min(keys[i+1 : i+4])
+       |    for i in range(0, greatest(len(keys) - 4, 0) + 1)]) AS wkeys
+       |  FROM ks),
+       |u AS (SELECT doc_id, unnest(wkeys) AS wkey FROM sel)""".stripMargin
+
   /** DuckDB replay of [[graft.llm.Similarity.kMeansAssign]], unrolled
     * for a fixed (k, iters): init centroids = the k smallest vec_ids,
     * per-iteration argmin assignment (|c|² − 2·x·c, ties to lowest j)
@@ -263,21 +282,31 @@ object LlmQueries {
       TextAnalysis.winnow(Tables.load(s, dir, "documents"), "text",
           "doc_id", k = 4, w = 4)
         .orderBy("doc_id", "pos"),
-      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
-        |g AS (SELECT doc_id, [array_to_string(ws[i+1 : i+4], ' ')
-        |    for i in range(0, len(ws) - 3)] AS grams
-        |  FROM tok WHERE len(ws) >= 4),
-        |h AS (SELECT doc_id, list_transform(grams,
-        |    s -> ${duckPoly("s")}) AS hs FROM g),
-        |ks AS (SELECT doc_id, [hs[j+1] * 1048576 + (1048575 - j)
-        |    for j in range(0, len(hs))] AS keys FROM h),
-        |sel AS (SELECT doc_id, list_distinct([list_min(keys[i+1 : i+4])
-        |    for i in range(0, greatest(len(keys) - 4, 0) + 1)]) AS wkeys
-        |  FROM ks),
-        |u AS (SELECT doc_id, unnest(wkeys) AS wkey FROM sel)
+      Some(s"""$winnowCtes
         |SELECT doc_id, CAST(1048575 - (wkey % 1048576) AS INT) AS pos,
         |  wkey // 1048576 AS fp
         |FROM u ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- substring-level near-dup pairing over the winnowed index
+    // (MOSS candidate stage): ≥ w+k−1-token matches are guaranteed a
+    // shared fingerprint, at ~2/(w+1) of the full k-gram index -------
+    QDef("winnow_neardup", (s, dir) =>
+      Dedup.winnowNearDups(Tables.load(s, dir, "documents"), "text",
+          "doc_id", k = 4, w = 4, minShared = 2)
+        .orderBy("ia", "ib"),
+      Some(s"""$winnowCtes,
+        |fps AS (SELECT DISTINCT doc_id, wkey // 1048576 AS fp FROM u),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM fps GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, n_shared,
+        |  CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS overlap_frac
+        |FROM pr JOIN sz sa ON pr.ia = sa.doc_id
+        |  JOIN sz sb ON pr.ib = sb.doc_id
+        |WHERE n_shared >= 2 ORDER BY ia, ib""".stripMargin)),
 
     // ---- exact dedup ----------------------------------------------
     QDef("dedup_exact", (s, dir) =>

@@ -585,6 +585,20 @@ class LlmSpec extends SparkSpec {
     assert(!byDoc.contains(1L) && byDoc(2L).length == 1)
   }
 
+  test("winnowNearDups pairs docs sharing a long run, not unrelated ones") {
+    import spark.implicits._
+    val run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"one two three four $run five"),
+      (3L, "totally different words with no shared grams here at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(docs, "text", "doc_id",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
     import spark.implicits._
     // identical vectors always share a k-means cell (deterministic
