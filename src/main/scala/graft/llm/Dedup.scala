@@ -500,13 +500,19 @@ object Dedup {
     *
     * Measured at sf0.1 (20k docs, dense ~1k bigram vocabulary — the
     * WORST case for prefix filtering, cf. the ngramJaccardPairs
-    * PPJoin note): 5.6 s warm vs 11.0 s for the full index join,
-    * identical 256 rows. Unlike the Jaccard case (t=0.5 → prefixes
-    * are a third of each doc), containment at t=0.8 probes only
-    * ~0.2·m+1 rare shingles per doc, so the candidate flood never
-    * materializes; on long-tail vocabularies the gap widens further.
-    * The gate query runs this form; [[containmentPairs]] stays as the
-    * didactic baseline the equality spec checks against.
+    * PPJoin note), isolated sessions, min-of-3, two runs each:
+    * 9.7-10.3 s vs 7.9-9.5 s for the full index join, identical 256
+    * rows. On THIS corpus every bigram's df is huge and uniform, so
+    * the t=0.8 rarity prefix (~0.2·m+1 shingles/doc) shrinks probe
+    * volume by only ~5× while paying a df aggregation + join and a
+    * per-doc rank window — a net loss. (An earlier in-suite warm
+    * measurement suggesting the reverse did not survive isolated
+    * re-measurement; suite neighbors' GC/cleanup debt biased it.)
+    * The gate therefore runs [[containmentPairs]]; THIS form is the
+    * 100 TB recommendation for Zipfian natural-text vocabularies,
+    * where the rare prefix's df — and hence candidate volume — is
+    * orders of magnitude below Σ df² (Bayardo et al., WWW'07).
+    * ContainSpec asserts bit-identical output of the two forms.
     */
   def containmentPairsPrefix(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int, threshold: Double): DataFrame = {

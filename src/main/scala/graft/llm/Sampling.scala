@@ -117,4 +117,31 @@ object Sampling {
     }
     df.withColumn("split_hash", h).withColumn("split", split)
   }
+
+  /** Deterministic global corpus shuffle → training-shard layout (the
+    * last step before a training run: break curriculum/crawl order,
+    * then write N shard files whose within-shard order is stable
+    * across re-runs). The shuffle key is a multiplicative permutation
+    * of the document id modulo the largest 32-bit prime — a bijection
+    * on ids below the prime, and every intermediate stays under 2^63
+    * so any 64-bit engine replays it exactly (Java's wrapping multiply
+    * is NOT portable arithmetic; this is). shard = key mod N, and the
+    * within-shard sequence number comes from a window partitioned BY
+    * SHARD — at 100 TB the per-shard sort is exactly the sort each
+    * shard writer must do anyway, parallel across shards, never
+    * global; ids above the prime can collide across residues, so the
+    * id itself is the documented order tiebreak. One shuffle (the
+    * window's), scan-speed otherwise.
+    */
+  val ShufflePrime = 4294967291L // largest prime < 2^32
+  val ShuffleMult = 1566083941L // coprime multiplier < 2^31
+
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val key = pmod(col(idCol), lit(ShufflePrime)) * lit(ShuffleMult) %
+      lit(ShufflePrime)
+    val shard = pmod(key, lit(nShards.toLong)).cast("int")
+    df.withColumn("shuffle_key", key).withColumn("shard", shard)
+      .withColumn("shard_seq", row_number().over(
+        Window.partitionBy("shard").orderBy("shuffle_key", idCol)).cast("long"))
+  }
 }

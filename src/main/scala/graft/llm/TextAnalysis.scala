@@ -488,4 +488,67 @@ object TextAnalysis {
       .withColumn("contaminated",
         (col("overlap_frac") >= threshold).cast("int"))
   }
+
+  /** Model-based quality filtering (the FineWeb-Edu / DCLM pipeline
+    * step): linear-classifier inference over hashing-trick bag-of-words
+    * features. Each token hashes (PolyHash mod `buckets`) to a feature
+    * bucket; the bucket's integer milli-weight is looked up in a
+    * weight table folded into codegen as a literal array (exactly how
+    * a learned fastText-style model's weights would ship — broadcast
+    * once, resident in the generated loop); the document logit is the
+    * sum. One narrow scan, zero shuffles, whole-stage codegen — at
+    * 100 TB this runs at I/O speed, which is the entire point of
+    * linear quality classifiers over transformer scorers.
+    *
+    * The weights here are a fixed integer hash of the bucket index
+    * (standing in for learned coefficients, which a zero-egress build
+    * cannot train); every intermediate stays in exact 64-bit integer
+    * arithmetic so any engine replays the logits bit-identically.
+    */
+  def classifierScore(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 128): DataFrame = {
+    val wts = array((0 until buckets).map { j =>
+      lit(((j.toLong * 2654435761L + 987654321L) % 1000003L) % 1001L - 500L)
+    }: _*)
+    val toks = tokens(col(textCol))
+    val logit = aggregate(
+      transform(toks, t =>
+        element_at(wts, (pmod(PolyHash(t), lit(buckets.toLong)) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"),
+        logit.as("logit_milli"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("keep", col("logit_milli") > 0)
+  }
+
+  /** Typed PII detection + redaction (the Dolma/RedPajama scrub step):
+    * per-document counts of emails, NANP phone numbers and IPv4
+    * addresses, plus the redacted text's length and fingerprint after
+    * replacing each class with a typed placeholder. All patterns stay
+    * in the shared Java/RE2/DuckDB regex subset ([[scrub]]'s rule) so
+    * an oracle replays them verbatim. Pure per-row regex expressions —
+    * one scan, zero shuffles, codegen end-to-end.
+    */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiDetect(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // order matters: emails first (their domains contain dot-separated
+    // digits-free labels, but an IPv4-in-email like user@1.2.3.4 must
+    // redact as one email, not an email wrapping an ip), then phones,
+    // then bare IPs.
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+        PiiPhone, "<PHONE>"),
+      PiiIpv4, "<IP>")
+    df.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(PiiEmail)).as("n_email"),
+      regexp_count(col(textCol), lit(PiiPhone)).as("n_phone"),
+      regexp_count(regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+        lit(PiiIpv4)).as("n_ipv4"),
+      length(redacted).as("redacted_len"),
+      PolyHash(redacted).as("redacted_fp"))
+  }
 }

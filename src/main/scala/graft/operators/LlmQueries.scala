@@ -197,6 +197,69 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- typed PII detect + redact (Dolma-style scrub). The corpus
+    // contains no digits, so the gate injects deterministic
+    // doc_id-derived PII as part of the query (the multimodal gates'
+    // generated-payload precedent) — the detector then has real
+    // emails/phones/IPs to find, and ~1/3 of docs stay clean --------
+    QDef("pii_detect", (s, dir) => {
+      val d = col("doc_id")
+      val injected = concat(col("text"),
+        when(pmod(d, lit(3)) === 0,
+          concat(lit(" contact user"), d.cast("string"),
+            lit("@example.com for details")))
+        .when(pmod(d, lit(3)) === 1,
+          concat(lit(" call 555-"),
+            (lit(100) + pmod(d, lit(900))).cast("string"), lit("-"),
+            (lit(1000) + pmod(d, lit(9000))).cast("string"),
+            lit(" from 10."), pmod(d, lit(256)).cast("string"),
+            lit(".0."), pmod(d * 7, lit(256)).cast("string")))
+        .otherwise(lit("")))
+      TextAnalysis.piiDetect(
+          Tables.load(s, dir, "documents").withColumn("text", injected),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH aug AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com for details'
+        |    WHEN doc_id % 3 = 1 THEN ' call 555-'
+        |      || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+        |      || CAST(1000 + doc_id % 9000 AS VARCHAR)
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    ELSE '' END AS text FROM documents),
+        |r1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |r3 AS (SELECT doc_id, text, t1,
+        |  regexp_replace(regexp_replace(t1,
+        |    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g'),
+        |    '${TextAnalysis.PiiIpv4}', '<IP>', 'g') AS red FROM r1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PiiEmail}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PiiPhone}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.PiiIpv4}')) AS INT) AS n_ipv4,
+        |  CAST(length(red) AS INT) AS redacted_len,
+        |  ${duckPoly("red")} AS redacted_fp
+        |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- hashing-trick linear classifier inference (FineWeb-Edu /
+    // DCLM model-based quality filtering): weights folded into
+    // codegen, zero shuffles, exact integer logits ------------------
+    QDef("classifier_score", (s, dir) =>
+      TextAnalysis.classifierScore(Tables.load(s, dir, "documents"),
+          "text", "doc_id", buckets = 128)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, t ->
+        |    ((((${duckPoly("t")} % 128) * 2654435761 + 987654321)
+        |      % 1000003) % 1001) - 500)) AS BIGINT) AS logit_milli
+        |  FROM tok WHERE len(ws) > 0)
+        |SELECT doc_id, n_tokens, logit_milli, logit_milli > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ---- canonical normalization: the pre-dedup cleanup pass -------
     QDef("text_normalize", (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -421,9 +484,15 @@ object LlmQueries {
     // ---- asymmetric containment pairs (quote/subset detection —
     // tiny-inside-huge has small Jaccard but containment 1.0) --------
     QDef("dedup_containment", (s, dir) =>
-      // prefix-filtered form: lossless (ContainSpec: bit-identical to
-      // the full index join) and ~2x faster even at gate scale
-      Dedup.containmentPairsPrefix(Tables.load(s, dir, "documents"), "text",
+      // classic inverted-index form. The lossless prefix-filtered
+      // variant (containmentPairsPrefix, ContainSpec: bit-identical)
+      // was A/B-benched at sf0.1 (min-of-3, isolated): 13.9 s vs
+      // 11.4 s for this form — this corpus's dense 931-shingle
+      // vocabulary gives every shingle a huge df, so the rarity
+      // prefix barely shrinks candidates while adding a df join + a
+      // per-doc rank window. On a Zipfian real corpus the prefix
+      // variant is the 100 TB path (Bayardo et al., WWW'07).
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
           "doc_id", shingleN = 2, threshold = 0.8)
         .orderBy("ia", "ib"),
       Some("""WITH tok AS (
@@ -750,6 +819,24 @@ object LlmQueries {
         |  CASE WHEN split_hash < 80 THEN 'train'
         |       WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic corpus shuffle → training shards (order
+    // randomization + shard layout; per-shard windows only) ---------
+    QDef("shard_shuffle", (s, dir) =>
+      graft.llm.Sampling.shardShuffle(Tables.load(s, dir, "documents"),
+          "doc_id", nShards = 8)
+        .select("doc_id", "shuffle_key", "shard", "shard_seq")
+        .orderBy("doc_id"),
+      Some(s"""WITH k AS (SELECT doc_id,
+        |  ((doc_id % ${graft.llm.Sampling.ShufflePrime})
+        |    * ${graft.llm.Sampling.ShuffleMult})
+        |    % ${graft.llm.Sampling.ShufflePrime} AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(shuffle_key % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_seq
+        |FROM k ORDER BY doc_id""".stripMargin)),
 
     // ---- ingestion-time incremental dedup: new batch (doc_id%5<>0)
     // against the served corpus (doc_id%5=0) -------------------------

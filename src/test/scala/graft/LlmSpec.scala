@@ -599,6 +599,63 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("classifierScore sums folded weights exactly and filters empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, " "), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, "text", "doc_id", buckets = 128)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay the exact integer pipeline on the driver
+    def w(tok: String): Long = {
+      val h = graft.functions.PolyHash.hashBytes(tok.getBytes("UTF-8")) % 128
+      (((h * 2654435761L + 987654321L) % 1000003L) % 1001L) - 500L
+    }
+    assert(out(1L) == ((3L, 2 * w("alpha") + w("beta"))))
+    assert(out(3L) == ((1L, w("gamma"))))
+    assert(!out.contains(2L)) // whitespace-only → no tokens → filtered
+  }
+
+  test("piiDetect counts and redacts typed PII, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d@e.org or call 555-123-4567"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiDetect(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((2, 1, 0)))
+    assert(out(2L) == ((0, 0, 2)))
+    assert(out(3L) == ((0, 0, 0)))
+    // redaction really replaces: redacted text contains no digits
+    val red = TextAnalysis.piiDetect(docs, "text", "doc_id")
+    val lens = red.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(lens(1L) ==
+      "mail <EMAIL> and <EMAIL> or call <PHONE>".length)
+    assert(lens(2L) == "server at <IP> and <IP> up".length)
+  }
+
+  test("shardShuffle is a per-shard contiguous permutation covering all docs") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = graft.llm.Sampling.shardShuffle(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shuffle_key", "shard", "shard_seq").collect()
+    assert(out.length == 1000)
+    // bijective key below the prime: no collisions
+    assert(out.map(_.getLong(1)).distinct.length == 1000)
+    // shards partition the id space; within-shard seq is 1..n contiguous
+    val byShard = out.groupBy(_.getInt(2))
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the shuffle actually breaks id order: within a shard, ascending
+    // seq must not mean ascending doc_id
+    val someShard = byShard.values.maxBy(_.length)
+      .sortBy(_.getLong(3)).map(_.getLong(0)).toSeq
+    assert(someShard != someShard.sorted)
+  }
+
   test("semDeDup collapses identical vectors and keeps distinct ones, any clustering") {
     import spark.implicits._
     // identical vectors always share a k-means cell (deterministic
