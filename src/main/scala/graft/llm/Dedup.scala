@@ -597,11 +597,28 @@ object Dedup {
   // SimHash: 30-bit signatures from token polynomial hashes.
   // One explode + one shuffle on doc_id; the 30 bit-sums are computed
   // as parallel aggregate expressions (single pass, codegen'd).
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val bits = 30 // PolyHash < 2^30, so higher bits carry no signal
-    val tok = df.select(col(idCol).as("doc_id"),
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashOver(df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .withColumn("h", PolyHash(col("w")))
+      .withColumn("h", PolyHash(col("w"))))
+
+  /** SimHash over DISTINCT word n-gram shingle features instead of
+    * unigram tokens — the feature set Manku-style web dedup actually
+    * hashes. On a small-vocabulary corpus unigram bit-sums collapse
+    * (at sf0.1, 17.5k doc pairs share an IDENTICAL 30-bit unigram
+    * signature; 3-gram shingles leave 37), so the pairing stage needs
+    * the higher-entropy features to mean anything. Same one-explode /
+    * one-doc-key-shuffle shape as [[simhash]]; the shingling is the
+    * native codegen'd WordShingles.
+    */
+  def simhashShingles(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int): DataFrame =
+    simhashOver(df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleN)).as("w"))
+      .withColumn("h", PolyHash(col("w"))))
+
+  private def simhashOver(tok: DataFrame): DataFrame = {
+    val bits = 30 // PolyHash < 2^30, so higher bits carry no signal
     val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
@@ -610,6 +627,57 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup PAIRING via Hamming-block pigeonhole (Manku,
+    * Jain & Das Sarma, WWW'07 §3 — "detecting near-duplicates for web
+    * crawling", the production-scale companion to [[simhash]]): split
+    * the 30-bit signature into `maxHamming + 1` contiguous blocks; two
+    * signatures within Hamming distance `maxHamming` must agree
+    * EXACTLY on at least one block (pigeonhole), so the candidate set
+    * is the union of per-block equi-join buckets — never an all-pairs
+    * join. Candidates verify with one codegen'd popcount(xor).
+    * Signatures come from [[simhashShingles]] (n-gram features) — see
+    * its note on why unigram signatures have no pairing power.
+    *
+    * Scale shape: one explode (×(maxHamming+1)), one shuffle on the
+    * (block, bits) key, shuffle-hash candidate join, distinct on the
+    * verified pairs. Bucket population is bounded by block entropy;
+    * a skewed corpus (many docs sharing a 10-bit block) concentrates
+    * a key exactly like a hot LSH band — the same star-cap /
+    * diagnostics treatment ([[lshCandidates]], [[lshBucketStats]])
+    * applies; at Manku's scale the block count (and tables) grows so
+    * each block widens and buckets thin exponentially.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, shingleN: Int = 3): DataFrame = {
+    val bits = 30 // simhash signature width
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"need $nBlocks non-empty blocks out of $bits bits")
+    // distribute widths as evenly as possible (each ≥ 1, covering all
+    // bits exactly once — the pigeonhole needs disjoint total cover)
+    val widths = (0 until nBlocks).map(h =>
+      bits / nBlocks + (if (h < bits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sig = simhashShingles(df, textCol, idCol, shingleN)
+    val blockStructs = (0 until nBlocks).map { h =>
+      struct(lit(h).as("blk"),
+        shiftright(col("simhash"), offsets(h))
+          .bitwiseAND(lit((1L << widths(h)) - 1)).as("bv"))
+    }
+    val ex = sig.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.blk").as("blk"), col("b.bv").as("bv"))
+    val l = ex.alias("l")
+    val r = ex.hint("shuffle_hash").alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair can agree on several blocks
   }
 
   // ---------------------------------------------------------------
@@ -863,6 +931,56 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  // ---------------------------------------------------------------
+  // Exact-substring duplicate marking (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better", the ExactSubstr
+  // direction): unlike [[chunkDedup]]'s disjoint chunks, EVERY
+  // overlapping spanTokens-token span is a unit, so a duplicated
+  // passage is caught at any alignment, not only on chunk boundaries.
+  // (The paper builds a suffix array; the distributed equivalent of
+  // its "find repeated length-≥L substrings" query is exactly this
+  // positional span relation grouped corpus-wide.)
+  /** Per document: total spans, spans whose text occurs at ≥ 2
+    * (doc, pos) locations corpus-wide, how many of those this doc owns
+    * as the canonical first occurrence (min (doc_id, pos) — the copy a
+    * keep-first policy retains), and the duplicated fraction.
+    *
+    * Scale shape: one narrow scan (native [[graft.functions.WordSpans]]
+    * — codegen'd tokenize, no interpreted HOF), one shuffle on the span
+    * text (the dedup key; both windows share the exchange), one doc-key
+    * shuffle to re-aggregate. No global window, no driver state. The
+    * span string rides the shuffle (~spanTokens words) — a production
+    * run at 100 TB would key on a 128-bit hash instead; the gate keys
+    * on the text itself so hash collisions cannot diverge from the
+    * oracle's string equality.
+    */
+  def exactSubstringSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      graft.functions.WordSpans(col(textCol), spanTokens).as("spans"))
+    val ex = docs.select(col("doc_id"), posexplode(col("spans")))
+      .withColumnRenamed("col", "span")
+    val cntW = Window.partitionBy("span")
+    val firstW = Window.partitionBy("span").orderBy("doc_id", "pos")
+    val marked = ex
+      .withColumn("cnt", count(lit(1)).over(cntW))
+      .withColumn("rn", row_number().over(firstW))
+    val agg = marked.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_spans"),
+      sum(when(col("cnt") > 1, 1).otherwise(0)).cast("int").as("n_dup_spans"),
+      sum(when(col("cnt") > 1 && col("rn") === 1, 1).otherwise(0))
+        .cast("int").as("n_dup_primary"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        coalesce(col("n_dup_primary"), lit(0)).as("n_dup_primary"))
+      .withColumn("frac_dup",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans"))
+          .otherwise(lit(0.0)))
   }
 
   // ---------------------------------------------------------------

@@ -210,18 +210,34 @@ object Similarity {
     * row): dist'_j = |c_j|² − 2·x·c_j.
     */
   def kMeansAssign(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"),
+      assignExpr(kMeansFit(corpus, k, iters, dim, vecCol, idCol),
+        col(vecCol)).as("cluster"))
+
+  /** Argmin-cluster expression for a fitted centroid set: the
+    * centroids fold into the generated code as literals (a broadcast
+    * compiled into the scan — the input is never shuffled to assign).
+    * (dist, j) struct ordering tie-breaks to the lowest cluster index.
+    */
+  def assignExpr(cents: IndexedSeq[Array[Double]], v: Column): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(v, typedLit(c.toSeq))).as("d"),
+        lit(j).as("j"))
+    }
+    array_min(array(entries: _*)).getField("j")
+  }
+
+  /** Lloyd iterations only — returns the fitted centroids so callers
+    * ([[kMeansAssign]], [[pqCodes]]) can embed the assignment in any
+    * projection without a join.
+    */
+  def kMeansFit(corpus: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): IndexedSeq[Array[Double]] = {
     require(k >= 1 && iters >= 0)
     val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-
-    def assign(cents: IndexedSeq[Array[Double]]): DataFrame = {
-      val entries = cents.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(c.toSeq))).as("d"),
-          lit(j).as("j"))
-      }
-      v.withColumn("cluster", array_min(array(entries: _*)).getField("j"))
-    }
 
     var cents: IndexedSeq[Array[Double]] = v.orderBy("vec_id").limit(k)
       .select("v").collect()
@@ -229,8 +245,9 @@ object Similarity {
     require(cents.nonEmpty, "k-means needs a non-empty corpus")
 
     for (_ <- 1 to iters) {
-      val stats = assign(cents)
-        .select(col("cluster"), posexplode(col("v")))
+      val stats = v
+        .select(assignExpr(cents, col("v")).as("cluster"),
+          posexplode(col("v")))
         .groupBy("cluster", "pos")
         .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
           count(lit(1)).as("n"))
@@ -249,7 +266,40 @@ object Similarity {
         }
       }
     }
-    assign(cents).select(col("vec_id"), col("cluster"))
+    cents
+  }
+
+  /** Product quantization (Jégou et al., PAMI'11 — the vector-store
+    * compression standard): split the `dim`-wide embedding into
+    * `nSub` contiguous subspaces, k-means each subspace independently
+    * ([[kMeansFit]] on the slice — deterministic for the same reasons),
+    * and encode every vector as its per-subspace nearest-centroid
+    * indices. `dim` doubles compress to `nSub` small ints (`pq_code`
+    * packs them into one BIGINT for storage/grouping).
+    *
+    * Scale shape: each subspace fit is the usual Lloyd loop (one scan
+    * + one k·subDim-row shuffle per iteration); the final encoding is a
+    * SINGLE projection with all `nSub` argmin expressions folded into
+    * codegen — no join between subspaces, no shuffle, scan speed.
+    */
+  def pqCodes(corpus: DataFrame, nSub: Int, k: Int, iters: Int,
+      dim: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
+    val subDim = dim / nSub
+    val fits = (0 until nSub).map { s =>
+      val sub = corpus.select(col(idCol).as("vec_id"),
+        slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
+      kMeansFit(sub, k, iters, subDim, "sub", "vec_id")
+    }
+    val codeCols = fits.zipWithIndex.map { case (cents, s) =>
+      assignExpr(cents, slice(col(vecCol), s * subDim + 1, subDim))
+        .as(s"c$s")
+    }
+    val packed = (0 until nSub).map(s => col(s"c$s").cast("long"))
+      .reduce(_ * k + _)
+    corpus.select(col(idCol).as("vec_id") +: codeCols: _*)
+      .withColumn("pq_code", packed)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the

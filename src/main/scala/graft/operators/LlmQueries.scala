@@ -50,39 +50,89 @@ object LlmQueries {
     * ≪ 2^53 so DuckDB's decimal→double cast and Java's
     * BigDecimal.doubleValue() are both single-rounded — identical bits.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** CTE body (no leading WITH) replaying one k-means fit+assign over
+    * `$pfx b(vec_id, embedding)` — a base CTE the caller defines, so
+    * [[pqCtes]] can run it per subspace slice. CTE names are prefixed
+    * to allow several instances under one WITH.
+    */
+  private def kmeansCtesOn(k: Int, iters: Int, pfx: String): String = {
     def dist(c: String) =
       s"""list_reduce(list_transform($c.c, x -> x * x), (a, b) -> a + b)
          |      - 2.0 * list_reduce(list_transform(list_zip(e.embedding, $c.c),
          |          p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)""".stripMargin
     def assign(i: Int) =
-      s"""a$i AS (SELECT vec_id, j AS cluster FROM (
+      s"""${pfx}a$i AS (SELECT vec_id, j AS cluster FROM (
          |  SELECT e.vec_id, c.j, row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${dist("c")}, c.j) AS rn
-         |  FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+         |  FROM ${pfx}b e CROSS JOIN ${pfx}c${i - 1} c) WHERE rn = 1)""".stripMargin
     def update(i: Int) =
-      s"""u$i AS (SELECT a.cluster AS j, t.pos,
+      s"""${pfx}u$i AS (SELECT a.cluster AS j, t.pos,
          |    CAST(sum(CAST(t.x AS DECIMAL(28, 10))) AS DOUBLE) / count(*) AS m
          |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-         |        unnest(embedding) AS x FROM embeddings) t
-         |  JOIN a$i a USING (vec_id) GROUP BY 1, 2),
-         |c$i AS (SELECT j, list(m ORDER BY pos) AS c FROM u$i GROUP BY j
-         |  UNION ALL SELECT p.j, p.c FROM c${i - 1} p
-         |  WHERE p.j NOT IN (SELECT DISTINCT cluster FROM a$i))""".stripMargin
+         |        unnest(embedding) AS x FROM ${pfx}b) t
+         |  JOIN ${pfx}a$i a USING (vec_id) GROUP BY 1, 2),
+         |${pfx}c$i AS (SELECT j, list(m ORDER BY pos) AS c FROM ${pfx}u$i GROUP BY j
+         |  UNION ALL SELECT p.j, p.c FROM ${pfx}c${i - 1} p
+         |  WHERE p.j NOT IN (SELECT DISTINCT cluster FROM ${pfx}a$i))""".stripMargin
     val init =
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+      s"""${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT vec_id, embedding FROM ${pfx}b ORDER BY vec_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
-    (Seq("WITH " + init) ++ steps ++ Seq(assign(iters + 1))).mkString(",\n")
+    (Seq(init) ++ steps ++ Seq(assign(iters + 1))).mkString(",\n")
   }
+
+  private def kmeansCtes(k: Int, iters: Int): String =
+    "WITH b AS (SELECT vec_id, embedding FROM embeddings),\n" +
+      kmeansCtesOn(k, iters, pfx = "")
 
   /** Final-assignment CTE name for [[kmeansCtes]]. */
   private def kmeansFinal(iters: Int): String = s"a${iters + 1}"
 
+  /** DuckDB replay of [[graft.llm.Similarity.pqCodes]]: one
+    * [[kmeansCtesOn]] instance per subspace over the sliced vector,
+    * joined on vec_id into the code row + packed code.
+    */
+  private def pqSql(nSub: Int, subDim: Int, k: Int, iters: Int): String = {
+    val bases = (0 until nSub).map { s =>
+      s"""s${s}b AS (SELECT vec_id,
+         |  embedding[${s * subDim + 1}:${(s + 1) * subDim}] AS embedding
+         |  FROM embeddings)""".stripMargin
+    }
+    val fits = (0 until nSub).map(s => kmeansCtesOn(k, iters, pfx = s"s$s"))
+    val codeCols = (0 until nSub).map(s => s"s$s${kmeansFinal(iters)}.cluster AS c$s")
+    val joins = (0 until nSub).map(s =>
+      s"JOIN s$s${kmeansFinal(iters)} USING (vec_id)").mkString("\n")
+    val packed = (0 until nSub).map(s => s"s$s${kmeansFinal(iters)}.cluster")
+      .reduce((a, b) => s"($a) * $k + $b")
+    s"""WITH ${(bases ++ fits).mkString(",\n")}
+       |SELECT vec_id, ${codeCols.mkString(", ")},
+       |  CAST($packed AS BIGINT) AS pq_code
+       |FROM embeddings
+       |$joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private def kmeansSql(k: Int, iters: Int): String =
     kmeansCtes(k, iters) +
       s"\nSELECT vec_id, cluster FROM ${kmeansFinal(iters)} ORDER BY vec_id"
+
+  /** Shared CTE chain ending in `sig(doc_id, simhash)` — the DuckDB
+    * replay of [[graft.llm.Dedup.simhash]]'s 30-bit signature, used by
+    * both the signature gate and the Hamming-pairing gate.
+    */
+  private val SimhashSigCtes =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($DuckToks) AS w FROM documents),
+       |th AS (SELECT doc_id, ${duckPoly("w")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN generate_series(0, 29) AS t(j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle for `ann_ivf`/`ann_lsh`: the exact brute-force
     * top-5 (same fold as `ann_topk_exact`) with the engine's
@@ -516,17 +566,40 @@ object LlmQueries {
     QDef("dedup_simhash", (s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id"),
+      Some(s"""$SimhashSigCtes
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash Hamming-block pairing (Manku et al., WWW'07):
+    // pigeonhole candidates on exact (block, bits) buckets, verify
+    // with popcount(xor) — the oracle replays the verify over all
+    // pairs, which the blocking provably covers for hamming <= 2.
+    // Signatures hash DISTINCT 3-gram shingles (first-occurrence
+    // order, like WordShingles) — unigram features collapse on this
+    // vocabulary (see Dedup.simhashShingles) ------------------------
+    QDef("simhash_pairs", (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text",
+          "doc_id", maxHamming = 2, shingleN = 3)
+        .orderBy("ia", "ib"),
       Some(s"""WITH tok AS (
-        |  SELECT doc_id, unnest($DuckToks) AS w FROM documents),
-        |th AS (SELECT doc_id, ${duckPoly("w")} AS h FROM tok),
+        |  SELECT doc_id, $DuckToks AS ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct([array_to_string(ws[i+1 : i+3], ' ')
+        |    for i in range(0, len(ws) - 2)]) AS grams
+        |  FROM tok WHERE len(ws) >= 3),
+        |th AS (SELECT doc_id, unnest(list_transform(grams,
+        |    s -> ${duckPoly("s")})) AS h FROM g),
         |bits AS (
         |  SELECT doc_id, j,
         |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |  FROM th CROSS JOIN generate_series(0, 29) AS t(j)
-        |  GROUP BY doc_id, j)
-        |SELECT doc_id,
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY ia, ib""".stripMargin)),
 
     // ---- embedding cosine near-dups -------------------------------
     QDef("dedup_embedding", (s, dir) =>
@@ -618,6 +691,35 @@ object LlmQueries {
         |SELECT c.doc_id, CAST(len(chunks) AS INT) AS n_chunks,
         |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_text, '') AS kept_text
         |FROM ch c LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact-substring duplicate marking (Lee et al. 2022,
+    // ExactSubstr direction): EVERY overlapping 15-token span is a
+    // unit, so duplicated passages are caught at any alignment.
+    // Span count per doc: max(0, n_tokens - 14) --------------------
+    QDef("exact_substring_dedup", (s, dir) =>
+      Dedup.exactSubstringSpans(Tables.load(s, dir, "documents"), "text",
+          "doc_id", spanTokens = 15)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |sp AS (SELECT doc_id, unnest([{'pos': i,
+        |    'span': array_to_string(ws[i+1 : i+15], ' ')}
+        |  for i in range(0, greatest(len(ws) - 14, 0))], recursive := true)
+        |  FROM tok),
+        |f AS (SELECT doc_id, pos, span,
+        |  count(*) OVER (PARTITION BY span) AS cnt,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN cnt > 1 AND rn = 1 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_dup_primary
+        |  FROM f GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(n_dup_primary, 0) AS n_dup_primary,
+        |  CASE WHEN coalesce(n_spans, 0) > 0
+        |    THEN CAST(n_dup_spans AS DOUBLE) / n_spans ELSE 0.0 END AS frac_dup
+        |FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ---- BM25 keyword retrieval: top-5 docs per query (queries =
     // every 97th doc's first 3 tokens). idf floor-quantized to micro;
@@ -745,6 +847,16 @@ object LlmQueries {
           k = 4, iters = 2)
         .orderBy("vec_id"),
       Some(kmeansSql(k = 4, iters = 2))),
+
+    // ---- product quantization (Jégou et al.): per-subspace k-means
+    // codes; final encoding is ONE projection with all argmins folded
+    // into codegen — no join between subspaces. Oracle = 4 unrolled
+    // subspace k-means replays over sliced vectors ------------------
+    QDef("pq_codes", (s, dir) =>
+      Similarity.pqCodes(Tables.load(s, dir, "embeddings"),
+          nSub = 4, k = 4, iters = 1)
+        .orderBy("vec_id"),
+      Some(pqSql(nSub = 4, subDim = 16, k = 4, iters = 1))),
 
     // ---- SemDeDup (arXiv:2303.09540): k-means cells bound the
     // pairwise stage; within-cell cosine groups collapse to a min-id

@@ -599,6 +599,76 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashPairs finds exactly the brute-force Hamming ball (pigeonhole is lossless)") {
+    import spark.implicits._
+    // 0/1 near-identical (one word changed), 2 unrelated, 3 = exact dup of 0
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force reference over the same signatures
+    val sigs = Dedup.simhashShingles(docs, "text", "doc_id", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 8
+    } yield (a, b) -> h).toMap
+    assert(got == want)
+    assert(got((0L, 3L)) == 0) // exact dup → identical signature
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) > 0) // near dup, small h
+    assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("exactSubstringSpans marks overlapping spans at any alignment, attributes the primary") {
+    import spark.implicits._
+    // doc 2 contains doc 1's 5 words shifted by two — a chunk-aligned
+    // dedup would miss it; span-level must not. doc 3 too short → 0 spans.
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "p q a b c d e"),
+      (3L, "t u")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(docs, "text", "doc_id", spanTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    // doc1: spans "a b c d e","b c d e x","c d e x y"; first is duplicated
+    // (also at doc2 pos 2) and doc1 owns the primary (doc 1 < doc 2)
+    assert(out(1L) == ((3, 1, 1, 1.0 / 3)))
+    // doc2: spans "p q a b c","q a b c d","a b c d e"; the last is the copy
+    assert(out(2L) == ((3, 1, 0, 1.0 / 3)))
+    assert(out(3L) == ((0, 0, 0, 0.0)))
+  }
+
+  test("pqCodes equals per-subspace kMeansAssign and packs codes consistently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, nSub = 2, k = 3, iters = 1, dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // per-subspace reference: kMeansAssign on each slice
+    (0 until 2).foreach { s =>
+      val sub = df.select(col("vec_id"),
+        slice(col("embedding"), s * 4 + 1, 4).as("sub"))
+      val ref = Similarity.kMeansAssign(sub, k = 3, iters = 1, dim = 4,
+          vecCol = "sub").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      out.foreach { case (id, (c0, c1, _)) =>
+        assert((if (s == 0) c0 else c1) == ref(id))
+      }
+    }
+    out.values.foreach { case (c0, c1, code) =>
+      assert(c0 >= 0 && c0 < 3 && c1 >= 0 && c1 < 3)
+      assert(code == c0.toLong * 3 + c1)
+    }
+  }
+
   test("classifierScore sums folded weights exactly and filters empty docs") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta alpha"), (2L, " "), (3L, "gamma"))
