@@ -551,4 +551,65 @@ object TextAnalysis {
       length(redacted).as("redacted_len"),
       PolyHash(redacted).as("redacted_fp"))
   }
+
+  // ---------------------------------------------------------------
+  // BPE tokenizer TRAINING (Sennrich et al., ACL'16 — learn the merge
+  // table from the corpus; [[bpeTokenCount]] only counts with a fixed
+  // pre-tokenization). Classic word-frequency formulation, which is
+  // also the 100 TB shape: ONE corpus shuffle collapses the text to a
+  // (word, freq) vocabulary table — bounded by the language's
+  // vocabulary, not the corpus — and every merge round then runs on
+  // that metadata-scale table (pair-count with map-side partial agg,
+  // one-row argmax to the driver, literal `replace` folded into the
+  // next round's codegen). The corpus text is never rescanned.
+  //
+  // Symbol sequences are control-char-bracketed strings (B=\u0001,
+  // E=\u0002): word "al" is "BaEBlE"; a merge of (a, l) is the plain
+  // string replace "BaEBlE" -> "BalE".
+  // Plain replace scans left-to-right, non-overlapping, continuing
+  // AFTER the match — exactly BPE's greedy merge application — and
+  // both engines share those semantics, so the oracle replays training
+  // verbatim. No end-of-word marker (documented deviation; the marker
+  // is one more bracketed symbol if a caller needs it).
+  /** Returns the learned merge table: (round, lhs, rhs, cnt), where
+    * cnt is the winning pair's frequency-weighted occurrence count and
+    * ties break on the lexicographically smallest (lhs, rhs).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val B = "\u0001"; val E = "\u0002"
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", s"$B$$1$E").as("s"), col("cnt"))
+    // symbols of a bracketed string: strip the outer B/E, split on E+B
+    def syms(s: Column): Column =
+      split(expr("substring(s, 2, length(s) - 2)"), E + B)
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val sy = syms(col("s"))
+      val pairs = vocab.select(col("cnt"),
+          explode(zip_with(slice(sy, lit(1), size(sy) - 1),
+            slice(sy, lit(2), size(sy) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        rules += ((round, l, r, c))
+        vocab = vocab.withColumn("s",
+          call_function("replace", col("s"),
+            lit(B + l + E + B + r + E), lit(B + l + r + E)))
+        round += 1
+      }
+    }
+    rules.toSeq.toDF("round", "lhs", "rhs", "cnt")
+  }
 }

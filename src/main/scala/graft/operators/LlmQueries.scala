@@ -117,6 +117,33 @@ object LlmQueries {
     kmeansCtes(k, iters) +
       s"\nSELECT vec_id, cluster FROM ${kmeansFinal(iters)} ORDER BY vec_id"
 
+  /** DuckDB replay of [[graft.llm.TextAnalysis.bpeTrain]], unrolled
+    * per merge round. Symbols are chr(1)/chr(2)-bracketed (exactly the
+    * engine's \u0001/\u0002), so plain `replace` — greedy
+    * left-to-right, non-overlapping, continuing after the match in
+    * both engines — replays BPE merge application verbatim.
+    */
+  private def bpeSql(merges: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""wf AS (SELECT w, count(*) AS cnt FROM (
+         |  SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w)""".stripMargin,
+      """w0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, cnt FROM wf)""")
+    for (i <- 1 to merges) {
+      ctes += s"""p$i AS (SELECT l, r, sum(cnt) AS c FROM (
+         |  SELECT cnt, unnest([{'l': sy[j+1], 'r': sy[j+2]}
+         |    for j in range(0, len(sy)-1)], recursive := true)
+         |  FROM (SELECT cnt, string_split(s[2:length(s)-1], chr(2)||chr(1)) AS sy
+         |        FROM w${i - 1})) GROUP BY l, r)""".stripMargin
+      ctes += s"""b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)"""
+      ctes += s"""w$i AS (SELECT replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+         |  chr(1)||b.l||b.r||chr(2)) AS s, cnt FROM w${i - 1}, b$i b)""".stripMargin
+    }
+    val sel = (1 to merges).map(i =>
+      s"SELECT $i AS round, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM ($sel) ORDER BY round"
+  }
+
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the DuckDB
     * replay of [[graft.llm.Dedup.simhash]]'s 30-bit signature, used by
     * both the signature gate and the Hamming-pairing gate.
@@ -309,6 +336,18 @@ object LlmQueries {
         |  FROM tok WHERE len(ws) > 0)
         |SELECT doc_id, n_tokens, logit_milli, logit_milli > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE tokenizer training (Sennrich et al.): corpus collapses
+    // to a (word, freq) vocab table in ONE shuffle, then every merge
+    // round is a metadata-scale pair-count + 1-row argmax + literal
+    // replace. Oracle = fully unrolled rounds over the same bracketed
+    // symbol strings (plain `replace` = greedy BPE application in
+    // both engines) ------------------------------------------------
+    QDef("bpe_train", (s, dir) =>
+      TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"), "text",
+          merges = 8)
+        .orderBy("round"),
+      Some(bpeSql(merges = 8))),
 
     // ---- canonical normalization: the pre-dedup cleanup pass -------
     QDef("text_normalize", (s, dir) =>

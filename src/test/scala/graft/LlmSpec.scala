@@ -669,6 +669,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns the hand-computed merge table (Sennrich example), ties lexicographic") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    // vocab: low x3, lower x1, lowest x1
+    // r1: (l,o)=5 ties (o,w)=5 -> lexicographic -> (l,o)
+    // r2: (lo,w)=5; r3: (low,e)=2
+    // r4: all pairs cnt 1 -> smallest (lhs,rhs) = (lowe,r)
+    assert(out == List((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 5).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toList == List((1, "a", "b", 2L)))
+  }
+
   test("classifierScore sums folded weights exactly and filters empty docs") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta alpha"), (2L, " "), (3L, "gamma"))
