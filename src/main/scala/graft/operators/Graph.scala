@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics as iterative joins — the idiomatic Spark shape for
+  * Pregel-style computation (each superstep = join ranks to edges on
+  * src, aggregate messages by dst, recompute). Used by pipelines for
+  * link-graph quality signals (Common-Crawl-style PageRank weighting
+  * feeding corpus sampling) and entity-importance scoring.
+  *
+  * Determinism: ranks live in integer NANO-units (BIGINT) and every
+  * step is integer floor division / exact BIGINT sums, so partial-agg
+  * order cannot drift a bit and any engine (the DuckDB oracle
+  * included) replays the exact ranks. Sums stay far below 2^63: total
+  * rank mass ≤ 10^9 nano, damping multiplies by ≤ 100.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list (columns `src`, `dst`;
+    * duplicate edges are collapsed). Per iteration:
+    *   contrib(u→v) = floor(rank_u / outdeg_u)
+    *   rank'_v = floor((100−d)·S / (100·N)) + floor(d·Σcontrib / 100)
+    * with S = 10^9 nano total mass, d = dampingPct. Dangling-node mass
+    * decays (the standard simple-PR simplification — documented, same
+    * on both engines).
+    *
+    * Scale shape: the node set and degrees are computed once (two
+    * bounded shuffles); each iteration is one shuffle-join of the rank
+    * table to the edge list on src plus one dst-key aggregation with
+    * map-side partial sums — the classic distributed PR layout that
+    * holds at web-graph scale. Ranks/degrees are node-table-sized,
+    * never collected to the driver.
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    val S = 1000000000L // total rank mass in nano-units
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // N is one scalar — metadata, like AQE stats
+    val n = nodes.count()
+    val base = (100L - dampingPct) * S / (100L * n)
+    var ranks = nodes.withColumn("rank_nano", lit(S / n))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(e, "src")
+        // `div` = integer floor division on BIGINT — same operator
+        // family as DuckDB's `//`, so no double-rounding ambiguity
+        .select(col("dst").as("node"),
+          expr("rank_nano div outdeg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("msum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($base + $dampingPct * coalesce(msum, CAST(0 AS BIGINT))" +
+            " div 100 AS BIGINT)").as("rank_nano"))
+    }
+    ranks
+  }
+}

@@ -1212,7 +1212,43 @@ object RelationalQueries {
         |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
         |  FROM orders)
         |SELECT o_orderkey, CAST(${ZOrder.zkeySql("x", "y", 16)} AS BIGINT) AS zkey
-        |FROM d ORDER BY o_orderkey""".stripMargin))
+        |FROM d ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- PageRank as iterative joins (Pregel-as-join) over the
+    // customer↔supplier transaction graph — link-graph importance
+    // scoring in exact integer nano-rank arithmetic, so the unrolled
+    // oracle replays every iteration bit-for-bit ---------------------
+    QDef("graph_pagerank", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, iters = 3).orderBy("node")
+    },
+      Some {
+        val S = "CAST(1000000000 AS BIGINT)"
+        val nq = "(SELECT count(*) FROM n)"
+        def iter(i: Int) =
+          s"""c$i AS (SELECT ee.dst AS node, sum(r.rank_nano // d.outdeg) AS msum
+             |  FROM r${i - 1} r JOIN deg d ON r.node = d.src
+             |  JOIN ee ON ee.src = d.src GROUP BY ee.dst),
+             |r$i AS (SELECT n.node,
+             |  CAST((15 * $S) // (100 * $nq)
+             |    + 85 * coalesce(c.msum, 0) // 100 AS BIGINT) AS rank_nano
+             |  FROM n LEFT JOIN c$i c USING (node))""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+           |    'S' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |n AS (SELECT src AS node FROM ee UNION SELECT dst FROM ee),
+           |deg AS (SELECT src, count(*) AS outdeg FROM ee GROUP BY src),
+           |r0 AS (SELECT node, CAST($S // $nq AS BIGINT) AS rank_nano FROM n),
+           |${(1 to 3).map(iter).mkString(",\n")}
+           |SELECT node, rank_nano FROM r3 ORDER BY node""".stripMargin
+      })
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -6,6 +6,23 @@ import graft.pipeline.{Connection, MemorySink, Pipeline, PipelineSpec, StageSpec
 
 class RelationalSpec extends SparkSpec {
 
+  test("pageRank: 2-cycle is a fixed point; dangling mass decays; total mass bounded") {
+    import spark.implicits._
+    // symmetric 2-cycle: uniform rank is the exact stationary point of
+    // the integer recurrence (base 75e6 + 85% of 5e8 = 5e8)
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(cyc, iters = 4).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 500000000L, "b" -> 500000000L), s"got $r")
+    // dangling sink: a's inbound mass is only the base term; b holds
+    // base + 85% of a's previous rank; total mass strictly below S
+    val dang = Seq(("a", "b")).toDF("src", "dst")
+    val d = graft.operators.Graph.pageRank(dang, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(d("a") == 75000000L && d("b") == 500000000L, s"got $d")
+    assert(d.values.sum < 1000000000L)
+  }
+
   test("approx_count_distinct stays within HLL error of exact") {
     // the gate query now emits the bound verdict; assert the raw
     // estimate directly here
