@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join (entity resolution / record linkage)
+  * with COMPLETE deletion-neighborhood blocking — the FastSS scheme
+  * (Bocek et al., 2007; popularized as SymSpell): every string emits
+  * itself plus each single-character-deletion variant; two strings
+  * within edit distance 1 (substitution, insertion, or deletion)
+  * provably share at least one variant, so an equi-join on the variant
+  * key surfaces EVERY true pair and `levenshtein` verification removes
+  * the false ones. No all-pairs stage anywhere.
+  *
+  * Why not prefix/suffix pigeonhole blocking: on entity-name corpora
+  * the shared boilerplate prefix ("Customer#…") puts every row in one
+  * block — quadratic. Deletion variants of distinct strings collide
+  * only when the strings genuinely differ by ≤2 edits around the
+  * deleted position, so bucket sizes track the alphabet (~10 here),
+  * not the corpus.
+  *
+  * Scale shape: one narrow projection emits ≤ len+1 variant rows per
+  * distinct string (bounded by the key-length domain), one shuffle
+  * equi-join on the variant, map-side `levenshtein` verify, distinct.
+  * Exact duplicates should be collapsed to distinct strings upstream
+  * (same discipline as Dedup.minhashLsh) so identical hot values cost
+  * their output size, not a hot blocking bucket.
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs of rows whose `strCol` values are within
+    * edit distance 1. Input columns: `idCol` (unique), `strCol`.
+    * Output: (a_id, b_id, a_val, b_val, dist) with a_id < b_id.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("v"))
+    // variant k = 0 keeps the string itself (covers exact matches and
+    // pairs where the edit is an insertion in the OTHER string);
+    // k = 1..len deletes character k. sequence() is 1 generate — the
+    // variant list never materializes on the driver.
+    val v = col("v")
+    val variants = base.select(col("id"), v,
+      explode(concat(array(v),
+        transform(sequence(lit(1), length(v)), k =>
+          concat(v.substr(lit(1), k - 1), v.substr(k + 1, length(v))))))
+        .as("variant"))
+    val a = variants.select(col("id").as("a_id"), col("v").as("a_val"), col("variant"))
+    val b = variants.select(col("id").as("b_id"), col("v").as("b_val"), col("variant"))
+    a.join(b, Seq("variant"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_val"), col("b_val"),
+        levenshtein(col("a_val"), col("b_val")).as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+  }
+}

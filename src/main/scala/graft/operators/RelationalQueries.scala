@@ -1248,7 +1248,26 @@ object RelationalQueries {
            |r0 AS (SELECT node, CAST($S // $nq AS BIGINT) AS rank_nano FROM n),
            |${(1 to 3).map(iter).mkString(",\n")}
            |SELECT node, rank_nano FROM r3 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // ---- fuzzy join: edit-distance-1 entity matching via complete
+    // deletion-neighborhood blocking (FastSS/SymSpell) — never
+    // all-pairs. The oracle IS all-pairs (quadratic; times out at
+    // sf0.1 by design like the other exact-dedup oracles), which is
+    // exactly the point: same result, linear-ish plan ---------------
+    QDef("fuzzy_join_ed1", (s, dir) =>
+      FuzzyJoin.editDistance1Pairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy("a_id", "b_id"),
+      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -23,6 +23,40 @@ class RelationalSpec extends SparkSpec {
     assert(d.values.sum < 1000000000L)
   }
 
+  test("fuzzy join ed<=1: deletion-neighborhood blocking finds sub/ins/del/exact pairs, nothing more") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "kitten",  // vs sitten: substitution
+      2L -> "sitten",
+      3L -> "kittens", // vs kitten: insertion at end
+      4L -> "itten",   // vs kitten/sitten: deletion at front
+      5L -> "kitten",  // exact duplicate of 1
+      6L -> "mitten",  // vs kitten/sitten: substitution
+      7L -> "banana"   // no neighbor
+    ).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.editDistance1Pairs(rows, "id", "name")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force truth over the same rows
+    val vals = Map(1L -> "kitten", 2L -> "sitten", 3L -> "kittens",
+      4L -> "itten", 5L -> "kitten", 6L -> "mitten", 7L -> "banana")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vals.keys; b <- vals.keys if a < b && lev(vals(a), vals(b)) <= 1
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    // the truth set itself must exercise every edit kind
+    assert(want.contains(1L -> 5L), "exact-duplicate pair missing from fixture")
+    assert(want.contains(1L -> 3L), "insertion pair missing from fixture")
+    assert(want.contains(1L -> 4L), "deletion pair missing from fixture")
+    assert(want.contains(1L -> 2L), "substitution pair missing from fixture")
+  }
+
   test("approx_count_distinct stays within HLL error of exact") {
     // the gate query now emits the bound verdict; assert the raw
     // estimate directly here
