@@ -612,4 +612,42 @@ object TextAnalysis {
     }
     rules.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
+
+  /** BPE ENCODING with a trained merge table — the apply side of
+    * [[bpeTrain]] (tokenize new text with the tokenizer the corpus
+    * learned; the per-document token counts are what a training
+    * pipeline actually bills by). Per document: pre-tokenize with the
+    * same [[tokens]] split, bracketize each word, apply the merge
+    * rules in priority order (plain `replace` = greedy BPE merge
+    * application, same semantics both engines), and count one token
+    * per end-bracket left standing.
+    *
+    * Scale shape: the merge table is metadata (`merges` rows — the
+    * ONLY collect) folded into codegen as a literal replace chain, so
+    * encoding is a single narrow scan of the corpus: no join against a
+    * vocab table, no shuffle at all downstream of training. Output:
+    * (doc_id, n_words, n_tokens, enc_fp) where `enc_fp` fingerprints
+    * the full encoded symbol stream (order-sensitive — any mis-merge
+    * anywhere in the doc flips it).
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+      merges: Int): DataFrame = {
+    val B = "\u0001"; val E = "\u0002"
+    val table = bpeTrain(df, textCol, merges).orderBy("round")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def applyMerges(s: Column): Column = table.foldLeft(s) {
+      case (acc, (l, r)) => call_function("replace", acc,
+        lit(B + l + E + B + r + E), lit(B + l + r + E))
+    }
+    val enc = concat_ws(" ", transform(tokens(col(textCol)),
+      w => applyMerges(regexp_replace(w, "(.)", s"$B$$1$E"))))
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n_words"), enc.as("d"))
+      .select(col("doc_id"), col("n_words"),
+        (length(col("d")) - length(call_function("replace", col("d"),
+          lit(E), lit("")))).as("n_tokens"),
+        when(length(col("d")) === 0, 0L)
+          .otherwise(graft.functions.PolyHash(col("d"))).as("enc_fp"))
+  }
 }

@@ -123,7 +123,7 @@ object LlmQueries {
     * left-to-right, non-overlapping, continuing after the match in
     * both engines — replays BPE merge application verbatim.
     */
-  private def bpeSql(merges: Int): String = {
+  private def bpeTrainCtes(merges: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""wf AS (SELECT w, count(*) AS cnt FROM (
          |  SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w)""".stripMargin,
@@ -138,10 +138,44 @@ object LlmQueries {
       ctes += s"""w$i AS (SELECT replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
          |  chr(1)||b.l||b.r||chr(2)) AS s, cnt FROM w${i - 1}, b$i b)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private def bpeSql(merges: Int): String = {
     val sel = (1 to merges).map(i =>
       s"SELECT $i AS round, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS cnt FROM b$i")
       .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM ($sel) ORDER BY round"
+    "WITH " + bpeTrainCtes(merges).mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY round"
+  }
+
+  /** DuckDB replay of [[graft.llm.TextAnalysis.bpeEncode]]: retrain
+    * the merge table (shared CTEs), re-encode the distinct vocabulary
+    * by replaying each merge's `replace` in priority order, then stitch
+    * documents back together word-by-position and count one token per
+    * chr(2) end-bracket. The fingerprint replays PolyHash over the
+    * whole encoded symbol stream — any mis-merge anywhere flips it.
+    */
+  private def bpeEncodeSql(merges: Int): String = {
+    val enc = scala.collection.mutable.ArrayBuffer(
+      s"""voc0 AS (SELECT DISTINCT w FROM (SELECT unnest($DuckToks) AS w FROM documents)),
+         |e0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM voc0)""".stripMargin)
+    for (i <- 1 to merges)
+      enc += s"""e$i AS (SELECT w, replace(s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+         |  chr(1)||b.l||b.r||chr(2)) AS s FROM e${i - 1}, b$i b)""".stripMargin
+    val tail =
+      s"""tp AS (SELECT doc_id, j, w FROM (
+         |  SELECT doc_id, unnest([{'j': j, 'w': ws[j+1]}
+         |    for j in range(0, len(ws))], recursive := true)
+         |  FROM (SELECT doc_id, $DuckToks AS ws FROM documents))),
+         |encdoc AS (SELECT doc_id, count(*) AS n_words,
+         |    string_agg(e.s, ' ' ORDER BY j) AS d
+         |  FROM tp JOIN e$merges e USING (w) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  CAST(length(d) - length(replace(d, chr(2), '')) AS INT) AS n_tokens,
+         |  CAST(${duckPoly("d")} AS BIGINT) AS enc_fp
+         |FROM encdoc ORDER BY doc_id""".stripMargin
+    "WITH " + (bpeTrainCtes(merges) ++ enc).mkString(",\n") + ",\n" + tail
   }
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the DuckDB
@@ -348,6 +382,15 @@ object LlmQueries {
           merges = 8)
         .orderBy("round"),
       Some(bpeSql(merges = 8))),
+
+    // ---- BPE encoding: apply the trained merge table corpus-wide —
+    // merge rules fold into codegen as a literal replace chain, so
+    // encoding is one narrow scan (no vocab join, no shuffle) --------
+    QDef("bpe_encode", (s, dir) =>
+      TextAnalysis.bpeEncode(Tables.load(s, dir, "documents"), "text",
+          "doc_id", merges = 8)
+        .orderBy("doc_id"),
+      Some(bpeEncodeSql(merges = 8))),
 
     // ---- canonical normalization: the pre-dedup cleanup pass -------
     QDef("text_normalize", (s, dir) =>

@@ -684,6 +684,22 @@ class LlmSpec extends SparkSpec {
       (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
   }
 
+  test("bpeEncode applies merges in priority order (Sennrich corpus, hand-counted tokens)") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    // merges (from the bpeTrain test): (l,o) (lo,w) (low,e) (lowe,r)
+    // after 4: low -> [low]; lower -> [lower]; lowest -> [lowe, s, t]
+    val got4 = TextAnalysis.bpeEncode(docs, "text", "doc_id", merges = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got4 == Map(1L -> ((3, 3)), 2L -> ((2, 4))),
+      s"got $got4") // doc1: low+low+lower = 1+1+1; doc2: low + lowe,s,t
+    // zero merges: one token per character
+    val got0 = TextAnalysis.bpeEncode(docs, "text", "doc_id", merges = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got0 == Map(1L -> 11, 2L -> 9)) // lowlowlower=11, lowlowest=9 chars
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
