@@ -613,6 +613,38 @@ object TextAnalysis {
     rules.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** Heavy hitters over the token stream — frequent-term detection
+    * (stopword discovery, spam-token monitoring) at corpus scale
+    * WITHOUT a term-key shuffle: one scan folds every partition into a
+    * ≤ `k`-counter Misra–Gries summary ([[graft.functions.MisraGries]],
+    * a native TypedImperativeAggregate with map-side partials), whose
+    * merged ≤ k candidates are guaranteed to include every term with
+    * true frequency > n/(k+1). A second bounded-key pass re-counts just
+    * the candidates exactly and keeps the true heavy hitters, so the
+    * output is EXACT — the sketch only prunes. `sketch_ok` pins the
+    * candidate-count bound for the oracle.
+    *
+    * Scale shape: pass 1 shuffles k-entry summaries (bytes per
+    * partition, not terms); pass 2 shuffles ≤ k distinct keys. The
+    * full-vocabulary groupBy a naive plan needs never happens.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+    val summary = words.agg(
+      bridge.column(graft.functions.MisraGries(
+        bridge.expression(col("w")), k).toAggregateExpression()).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = summary.getMap[String, Long](0).keys.toSeq.sorted
+    val n = summary.getLong(1)
+    val sketchOk = if (cand.size <= k) 1 else 0
+    words.filter(col("w").isin(cand: _*))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * (k + 1) > n)
+      .select(col("w"), col("freq"), lit(n).as("n_tokens"),
+        lit(sketchOk).as("sketch_ok"))
+  }
+
   /** BPE ENCODING with a trained merge table — the apply side of
     * [[bpeTrain]] (tokenize new text with the tokenizer the corpus
     * learned; the per-document token counts are what a training

@@ -383,6 +383,20 @@ object LlmQueries {
         .orderBy("round"),
       Some(bpeSql(merges = 8))),
 
+    // ---- heavy hitters: Misra-Gries candidate sketch (no term-key
+    // shuffle — k-entry summaries per partition) + exact bounded-key
+    // re-count; output is the exact heavy-hitter set ----------------
+    QDef("heavy_hitters", (s, dir) =>
+      TextAnalysis.heavyHitters(Tables.load(s, dir, "documents"), "text",
+          k = 29)
+        .orderBy("w"),
+      Some(s"""WITH w AS (SELECT unnest($DuckToks) AS w FROM documents),
+        |t AS (SELECT count(*) AS n FROM w),
+        |f AS (SELECT w, count(*) AS freq FROM w GROUP BY w)
+        |SELECT f.w, CAST(freq AS BIGINT) AS freq, CAST(n AS BIGINT) AS n_tokens,
+        |  1 AS sketch_ok
+        |FROM f, t WHERE freq * 30 > n ORDER BY w""".stripMargin)),
+
     // ---- BPE encoding: apply the trained merge table corpus-wide —
     // merge rules fold into codegen as a literal replace chain, so
     // encoding is one narrow scan (no vocab join, no shuffle) --------

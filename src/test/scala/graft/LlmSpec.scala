@@ -684,6 +684,23 @@ class LlmSpec extends SparkSpec {
       (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
   }
 
+  test("heavyHitters: MG sketch survives decrement pressure and many partial merges") {
+    import spark.implicits._
+    // 5000 distinct cold tokens (frequency 1) + one hot token at ~9%:
+    // with k=9 the sketch holds 9 counters against 5001 keys, so
+    // decrements and the (k+1)-largest merge cut both fire constantly.
+    // Threshold n/(k+1) = 5500/10 = 550 < 500? hot freq must EXCEED
+    // n/(k+1): freq 800, n = 5800, n/10 = 580 < 800. Docs are split
+    // across 16 partitions to force many partial-buffer merges.
+    val docs = ((1 to 5000).map(i => (i.toLong, s"cold$i")) ++
+      (1 to 800).map(i => (5000L + i, "hot")))
+      .toDF("doc_id", "text").repartition(16)
+    val out = TextAnalysis.heavyHitters(docs, "text", k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(out.toList == List(("hot", 800L, 1)),
+      s"expected exactly the hot token with its exact count, got ${out.toList}")
+  }
+
   test("bpeEncode applies merges in priority order (Sennrich corpus, hand-counted tokens)") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
