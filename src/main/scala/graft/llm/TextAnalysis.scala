@@ -613,6 +613,42 @@ object TextAnalysis {
     rules.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** URL canonicalization (the Common-Crawl-style dedup key for web
+    * corpora — raw URLs over-count: case, default ports, `www.`,
+    * tracking params, fragments and param order all vary for the same
+    * resource). Rules, applied with regex/string ops from the shared
+    * Java/RE2/DuckDB subset so an oracle replays them verbatim:
+    * lowercase scheme+host, strip the scheme's default port and a
+    * leading `www.`, drop the fragment, drop `utm_*`/`ref` tracking
+    * params, sort surviving params, collapse an empty path to `/` and
+    * strip trailing slashes otherwise. Pure per-row codegen — one
+    * scan, no shuffle; pair with [[graft.llm.Dedup]] exact dedup on
+    * `canon_url` for the actual collapse.
+    *
+    * Returns (canon_url, host, n_tracking_params) columns.
+    */
+  def urlNormalize(url: Column): (Column, Column, Column) = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noDefPort = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noDefPort, "^www\\.", "")
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val rawPath = regexp_replace(regexp_replace(noFrag, "\\?.*$", ""), "/+$", "")
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val isTracking = "^(utm_[^=]*|ref)="
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(isTracking)))
+    val dropped = size(filter(split(query, "&"), p => p.rlike(isTracking)))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    (canon, host, dropped)
+  }
+
   /** Heavy hitters over the token stream — frequent-term detection
     * (stopword discovery, spam-token monitoring) at corpus scale
     * WITHOUT a term-key shuffle: one scan folds every partition into a

@@ -383,6 +383,53 @@ object LlmQueries {
         .orderBy("round"),
       Some(bpeSql(merges = 8))),
 
+    // ---- URL canonicalization: the web-corpus dedup key. URLs are
+    // synthesized deterministically per doc (the pii_detect pattern)
+    // to exercise every rule: case, default port, www, empty path,
+    // tracking params, param order, fragment --------------------------
+    QDef("url_normalize", (s, dir) => {
+      val d = col("doc_id").cast("string")
+      val url = concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(concat(lit("/Docs/"), d)),
+        lit("?utm_source=feed&z=26&id="), d, lit("&ref=rss&a=1"),
+        when(col("doc_id") % 4 === 0, concat(lit("#sec"), d)).otherwise(lit("")))
+      val (canon, host, dropped) = TextAnalysis.urlNormalize(url)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), canon.as("canon_url"), host.as("host"),
+          dropped.as("n_tracking"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.COM' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END ||
+        |  '?utm_source=feed&z=26&id=' || CAST(doc_id AS VARCHAR) || '&ref=rss&a=1' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', '') AS nofrag
+        |  FROM u),
+        |y AS (SELECT doc_id, scheme,
+        |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |    WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |    ELSE hostport END, '^www\.', '') AS host,
+        |  regexp_replace(regexp_replace(nofrag, '\?.*$', ''), '/+$', '') AS rawpath,
+        |  string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&') AS qp
+        |  FROM x),
+        |z AS (SELECT doc_id, scheme, host,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |  list_sort(list_filter(qp, q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|ref)='))) AS kept,
+        |  len(list_filter(qp, q -> regexp_matches(q, '^(utm_[^=]*|ref)='))) AS dropped
+        |  FROM y)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url,
+        |  host, CAST(dropped AS INT) AS n_tracking
+        |FROM z ORDER BY doc_id""".stripMargin)),
+
     // ---- heavy hitters: Misra-Gries candidate sketch (no term-key
     // shuffle — k-entry summaries per partition) + exact bounded-key
     // re-count; output is the exact heavy-hitter set ----------------

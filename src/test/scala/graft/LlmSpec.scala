@@ -684,6 +684,23 @@ class LlmSpec extends SparkSpec {
       (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
   }
 
+  test("urlNormalize: hand-checked canonical forms") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM:80/a/b/?utm_campaign=x&b=2&a=1#top",
+      "https://ex.com:8080/a",        // non-default port survives
+      "https://ex.com?ref=rss",       // empty path, tracking-only query
+      "ftp://Ex.Com:443/f").toDF("url")
+    val (canon, host, dropped) = TextAnalysis.urlNormalize(col("url"))
+    val got = urls.select(canon, host, dropped).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toList
+    assert(got == List(
+      ("http://ex.com/a/b?a=1&b=2", "ex.com", 1),
+      ("https://ex.com:8080/a", "ex.com:8080", 0),
+      ("https://ex.com/", "ex.com", 1),
+      ("ftp://ex.com:443/f", "ex.com:443", 0)), s"got $got")
+  }
+
   test("heavyHitters: MG sketch survives decrement pressure and many partial merges") {
     import spark.implicits._
     // 5000 distinct cold tokens (frequency 1) + one hot token at ~9%:
