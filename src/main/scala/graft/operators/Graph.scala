@@ -58,4 +58,44 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list (columns
+    * `u`, `v` with u < v, no duplicates) — the clustering/community
+    * primitive (co-purchase cliques, link-farm detection).
+    *
+    * Degree-oriented node-iterator (the MapReduce-era standard, e.g.
+    * Suri & Vassilvitskii WWW'11): orient every edge from its
+    * (degree, id)-smaller endpoint, enumerate wedges as pairs of
+    * out-neighbors at their common source, and close each wedge with
+    * one oriented-edge equi-join. Orientation bounds every node's
+    * out-degree by O(√m), so wedge volume is O(m^1.5) worst case —
+    * the plan that survives power-law hubs, where the naive
+    * id-oriented join blows up on the highest-id hub. Each triangle
+    * materializes exactly once (at its minimum-(degree,id) corner).
+    * Three shuffles total: degree agg, wedge self-join, closing join.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedge endpoints ordered by (degree, id) so the closing edge is
+    // oriented x -> y by construction
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("c"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -1267,7 +1267,97 @@ object RelationalQueries {
         |  ON a.c_custkey < b.c_custkey
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- funnel analysis: earliest-completion view→click→purchase
+    // per user. Cascading first-times: each stage's timestamp is the
+    // earliest qualifying event STRICTLY AFTER the previous stage.
+    // Three user-key aggregations — same shuffle key throughout, all
+    // map-combined, no window over the raw event stream ---------------
+    QDef("funnel_conversion", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"))
+      val s2 = ev.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(first("t_view").as("t_view"),
+          min(when(col("event_type") === "click" && col("ts_us") > col("t_view"),
+            col("ts_us"))).as("t_click"))
+      val s3 = ev.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
+            col("ts_us"))).as("t_purchase"))
+      s3.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (col("t_view").isNotNull.cast("int") + col("t_click").isNotNull.cast("int")
+            + col("t_purchase").isNotNull.cast("int")).as("funnel_stage"))
+        .orderBy("user_id")
+    },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+        |  FROM ev GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, any_value(t_view) AS t_view,
+        |    min(CASE WHEN event_type = 'click' AND ts_us > t_view THEN ts_us END) AS t_click
+        |  FROM ev JOIN s1 USING (user_id) GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, any_value(t_view) AS t_view,
+        |    any_value(t_click) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' AND ts_us > t_click THEN ts_us END) AS t_purchase
+        |  FROM ev JOIN s2 USING (user_id) GROUP BY ev.user_id)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+        |    + (t_purchase IS NOT NULL)::INT AS INT) AS funnel_stage
+        |FROM s3 ORDER BY user_id""".stripMargin)),
+
+    // ---- cohort retention: users grouped by first-activity week,
+    // activity matrix by week offset. Two bounded aggregations (user
+    // key, then cohort×offset key) — integer day/week arithmetic on
+    // epoch-µs so both engines bucket identically --------------------
+    QDef("cohort_retention", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+      Some("""WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ---- triangle counting on the co-purchase graph (parts sharing
+    // an order). Engine: degree-oriented wedge join, O(m^1.5) bound;
+    // oracle: direct id-ordered 3-way join — same triangle set -------
+    QDef("triangle_count", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      Graph.triangleCounts(e).orderBy("node")
+    },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -23,6 +23,18 @@ class RelationalSpec extends SparkSpec {
     assert(d.values.sum < 1000000000L)
   }
 
+  test("triangleCounts: K4 plus a pendant — hand-counted; orientation counts each triangle once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("u", "v")
+    val got = graft.operators.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // total triangles = sum/3
+    assert(got.values.sum == 12L)
+  }
+
   test("fuzzy join ed<=1: deletion-neighborhood blocking finds sub/ins/del/exact pairs, nothing more") {
     import spark.implicits._
     val rows = Seq(
