@@ -94,7 +94,11 @@ object Graph {
           (col("e1.ddst") < col("e2.ddst") ||
             (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.src").as("c"), col("e1.dst").as("x"), col("e2.dst").as("y"))
-    wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    // closing join: wedge volume is O(m^1.5) rows vs m edges — hash
+    // the small edge side instead of sort-merging the wedge stream
+    // (sorting the wedges is the single most expensive step otherwise)
+    wedges.join(oriented.select(col("src").as("x"), col("dst").as("y"))
+        .hint("shuffle_hash"), Seq("x", "y"))
       .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
