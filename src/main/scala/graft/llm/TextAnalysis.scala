@@ -681,6 +681,91 @@ object TextAnalysis {
         lit(sketchOk).as("sketch_ok"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Table A1) — the published
+    * composite document filter MassiveText shipped with, as one
+    * per-row projection: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#`/`…`), bullet-start and ellipsis-end
+    * line fractions, alphabetic-word fraction, and the
+    * ≥ 2-distinct-stopwords requirement. Every metric is codegen'd
+    * string/array arithmetic over one scan — no shuffle, no UDF — and
+    * every fraction is an exact int/int division, so the doubles are
+    * bit-identical across engines.
+    *
+    * Output: raw metrics + one 0/1 flag per rule + `gopher_pass`
+    * (the conjunction). Thresholds are the paper's.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val st = graft.functions.TokenStats(col(textCol))
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("t"),
+      st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_words"),
+        when(col("st.n_tokens") > 0,
+          col("st.sum_len").cast("double") / col("st.n_tokens"))
+          .as("mean_word_len"),
+        when(col("st.n_tokens") > 0,
+          (regexp_count(col("t"), lit("#")) +
+            regexp_count(col("t"), lit("\\.\\.\\."))).cast("double")
+            / col("st.n_tokens")).as("symbol_ratio"),
+        when(col("st.n_tokens") > 0,
+          size(filter(tokens(col("t")), w => w.rlike("[a-zA-Z]")))
+            .cast("double") / col("st.n_tokens")).as("frac_alpha_words"),
+        size(array_intersect(array_distinct(tokens(col("t"))),
+          typedLit(stopwords))).as("n_stop_hits"),
+        size(split(col("t"), "\n", -1)).as("n_lines"),
+        size(filter(split(col("t"), "\n", -1),
+          l => l.startsWith("- ") || l.startsWith("•")))
+          .cast("double").as("n_bullet"),
+        size(filter(split(col("t"), "\n", -1), l => l.endsWith("...")))
+          .cast("double").as("n_ellipsis"))
+    base.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("frac_alpha_words"), col("n_stop_hits"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int")
+          .as("word_count_ok"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .cast("int").as("word_len_ok"),
+        (col("symbol_ratio") <= 0.1).cast("int").as("symbol_ok"),
+        (col("n_bullet") / col("n_lines") <= 0.9).cast("int").as("bullet_ok"),
+        (col("n_ellipsis") / col("n_lines") <= 0.3).cast("int")
+          .as("ellipsis_ok"),
+        (col("frac_alpha_words") >= 0.8).cast("int").as("alpha_ok"),
+        (col("n_stop_hits") >= 2).cast("int").as("stop_ok"))
+      .withColumn("gopher_pass",
+        (col("word_count_ok") * col("word_len_ok") * col("symbol_ok") *
+          col("bullet_ok") * col("ellipsis_ok") * col("alpha_ok") *
+          col("stop_ok")).cast("int"))
+  }
+
+  /** Sliding-window chunking with overlap — the RAG/context-window
+    * splitter (chunk size `size` tokens, stride `stride` < size ⇒
+    * each chunk shares `size - stride` tokens with its predecessor).
+    * Emits one row per (doc, chunk): index, start token offset, the
+    * chunk text, and its token count. Chunks start at every multiple
+    * of `stride` strictly below `n_tokens`, so the tail chunk may be
+    * short; empty docs emit nothing.
+    *
+    * Scale shape: tokens → per-row `sequence`/`transform` window
+    * assembly → one generator. Pure narrow projection + explode —
+    * no shuffle, no window function, no per-doc state; 100 TB of
+    * documents chunk at scan speed.
+    */
+  def overlapChunks(df: DataFrame, textCol: String, idCol: String,
+      size0: Int, stride: Int): DataFrame = {
+    require(size0 >= 1 && stride >= 1 && stride <= size0,
+      "need 1 <= stride <= size")
+    val ws = tokens(col(textCol))
+    val nChunks = ceil(size(ws).cast("double") / stride).cast("int")
+    val chunks = when(size(ws) === 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * stride + 1, lit(size0)), " ")))
+    df.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        (col("pos") * stride).as("start_tok"), col("col").as("chunk_text"),
+        size(tokens(col("col"))).as("chunk_tokens"))
+  }
+
   /** BPE ENCODING with a trained merge table — the apply side of
     * [[bpeTrain]] (tokenize new text with the tokenizer the corpus
     * learned; the per-document token counts are what a training

@@ -269,6 +269,66 @@ object LlmQueries {
         |    + CAST(uniq_ratio >= 0.2 AS INT) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher composite quality rules (Rae et al. 2021 Table A1):
+    // the published MassiveText document filter, every metric an
+    // exact int/int division so the doubles hash identically --------
+    QDef("gopher_rules", (s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"), "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, text, $DuckToks AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+        |  END AS mean_word_len,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |      / len(ws)
+        |  END AS symbol_ratio,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / len(ws)
+        |  END AS frac_alpha_words,
+        |  CAST(len(list_intersect(list_distinct(ws),
+        |    ['the','be','to','of','and','that','have','with'])) AS INT)
+        |    AS n_stop_hits,
+        |  string_split(text, chr(10)) AS lines FROM tok),
+        |f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  frac_alpha_words, n_stop_hits,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS word_count_ok,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS word_len_ok,
+        |  CAST(symbol_ratio <= 0.1 AS INT) AS symbol_ok,
+        |  CAST(CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '•'))) AS DOUBLE) / len(lines) <= 0.9 AS INT)
+        |    AS bullet_ok,
+        |  CAST(CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+        |      AS DOUBLE) / len(lines) <= 0.3 AS INT) AS ellipsis_ok,
+        |  CAST(frac_alpha_words >= 0.8 AS INT) AS alpha_ok,
+        |  CAST(n_stop_hits >= 2 AS INT) AS stop_ok FROM m)
+        |SELECT *, CAST(word_count_ok * word_len_ok * symbol_ok * bullet_ok
+        |  * ellipsis_ok * alpha_ok * stop_ok AS INT) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- RAG sliding-window chunking (size=8, stride=4 → 50%
+    // overlap); chunk starts at every multiple of the stride ---------
+    QDef("chunk_overlap", (s, dir) =>
+      TextAnalysis.overlapChunks(Tables.load(s, dir, "documents"), "text",
+          "doc_id", size0 = 8, stride = 4)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |ch AS (SELECT doc_id, CASE WHEN len(ws) = 0
+        |  THEN CAST([] AS STRUCT(idx INT, st INT, chunk VARCHAR)[])
+        |  ELSE [{'idx': CAST(i AS INT), 'st': CAST(i * 4 AS INT),
+        |         'chunk': array_to_string(ws[i*4+1 : i*4+8], ' ')}
+        |        for i in range(0, CAST(ceil(len(ws) / 4.0) AS INT))]
+        |  END AS cs FROM tok),
+        |ex AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch)
+        |SELECT doc_id, idx AS chunk_idx, st AS start_tok, chunk AS chunk_text,
+        |  CAST(len(list_filter(string_split(chunk, ' '), w -> w <> '')) AS INT)
+        |    AS chunk_tokens
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- BPE-ish token counting -----------------------------------
     QDef("token_count_bpe", (s, dir) =>
       Tables.load(s, dir, "documents")

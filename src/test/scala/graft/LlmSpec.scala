@@ -859,6 +859,53 @@ class LlmSpec extends SparkSpec {
       (999999L, "b", 1000000L)))
   }
 
+  test("gopherRules flags each Table-A1 rule independently") {
+    import spark.implicits._
+    val longDoc = (Seq.fill(20)("the of and that") :+ "tail").mkString(" ")
+    val df = Seq(
+      (1L, longDoc),              // 81 words, all rules pass
+      (2L, "the of " + Seq.fill(48)("xx").mkString(" ")), // 50 words, mean len 2.02 < 3
+      (3L, ("- bullet\n" * 10) + "the of and plain line"), // bullet lines but <= 0.9
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "word_count_ok", "word_len_ok",
+        "stop_ok", "bullet_ok", "gopher_pass")
+      .collect()
+    // doc 1: 81 words of mean len (3*20*13+4+20*3)/81 — compute: tokens
+    // "the"(3) "of"(2) "and"(3) "that"(4) ×20 = 80 tokens sum 12*20=240,
+    // + "tail"(4) → 244/81 ≈ 3.01 → word_len_ok=1; ≥2 stopwords; passes
+    assert(got(0).getInt(2) == 1 && got(0).getInt(3) == 1 &&
+      got(0).getInt(4) == 1 && got(0).getInt(6) == 1)
+    // doc 2: 50 words (count ok) but mean (3+2+48*2)/50 = 2.02 < 3
+    assert(got(1).getInt(2) == 1 && got(1).getInt(3) == 0 &&
+      got(1).getInt(6) == 0)
+    // doc 3: 10 of 11 lines are bullets → 10/11 > 0.9 → bullet_ok=0
+    assert(got(2).getInt(5) == 0 && got(2).getInt(6) == 0)
+    // doc 4: empty → null metrics → null flags (never a false pass)
+    assert(got(3).isNullAt(6))
+  }
+
+  test("overlapChunks: 50% overlap, stride-aligned starts, short tail") {
+    import spark.implicits._
+    val df = Seq((7L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (8L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.overlapChunks(df, "text", "doc_id", 4, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String, Int)].collect().toSeq
+    // 10 tokens, stride 2 → starts 0,2,4,6,8; size 4; tail short
+    assert(got.map(_._1).forall(_ == 7L)) // empty doc emits nothing
+    assert(got.map(c => (c._2, c._3, c._5)) ==
+      Seq((0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)))
+    assert(got(1)._4 == "w3 w4 w5 w6")
+    // every adjacent pair shares size - stride = 2 tokens
+    got.sliding(2).foreach { case Seq(a, b) =>
+      val at = a._4.split(" ").toSeq; val bt = b._4.split(" ").toSeq
+      assert(at.drop(2) == bt.take(at.length - 2))
+    case _ => ()
+    }
+  }
+
   test("domainMixtureStats aggregates doc/char/token/NLL mass per stratum") {
     import spark.implicits._
     val df = Seq(
