@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over a driver-generated scale-factor directory
   * (see TESTDATA.md): TPC-H-ish star schema + `events` + LLM tables.
@@ -22,12 +24,22 @@ object Tables {
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    // outright unless read as a raw long (nanoseconds since epoch).
-    // Queries work in the epoch-microsecond domain via `ts div 1000`,
-    // matching DuckDB's ns→µs truncation.
+    // Older testdata generations store events.ts as parquet
+    // TIMESTAMP(NANOS), which Spark 4 rejects outright unless read as a
+    // raw long (nanoseconds since epoch); newer generations store
+    // TIMESTAMP(µs) (read as TIMESTAMP_NTZ). The engine works in the
+    // epoch-nanos-long domain everywhere (`ts div 1000` → µs, matching
+    // DuckDB's ns→µs truncation), so normalize here — at load time, in
+    // one place — branching on the schema actually read, and leave every
+    // downstream call site untouched. Session tz is UTC, so the NTZ→TZ
+    // cast is a no-op reinterpretation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // LongType (nanos) or no ts column — already normalized
+    }
   }
 
   /** Register every table as a temp view named after itself. Idempotent. */
