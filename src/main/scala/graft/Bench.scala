@@ -77,8 +77,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Self-describing failure accounting (ADVICE r6): a -1.000 sentinel
+    // contributes 0 s to the total, so without these fields a round with
+    // broken queries reads as a speedup in cross-round comparison.
+    val failedQs = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""n_measured":${results.count(_._2 >= 0)},"n_failed":${failedQs.size},""" +
+        s""""failed":[${failedQs.mkString(",")}],"sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the
     // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus a
     // file sink as a parse-proof channel. The file ALWAYS lands (default

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Gate queries replayed against hand-built fixture sfDirs.
+  *
+  * Two purposes (VERDICT r6 items 4 and 6):
+  *  - prove the data-dependent oracle guards hold when the generated
+  *    data's soft invariants break (a props row without '$.k', a
+  *    non-ASCII document) — the r6 testdata regeneration showed these
+  *    invariants DO shift under the builder's feet;
+  *  - pin funnel_conversion / cohort_retention to hand-computed
+  *    3-user expectations, independent of the DuckDB oracle.
+  *
+  * Each test writes a tiny parquet table into a temp dir and calls the
+  * REAL gate function on it — the exact code path the driver runs.
+  */
+class FixtureGateSpec extends SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch NANOS — the engine's normalized domain
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def writeEvents(rows: Seq[Row]): String = {
+    val dir = Files.createTempDirectory("graft-fixture").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), eventsSchema)
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def q(name: String) = SparkEntry.queries(name)
+
+  test("json_struct: missing-key props rows stay aligned with the oracle's CASE guard") {
+    // row 2 has NO '$.k' — the case the oracle guards with
+    // CASE WHEN json_extract(..) IS NULL THEN '{}' (Spark's to_json
+    // drops null struct fields). If either side regressed, the gate
+    // would hash-mismatch on data like this.
+    val dir = writeEvents(Seq(
+      Row(1L, 1000L, 1L, "view", 0.0, """{"k": 5}"""),
+      Row(2L, 2000L, 1L, "view", 0.0, """{"x": 9}"""),
+      Row(3L, 3000L, 2L, "view", 0.0, """{"k": -3, "z": 1}""")))
+    val got = q("json_struct")(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, Some(5), """{"k":5}"""),
+      (2L, None, "{}"),
+      (3L, Some(-3), """{"k":-3}""")))
+  }
+
+  test("funnel_conversion: hand-computed 3-user funnel") {
+    // user 1 completes the funnel in order; user 2's pre-view click
+    // must NOT count (strictly-after semantics) but the later one
+    // does; user 3's purchase precedes any view so only stage 1.
+    def ev(id: Long, us: Long, u: Long, t: String) = Row(id, us * 1000L, u, t, 0.0, "{}")
+    val dir = writeEvents(Seq(
+      ev(1, 1, 1, "view"), ev(2, 2, 1, "click"), ev(3, 3, 1, "purchase"),
+      ev(4, 1, 2, "click"), ev(5, 2, 2, "view"), ev(6, 3, 2, "click"),
+      ev(7, 1, 3, "purchase"), ev(8, 2, 3, "view")))
+    val got = q("funnel_conversion")(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(1L), Some(2L), Some(3L), 3),
+      (2L, Some(2L), Some(3L), None, 2),
+      (3L, Some(2L), None, None, 1)))
+  }
+
+  test("cohort_retention: hand-computed 3-user weekly cohorts") {
+    val WeekUs = 604800000000L
+    def ev(id: Long, week: Long, u: Long) = Row(id, week * WeekUs * 1000L, u, "view", 0.0, "{}")
+    // user 1 active weeks 0,1,2; user 2 weeks 0,2; user 3 weeks 1,2
+    val dir = writeEvents(Seq(
+      ev(1, 0, 1), ev(2, 1, 1), ev(3, 2, 1),
+      ev(4, 0, 2), ev(5, 2, 2),
+      ev(6, 1, 3), ev(7, 2, 3)))
+    val got = q("cohort_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-fixture").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t) =>
+          Row(id, t, "en", "fixture", t.length.toLong) }, 1), schema)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("multimodal_frames: non-ASCII corpus trips the ascii_ok verdict, byte offsets stay exact") {
+    // 'é' is 2 UTF-8 bytes: char-offset replay (the oracle's substr)
+    // would diverge — the engine must (a) still frame over BYTES and
+    // (b) flip ascii_ok to 0 so the oracle's pinned `1 AS ascii_ok`
+    // fails the gate LOUDLY instead of silently hash-diverging.
+    val ascii = "a" * 600 // frames at byte 0 and (every 4th) none until 256*4 > len
+    val dir = writeDocs(Seq((1L, ascii), (2L, "é" + ("b" * 599))))
+    val rows = q("multimodal_frames")(spark, dir).collect()
+    assert(rows.forall(_.getAs[Int]("ascii_ok") == 0)) // corpus-wide min
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    // 601 payload bytes → frames 0..2, every 4th → frame 0 only
+    assert(d2.map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("frame_off"),
+      r.getAs[Long]("frame_len"))).toSeq == Seq((0L, 0L, 256L)))
+    // header sniff is over bytes: C3 A9 = 'é'
+    assert(d2.head.getAs[String]("frame_hex").startsWith("C3A9"))
+  }
+
+  test("multimodal_resize: non-ASCII corpus — byte-domain sizes, ascii_ok=0") {
+    val dir = writeDocs(Seq((1L, "é" * 10))) // 20 payload bytes
+    val rows = q("multimodal_resize")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("orig_len") == 20L)
+    assert(r.getAs[Long]("resized_len") == 5L) // every 4th byte of 20
+    assert(r.getAs[Int]("ascii_ok") == 0)
+  }
+
+  test("multimodal ascii corpus keeps ascii_ok=1 (gate-green baseline)") {
+    val dir = writeDocs(Seq((1L, "plain ascii only " * 40)))
+    assert(q("multimodal_frames")(spark, dir).collect()
+      .forall(_.getAs[Int]("ascii_ok") == 1))
+    assert(q("multimodal_resize")(spark, dir).collect()
+      .forall(_.getAs[Int]("ascii_ok") == 1))
+  }
+}

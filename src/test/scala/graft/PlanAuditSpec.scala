@@ -38,16 +38,23 @@ class PlanAuditSpec extends SparkSpec {
     "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
+    // Failure-isolated: a query that throws at analysis becomes its own
+    // finding instead of aborting the audit — one broken query must not
+    // leave the other ~130 plans unaudited.
+    val broken = Map.newBuilder[String, String]
     val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (name.startsWith("stream_")) None
-      else {
-        val plan = fn(spark, sfDir).queryExecution.sparkPlan
-        val hits = plan.collect {
-          case _: BroadcastNestedLoopJoinExec => "BNLJ"
-          case _: CartesianProductExec => "CARTESIAN"
-          case w: WindowExec if w.partitionSpec.isEmpty => "GLOBAL_WINDOW"
-        }
-        if (hits.isEmpty) None else Some(name -> hits)
+      else scala.util.Try(fn(spark, sfDir).queryExecution.sparkPlan) match {
+        case scala.util.Failure(e) =>
+          broken += name -> e.getMessage.linesIterator.take(1).mkString
+          None
+        case scala.util.Success(plan) =>
+          val hits = plan.collect {
+            case _: BroadcastNestedLoopJoinExec => "BNLJ"
+            case _: CartesianProductExec => "CARTESIAN"
+            case w: WindowExec if w.partitionSpec.isEmpty => "GLOBAL_WINDOW"
+          }
+          if (hits.isEmpty) None else Some(name -> hits)
       }
     }.toMap
     val unlisted = findings.keySet -- allowed.keySet
@@ -57,5 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     val stale = allowed.keySet -- findings.keySet
     assert(stale.isEmpty,
       s"allowlist entries whose plans are now clean (remove them): ${stale.toSeq.sorted.mkString(", ")}")
+    val failed = broken.result()
+    assert(failed.isEmpty,
+      s"queries failing analysis (audited all others first): ${failed.toSeq.sorted
+        .map { case (n, m) => s"$n: $m" }.mkString("; ")}")
   }
 }
