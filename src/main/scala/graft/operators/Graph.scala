@@ -34,15 +34,21 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     val S = 1000000000L // total rank mass in nano-units
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // Iteration hygiene (same discipline as Dedup.nearDupClusters'
+    // star-contraction loop): e/deg/nodes are re-read EVERY iteration,
+    // so persist them once — otherwise each superstep re-scans parquet
+    // and re-runs the distinct/degree shuffles, a per-iteration cost
+    // that dominates at web-graph scale with 20-50 iterations.
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // N is one scalar — metadata, like AQE stats
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // N is one scalar — metadata, like AQE stats (also materializes the
+    // persisted nodes/e so the loop starts from cached data)
     val n = nodes.count()
     val base = (100L - dampingPct) * S / (100L * n)
     var ranks = nodes.withColumn("rank_nano", lit(S / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ranks
         .join(deg, ranks("node") === deg("src"))
         .join(e, "src")
@@ -55,8 +61,15 @@ object Graph {
         .select(col("node"),
           expr(s"CAST($base + $dampingPct * coalesce(msum, CAST(0 AS BIGINT))" +
             " div 100 AS BIGINT)").as("rank_nano"))
+      // Cut lineage every 5 supersteps: ranks' logical plan otherwise
+      // deepens linearly with iters (re-shuffle × iters on recompute,
+      // analyzer blow-up past ~20) — localCheckpoint materializes to
+      // executor-local storage, no HDFS round-trip needed.
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    val out = ranks.localCheckpoint() // sever lineage before unpersist
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    out
   }
 
   /** Per-node triangle counts over an undirected edge list (columns

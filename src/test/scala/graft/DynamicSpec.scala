@@ -153,6 +153,48 @@ class DynamicSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("MLlib side-artifact flow: one program trains+saves a model, another loads+applies it (PySparkProgram-sparkprogram.md:48)") {
+    // The reference docs' model save/load use case: user code persists
+    // an ML model as a side artifact during one pipeline run and a
+    // later run reloads it. Same shape here via the dynamic Scala
+    // stage — MLlib resolves from the session classpath like any other
+    // Spark API inside user code.
+    val modelDir = Files.createTempDirectory("graft-mllib").resolve("model").toString
+    val train =
+      s"""def sink(df: DataFrame, ctx: GraftContext): Unit = {
+         |  import org.apache.spark.ml.feature.StringIndexer
+         |  val m = new StringIndexer().setInputCol("word").setOutputCol("idx")
+         |    .setStringOrderType("frequencyDesc")
+         |    .fit(df.select(explode(split(col("body"), "\\\\s+")).as("word")))
+         |  m.write.overwrite().save("$modelDir")
+         |}
+         |""".stripMargin
+    val trainObj = DynamicCompiler.classNameFor("mltrain")
+    val trainFn = DynamicCompiler.resolveFunction(
+      DynamicCompiler.compile(DynamicCompiler.wrap(trainObj, train)).loadObject(trainObj),
+      "sink", isVoid = true)
+    trainFn.invoke(lines, GraftContext(spark, Map.empty))
+
+    val apply =
+      s"""def transform(df: DataFrame): DataFrame = {
+         |  import org.apache.spark.ml.feature.StringIndexerModel
+         |  StringIndexerModel.load("$modelDir")
+         |    .transform(df.select(explode(split(col("body"), "\\\\s+")).as("word")))
+         |}
+         |""".stripMargin
+    val applyObj = DynamicCompiler.classNameFor("mlapply")
+    val applyFn = DynamicCompiler.resolveFunction(
+      DynamicCompiler.compile(DynamicCompiler.wrap(applyObj, apply)).loadObject(applyObj),
+      "transform", isVoid = false)
+    val out = applyFn.invoke(lines, GraftContext(spark, Map.empty))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // frequencyDesc: "Line" (10 occurrences) must index to 0.0; the
+    // ten digit words fill 1.0..10.0
+    assert(got("Line") == 0.0)
+    assert(got.size == 11 && got.values.toSeq.sorted == (0 to 10).map(_.toDouble))
+  }
+
   test("ctx.fromDataset/saveAsDataset idiom parity (ScalaSparkTest.java:118-128)") {
     // reference-widget-style body: address named datasets through the
     // context, produce one, read it back — runs unchanged here.

@@ -23,6 +23,29 @@ class RelationalSpec extends SparkSpec {
     assert(d.values.sum < 1000000000L)
   }
 
+  test("pageRank: deep iteration reaches the integer fixed point with bounded plan depth") {
+    import spark.implicits._
+    // complete digraph K3: from uniform S/3, one step lands on the
+    // exact integer fixed point 333333332 (floor loses 1 nano: contrib
+    // = 333333333 div 2 = 166666666, msum = 333333332, rank' =
+    // 50000000 + 85*333333332 div 100 = 333333332, which then maps to
+    // itself) — so 12 and 20 iterations must agree bit-for-bit
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "b")).toDF("src", "dst")
+    def run(iters: Int) = graft.operators.Graph.pageRank(g, iters)
+    val r12 = run(12).collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val r20 = run(20).collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r12 == Map("a" -> 333333332L, "b" -> 333333332L, "c" -> 333333332L),
+      s"not the hand-computed fixed point: $r12")
+    assert(r12 == r20, s"not stable across deep iteration: $r12 vs $r20")
+    // lineage-cut check: the localCheckpoint every 5 supersteps must
+    // keep the analyzed plan size bounded — 20 iterations may not plan
+    // deeper than 12 (without the cut, depth grows ~linearly in iters)
+    val d12 = run(12).queryExecution.analyzed.numberedTreeString.linesIterator.size
+    val d20 = run(20).queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(d20 <= d12 + 5, s"plan depth grows with iters: $d12 -> $d20")
+  }
+
   test("triangleCounts: K4 plus a pendant — hand-counted; orientation counts each triangle once") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1
