@@ -34,17 +34,21 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
     val S = 1000000000L // total rank mass in nano-units
-    // Iteration hygiene (same discipline as Dedup.nearDupClusters'
-    // star-contraction loop): e/deg/nodes are re-read EVERY iteration,
-    // so persist them once — otherwise each superstep re-scans parquet
-    // and re-runs the distinct/degree shuffles, a per-iteration cost
-    // that dominates at web-graph scale with 20-50 iterations.
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // Iteration hygiene: the reuse mechanism here is the periodic
+    // localCheckpoint below, NOT .persist() of e/deg/nodes. Explicit
+    // caching was A/B-measured on this rig and REVERTED: every cached
+    // read is a deserialized-row InMemoryTableScan that breaks the
+    // columnar-parquet + whole-stage-codegen pipeline (one cached
+    // e⋈deg join: 5.7 s vs the whole 3-iteration lazy run: 6.3 s;
+    // persist variants 24-59 s vs 6-18 s lazy/checkpointed at 3-10
+    // iters). Within one executed job, identical e/deg subplans dedup
+    // via ReusedExchange anyway, so each checkpoint window re-derives
+    // them at most once.
+    val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    // N is one scalar — metadata, like AQE stats (also materializes the
-    // persisted nodes/e so the loop starts from cached data)
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // N is one scalar — metadata, like AQE stats
     val n = nodes.count()
     val base = (100L - dampingPct) * S / (100L * n)
     var ranks = nodes.withColumn("rank_nano", lit(S / n))
@@ -63,13 +67,12 @@ object Graph {
             " div 100 AS BIGINT)").as("rank_nano"))
       // Cut lineage every 5 supersteps: ranks' logical plan otherwise
       // deepens linearly with iters (re-shuffle × iters on recompute,
-      // analyzer blow-up past ~20) — localCheckpoint materializes to
-      // executor-local storage, no HDFS round-trip needed.
+      // analyzer blow-up past ~20) — localCheckpoint materializes the
+      // node-scale rank table to executor-local storage (no HDFS
+      // round-trip) and bounds every job to ≤5 supersteps of work.
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    val out = ranks.localCheckpoint() // sever lineage before unpersist
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
-    out
+    ranks
   }
 
   /** Per-node triangle counts over an undirected edge list (columns
