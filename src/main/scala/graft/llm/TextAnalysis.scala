@@ -766,6 +766,52 @@ object TextAnalysis {
         size(tokens(col("col"))).as("chunk_tokens"))
   }
 
+  /** Line-level deduplication (CCNet / RefinedWeb boilerplate
+    * removal): a "line" that recurs across ≥ `maxDocs` distinct
+    * documents is boilerplate (headers, navigation, legal footers)
+    * and is stripped from EVERY document; the surviving lines are
+    * re-stitched in order. Lines here are consecutive `lineWords`-word
+    * chunks (the corpus stores single-spaced word streams — a real
+    * web corpus would split on '\n' instead; the operator shape is
+    * identical).
+    *
+    * Scale shape: one generator (native [[graft.functions.WordChunks]]
+    * — codegen'd, no HOF walk), one line-key aggregation with map-side
+    * partial distinct-doc counting, one line-key join back, one doc-key
+    * re-aggregation. The line-key shuffle carries (line, doc_id) —
+    * at web scale you'd key the count by `xxhash64(line)` to shuffle
+    * 8-byte keys instead of line text; kept as the exact string here
+    * so the oracle replays verbatim. Re-stitching is a merge-order-
+    * exact `array_sort(collect_list(struct(idx, line)))` — no window,
+    * no per-doc state, docs never leave their partition after the
+    * final shuffle.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_len, clean_fp) — the
+    * fingerprint is order-sensitive over the full cleaned text, so a
+    * single mis-kept or mis-ordered line anywhere flips the gate.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      lineWords: Int = 8, maxDocs: Int = 3): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.WordChunks(col(textCol), lineWords)))
+      .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
+    val counts = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val keepStruct = when(col("n_docs") < maxDocs,
+      struct(col("line_idx"), col("line")))
+    val clean = concat_ws(" ", transform(
+      array_sort(collect_list(keepStruct)), x => x("line")))
+    lines.join(counts, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("n_docs") < maxDocs).cast("long")).as("n_kept"),
+        clean.as("clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        length(col("clean")).as("clean_len"),
+        when(length(col("clean")) === 0, 0L)
+          .otherwise(graft.functions.PolyHash(col("clean"))).as("clean_fp"))
+  }
+
   /** BPE ENCODING with a trained merge table — the apply side of
     * [[bpeTrain]] (tokenize new text with the tokenizer the corpus
     * learned; the per-document token counts are what a training

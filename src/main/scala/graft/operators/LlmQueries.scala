@@ -583,6 +583,36 @@ object LlmQueries {
         |  tokens_before % 512 AS window_offset
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- line-level dedup (CCNet/RefinedWeb boilerplate removal):
+    // 8-word "lines" recurring in >= 3 distinct docs are stripped
+    // everywhere, survivors re-stitched in order; clean_fp is
+    // order-sensitive over the full cleaned text -----------------------
+    QDef("line_dedup", (s, dir) =>
+      TextAnalysis.lineDedup(Tables.load(s, dir, "documents"), "text",
+          "doc_id", lineWords = 8, maxDocs = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH ws AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ln AS (SELECT doc_id, i AS line_idx,
+        |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+        |  FROM ws, unnest(generate_series(0,
+        |    CAST(ceil(len(w) / 8.0) AS INT) - 1)) AS s(i)),
+        |cnt AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+        |  FROM ln GROUP BY line),
+        |j AS (SELECT doc_id, line_idx, ln.line, n_docs
+        |  FROM ln JOIN cnt ON ln.line = cnt.line),
+        |agg AS (SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN n_docs < 3 THEN line END, ' '
+        |      ORDER BY line_idx), '') AS clean
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept,
+        |  CAST(length(clean) AS INT) AS clean_len,
+        |  CASE WHEN length(clean) = 0 THEN 0
+        |       ELSE ${duckPoly("clean")} END AS clean_fp
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- rolling-hash fingerprint (native codegen'd expression) ----
     QDef("doc_fingerprint", (s, dir) =>
       Tables.load(s, dir, "documents")

@@ -22,6 +22,23 @@ class LlmSpec extends SparkSpec {
     assert(got.head == 97L * 31 + 98) // 'a','b'
   }
 
+  test("lineDedup strips cross-doc boilerplate lines, keeps order, fingerprints exactly") {
+    import spark.implicits._
+    // 2-word "lines", boilerplate = in >= 2 docs: "a b" (d1,d2) and
+    // "x y" (d2,d3) get stripped everywhere; only d1's "c d" survives
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "text", "doc_id",
+        lineWords = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    // poly_hash("c d") = ((99*31+32)*31+100) mod 1e9+7 = 96231
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 3, 96231L),
+      (2L, 2L, 0L, 0, 0L),
+      (3L, 1L, 0L, 0, 0L)))
+  }
+
   test("shingles produce distinct word n-grams, short docs give empty") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("text").withColumn("doc_id", lit(1L))
