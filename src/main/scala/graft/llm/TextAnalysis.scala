@@ -389,6 +389,47 @@ object TextAnalysis {
         "quality_bucket")
   }
 
+  /** Token-budget corpus selection (the data-mixing step after
+    * scoring): walk documents from best to worst quality (mean unigram
+    * NLL ascending, doc_id tie-break — the [[qualityBuckets]] order)
+    * and select whole documents until the running token total passes
+    * `budgetTokens`. The standard "take the best N-billion tokens"
+    * curation op; emits every doc with its exact global running total
+    * and a selected flag so the caller can also inspect the cut line.
+    *
+    * The global prefix-sum uses the same no-global-window machinery as
+    * [[qualityBuckets]]: quantile bands over the quality key, per-band
+    * token-mass offsets from a ≤nBands-row collected aggregate, and a
+    * RANGE-free ROWS cumsum window partitioned by band. Strict-<
+    * banding means ties never straddle bands, so band offset +
+    * within-band running sum is bit-identical to the single-window
+    * prefix sum.
+    */
+  def budgetSelect(df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long, nBands: Int = 256): DataFrame = {
+    import graft.operators.RelationalQueries.{quantileBandBounds, bandOf}
+    val sentinel = 8000000000000000000L // token-less docs rank last
+    val per = unigramLogProb(df, textCol, idCol)
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
+          .otherwise(lit(sentinel)))
+    val bounds = quantileBandBounds(per, "mean_nll_micro", nBands)
+    val banded = per.withColumn("band", bandOf(bounds, col("mean_nll_micro")))
+    // per-band token mass — metadata-scale (≤ nBands rows)
+    val bandTok = banded.groupBy("band").agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = bandTok.map { case (b, t) => val o = acc; acc += t; (b, o) }.toSeq
+    val offDf = per.sparkSession.createDataFrame(offsets).toDF("band", "tok_off")
+    val wIn = Window.partitionBy("band")
+      .orderBy("mean_nll_micro", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offDf), "band")
+      .withColumn("cum_tokens", col("tok_off") + sum("n_tokens").over(wIn))
+      .withColumn("selected", (col("cum_tokens") <= budgetTokens).cast("int"))
+      .select("doc_id", "n_tokens", "mean_nll_micro", "cum_tokens", "selected")
+  }
+
   /** Bigram upgrade of [[unigramLogProb]]: per-document conditional
     * NLL under a corpus-trained Laplace-smoothed bigram model —
     * NLL(w₂|w₁) = ln((c(w₁·)+V)/(c(w₁w₂)+1)) with c(w₁·) the count of

@@ -1374,6 +1374,39 @@ object LlmQueries {
         |FROM m WINDOW w AS (ORDER BY mean_nll_micro, doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- token-budget corpus selection: best-quality-first running
+    // token sum, whole docs selected until the budget passes — the
+    // "take the best N tokens" curation step. Exact global prefix sum
+    // WITHOUT a global window (banded, like quality_buckets) ----------
+    QDef("budget_select", (s, dir) =>
+      TextAnalysis.budgetSelect(Tables.load(s, dir, "documents"),
+          "text", "doc_id", budgetTokens = 15000L)
+        .orderBy("doc_id"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM c),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(c_t AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1),
+        |per AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(nll_micro_sum, 0) AS nll_micro_sum
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |m AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 8000000000000000000
+        |         ELSE nll_micro_sum // n_tokens END AS mean_nll_micro
+        |  FROM per)
+        |SELECT doc_id, n_tokens, mean_nll_micro,
+        |  CAST(sum(n_tokens) OVER (ORDER BY mean_nll_micro, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(CASE WHEN sum(n_tokens) OVER (ORDER BY mean_nll_micro, doc_id
+        |    ROWS UNBOUNDED PRECEDING) <= 15000 THEN 1 ELSE 0 END AS INT) AS selected
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
     // ---- training-mix accounting per (source, lang): doc/token/char
     // mass + summed unigram NLL — what a mixture designer reads before
     // setting per-domain sampling weights.

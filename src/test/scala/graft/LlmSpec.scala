@@ -39,6 +39,29 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("budgetSelect: banded prefix sum == naive global window; whole-doc cut semantics") {
+    import spark.implicits._
+    // mixed-quality corpus incl. an empty doc (sentinel key ranks last)
+    val docs = Seq(
+      (1L, "the the the the the the"), (2L, "the a the a the a"),
+      (3L, "rare words here"), (4L, "the the a a"), (5L, ""),
+      (6L, "a a a the the the"), (7L, "unique singleton tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.budgetSelect(docs, "text", "doc_id",
+        budgetTokens = 12L, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    // naive replay: one global ordered cumsum over the same keys
+    val naive = got.sortBy(t => (t._3, t._1))
+      .scanLeft((0L, 0L, 0L, 0L, 0)) { case ((_, _, _, cum, _), d) =>
+        (d._1, d._2, d._3, cum + d._2, if (cum + d._2 <= 12L) 1 else 0) }
+      .drop(1).sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // the budget cuts mid-corpus: some selected, some not, cut is whole-doc
+    assert(got.exists(_._5 == 1) && got.exists(_._5 == 0))
+    val cut = got.filter(_._5 == 1).map(_._4).max
+    assert(cut <= 12L)
+  }
+
   test("shingles produce distinct word n-grams, short docs give empty") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("text").withColumn("doc_id", lit(1L))
