@@ -593,6 +593,63 @@ object TextAnalysis {
       PolyHash(redacted).as("redacted_fp"))
   }
 
+  /** 13-19 digit card-number candidates with optional single space/dash
+    * separators between digit groups (the Presidio-style shape).
+    */
+  val PiiCard = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn checksum validity of a candidate card number (separators
+    * stripped): doubled-every-second-digit-from-the-right sum ≡ 0
+    * (mod 10). Pure HOF arithmetic — it runs per MATCH (a handful per
+    * document at most), not per token, so an interpreted lambda is
+    * fine here; the corpus-scale scan cost is the regex, which is
+    * codegen'd.
+    */
+  private def luhnOk(candidate: Column): Column = {
+    val ds = regexp_replace(candidate, "[^0-9]", "")
+    // digit i (1-based from the right); doubled on even i, minus 9
+    // when the doubling carries
+    aggregate(sequence(lit(1), length(ds)), lit(0), (acc, i) => {
+      val d = substring(ds, (length(ds) - i + 1).cast("int"), lit(1)).cast("int")
+      acc + when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    }) % 10 === 0
+  }
+
+  /** Credit-card PII detection with Luhn verification: candidates come
+    * from one codegen'd regex pass; only Luhn-valid numbers count as
+    * PII and are redacted (a 16-digit order id with a bad checksum is
+    * NOT a card — regex-only redaction over-scrubs real corpora).
+    * Output: (doc_id, n_card, n_lune_rejected, redacted_len,
+    * redacted_fp) with `redacted_fp` an order-sensitive fingerprint of
+    * the text after every VALID card is replaced by `<CARD>`.
+    *
+    * Scale shape: single narrow scan, no shuffle; the per-match Luhn
+    * filter and the valid-only redaction both run inside the
+    * projection.
+    */
+  def piiCard(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cands = expr(s"regexp_extract_all($textCol, '$PiiCard', 0)")
+    val valid = filter(cands, m => luhnOk(m))
+    // redact ONLY Luhn-valid matches: replace each valid candidate
+    // literally, longest first so a shorter valid prefix of a longer
+    // valid match can't pre-empt it (fold order is deterministic:
+    // length desc, then lexicographic)
+    val redacted = aggregate(
+      array_sort(valid, (a, b) =>
+        when(length(a) =!= length(b), length(b) - length(a))
+          .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0))),
+      col(textCol),
+      (acc, m) => call_function("replace", acc, m, lit("<CARD>")))
+    df.select(col(idCol).as("doc_id"),
+        size(valid).as("n_card"),
+        (size(cands) - size(valid)).as("n_luhn_rejected"),
+        redacted.as("red"))
+      .select(col("doc_id"), col("n_card"), col("n_luhn_rejected"),
+        length(col("red")).as("redacted_len"),
+        when(length(col("red")) === 0, 0L)
+          .otherwise(PolyHash(col("red"))).as("redacted_fp"))
+  }
+
   // ---------------------------------------------------------------
   // BPE tokenizer TRAINING (Sennrich et al., ACL'16 — learn the merge
   // table from the corpus; [[bpeTokenCount]] only counts with a fixed

@@ -368,6 +368,55 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- credit-card PII with Luhn verification: regex candidates,
+    // checksum-verified before counting/redaction (a 16-digit id with
+    // a bad checksum is NOT a card). Deterministic injection like
+    // pii_detect: 1/4 valid plain, 1/4 valid dashed, 1/4 Luhn-invalid
+    // (must be rejected, NOT redacted), 1/4 clean ---------------------
+    QDef("pii_ccard", (s, dir) => {
+      val d = col("doc_id")
+      val injected = concat(col("text"),
+        when(pmod(d, lit(4)) === 0, lit(" pay 4111111111111111 now"))
+          .when(pmod(d, lit(4)) === 1, lit(" card 4111-1111-1111-1111 ok"))
+          .when(pmod(d, lit(4)) === 2, lit(" ref 1234-5678-9012-3456 code"))
+          .otherwise(lit("")))
+      TextAnalysis.piiCard(
+          Tables.load(s, dir, "documents").withColumn("text", injected),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH aug AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' pay 4111111111111111 now'
+        |    WHEN doc_id % 4 = 1 THEN ' card 4111-1111-1111-1111 ok'
+        |    WHEN doc_id % 4 = 2 THEN ' ref 1234-5678-9012-3456 code'
+        |    ELSE '' END AS text FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    regexp_extract_all(text, '${TextAnalysis.PiiCard}') AS cands
+        |  FROM aug),
+        |v AS (SELECT doc_id, text, cands,
+        |    list_filter(cands, m -> list_sum(list_transform(
+        |      range(1, length(regexp_replace(m, '[^0-9]', '', 'g')) + 1),
+        |      i -> CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN 2 * CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+        |              length(regexp_replace(m, '[^0-9]', '', 'g')) - i + 1, 1) AS INT) > 9
+        |            THEN 2 * CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+        |              length(regexp_replace(m, '[^0-9]', '', 'g')) - i + 1, 1) AS INT) - 9
+        |            ELSE 2 * CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+        |              length(regexp_replace(m, '[^0-9]', '', 'g')) - i + 1, 1) AS INT) END
+        |        ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+        |          length(regexp_replace(m, '[^0-9]', '', 'g')) - i + 1, 1) AS INT)
+        |      END)) % 10 = 0) AS valid
+        |  FROM c),
+        |r AS (SELECT doc_id, CAST(len(valid) AS INT) AS n_card,
+        |    CAST(len(cands) - len(valid) AS INT) AS n_luhn_rejected,
+        |    list_reduce(list_concat([text], valid),
+        |      (acc, m) -> replace(acc, m, '<CARD>')) AS red
+        |  FROM v)
+        |SELECT doc_id, n_card, n_luhn_rejected,
+        |  CAST(length(red) AS INT) AS redacted_len,
+        |  CASE WHEN length(red) = 0 THEN 0 ELSE ${duckPoly("red")} END AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- typed PII detect + redact (Dolma-style scrub). The corpus
     // contains no digits, so the gate injects deterministic
     // doc_id-derived PII as part of the query (the multimodal gates'

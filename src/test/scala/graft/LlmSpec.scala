@@ -39,6 +39,27 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("piiCard: Luhn gate separates real cards from lookalike digit runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),           // valid 16-digit
+      (2L, "card 4111-1111-1111-1111 ok"),        // valid, dashed
+      (3L, "ref 1234-5678-9012-3456 code"),       // fails Luhn
+      (4L, "amex 378282246310005 end"),           // valid 15-digit
+      (5L, "no digits here"),
+      (6L, "two 4111111111111111 and 6011111111111117 cards"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiCard(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // redacted_len: doc1 "pay <CARD> now"=14, doc2 "card <CARD> ok"=14,
+    // doc3 unchanged=28, doc4 "amex <CARD> end"=15, doc5=14,
+    // doc6 "two <CARD> and <CARD> cards"=27
+    assert(got.toSeq == Seq(
+      (1L, 1, 0, 14), (2L, 1, 0, 14), (3L, 0, 1, 28),
+      (4L, 1, 0, 15), (5L, 0, 0, 14), (6L, 2, 0, 27)))
+  }
+
   test("budgetSelect: banded prefix sum == naive global window; whole-doc cut semantics") {
     import spark.implicits._
     // mixed-quality corpus incl. an empty doc (sentinel key ranks last)
