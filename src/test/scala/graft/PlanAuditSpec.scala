@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "unigram_logprob" -> "crossJoin of the broadcast 1-row corpus token total (LM denominator)",
     "domain_mixture_stats" -> "same 1-row token total via unigramLogProb",
     "quality_buckets" -> "same 1-row token total via unigramLogProb",
+    "budget_select" -> "same 1-row token total via unigramLogProb",
     "bm25_topk" -> "crossJoin of the broadcast 1-row corpus stats (N, avg doclen)",
     "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
 
