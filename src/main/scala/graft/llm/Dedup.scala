@@ -793,6 +793,30 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Corpus snapshot diff (corpus versioning / release auditing):
+    * compare two corpus versions by document id and content
+    * fingerprint — `added` (id only in v2), `removed` (only in v1),
+    * `changed` (both, fingerprints differ), `unchanged`. The audit a
+    * pipeline runs before re-training on a refreshed crawl: what
+    * actually moved, and how much re-tokenization the delta costs.
+    *
+    * Scale shape: each side collapses to (id, fingerprint) — 16
+    * bytes/doc — before the single full-outer sort-merge join on the
+    * id; text never shuffles. Fingerprints are the codegen'd rolling
+    * hash, so the diff runs at scan speed per side.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(col(idCol).as("doc_id"),
+      graft.functions.PolyHash(col(textCol)).as(out))
+    fp(v1, "fp_old").join(fp(v2, "fp_new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("fp_old"), col("fp_new"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ---------------------------------------------------------------
   // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
   // the embedding level — k-means partitions the space, near-dup

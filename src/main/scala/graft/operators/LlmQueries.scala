@@ -368,6 +368,39 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS INT) AS n_scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus snapshot diff (versioning audit before a re-train):
+    // v2 derived deterministically — %13 docs removed, %7 docs text-
+    // revised, %11 docs re-keyed as additions; the diff classifies by
+    // id presence + content fingerprint ------------------------------
+    QDef("corpus_diff", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val d = col("doc_id")
+      val v2 = docs.filter(pmod(d, lit(13)) =!= 0)
+        .select(d, when(pmod(d, lit(7)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+        .union(docs.filter(pmod(d, lit(11)) === 0)
+          .select((d + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      graft.llm.Dedup.corpusDiff(docs, v2, "text", "doc_id")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' new' FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id, ${duckPoly("text")} AS fp_old FROM documents),
+        |n AS (SELECT doc_id, ${duckPoly("text")} AS fp_new FROM v2)
+        |SELECT doc_id, fp_old, fp_new,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- credit-card PII with Luhn verification: regex candidates,
     // checksum-verified before counting/redaction (a 16-digit id with
     // a bad checksum is NOT a card). Deterministic injection like

@@ -39,6 +39,17 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by id + fingerprint") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(v1, v2, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("piiCard: Luhn gate separates real cards from lookalike digit runs") {
     import spark.implicits._
     val docs = Seq(
