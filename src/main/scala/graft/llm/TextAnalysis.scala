@@ -364,10 +364,16 @@ object TextAnalysis {
       buckets: Int = 3, nBands: Int = 256): DataFrame = {
     import graft.operators.RelationalQueries.{quantileBandBounds, bandOf}
     val sentinel = 8000000000000000000L // far above any real mean NLL
+    // localCheckpoint: the scored table is doc-scale (one row per doc)
+    // but its lineage is the whole 3-shuffle NLL chain, and the banding
+    // needs THREE actions over it (approxQuantile bounds, the offsets
+    // collect, the final job) — materialize once instead of re-running
+    // the chain per action (A/B at sf0.1: 2.9 s → 1.2 s).
     val per = unigramLogProb(df, textCol, idCol)
       .withColumn("mean_nll_micro",
         when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
           .otherwise(lit(sentinel)))
+      .localCheckpoint()
     val bounds = quantileBandBounds(per, "mean_nll_micro", nBands)
     val banded = per.withColumn("band", bandOf(bounds, col("mean_nll_micro")))
     val cnts = banded.groupBy("band").agg(count(lit(1)).as("c")).collect()
@@ -409,10 +415,13 @@ object TextAnalysis {
       budgetTokens: Long, nBands: Int = 256): DataFrame = {
     import graft.operators.RelationalQueries.{quantileBandBounds, bandOf}
     val sentinel = 8000000000000000000L // token-less docs rank last
+    // same localCheckpoint rationale as qualityBuckets: three actions
+    // over a doc-scale table with a 3-shuffle lineage
     val per = unigramLogProb(df, textCol, idCol)
       .withColumn("mean_nll_micro",
         when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
           .otherwise(lit(sentinel)))
+      .localCheckpoint()
     val bounds = quantileBandBounds(per, "mean_nll_micro", nBands)
     val banded = per.withColumn("band", bandOf(bounds, col("mean_nll_micro")))
     // per-band token mass — metadata-scale (≤ nBands rows)
