@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.bridge
-import graft.functions.{PolyHash, VectorDot, WordShingles}
+import graft.functions.{PolyHash, VectorDot, WinnowKeys, WordShingles}
 
 /** Session wiring for the engine.
   *
@@ -47,6 +47,9 @@ object GraftSession {
     bridge.registerFunction(spark, "vector_dot", exprs => VectorDot(exprs(0), exprs(1)))
     bridge.registerFunction(spark, "word_shingles",
       exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    bridge.registerFunction(spark, "winnow_keys",
+      exprs => WinnowKeys(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]))
   }
 
   /** Engine-tuned local session. `cores` should match the box in

@@ -171,26 +171,19 @@ object TextAnalysis {
   def winnow(df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int): DataFrame = {
     val PosCap = 1L << 20
-    val toks = df.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= k)
-    val grams = toks.select(col("doc_id"),
-        transform(sequence(lit(0), size(col("ws")) - k),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))).as("grams"))
-      .select(col("doc_id"), size(col("grams")).as("n_grams"),
-        posexplode(col("grams")).as(Seq("pos", "gram")))
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("key",
-        PolyHash(col("gram")) * lit(PosCap)
-          + (lit(PosCap - 1) - col("pos")))
-      .withColumn("wkey", min(col("key")).over(frame))
-      // one window per start position 0..n_grams−w (a single clipped
-      // window when the doc has fewer than w grams)
-      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
-      .select(col("doc_id"), col("wkey"))
-      .distinct()
+    // The whole selection runs INSIDE the row via the native
+    // [[graft.functions.WinnowKeys]] pass (tokenize → gram hash →
+    // packed key → monotonic-deque window minima → distinct), and only
+    // the SELECTED fingerprints explode. Two earlier formulations live
+    // in git history: explode-every-gram + ROWS-frame window (shuffled
+    // the entire corpus gram stream on doc_id — 3.5 s at sf0.1) and an
+    // interpreted HOF chain (zero-shuffle but lambda-interpreted
+    // hashing, 37 s). The native pass is both: scan-speed codegen,
+    // zero shuffles — the correct 100 TB shape. Values bit-identical:
+    // same packed (hash asc, pos desc) key, same clipped single window
+    // for docs with fewer than w grams.
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowKeys(col(textCol), k, w)).as("wkey"))
       .select(col("doc_id"),
         (lit(PosCap - 1) - col("wkey") % lit(PosCap)).cast("int").as("pos"),
         expr(s"wkey div $PosCap").as("fp"))
