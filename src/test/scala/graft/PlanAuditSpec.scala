@@ -33,8 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_topk" -> "crossJoin of the broadcast 1-row corpus doc count (idf denominator)",
     "unigram_logprob" -> "crossJoin of the broadcast 1-row corpus token total (LM denominator)",
     "domain_mixture_stats" -> "same 1-row token total via unigramLogProb",
-    "quality_buckets" -> "same 1-row token total via unigramLogProb",
-    "budget_select" -> "same 1-row token total via unigramLogProb",
+    // NOTE: quality_buckets/budget_select also carry unigramLogProb's
+    // broadcast 1-row crossJoin, but their NLL chain now executes
+    // inside an eager localCheckpoint, so the returned plan no longer
+    // exposes it to this audit (the checkpointed sub-plan was audited
+    // via unigram_logprob, which shares the chain).
     "bm25_topk" -> "crossJoin of the broadcast 1-row corpus stats (N, avg doclen)",
     "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
 
