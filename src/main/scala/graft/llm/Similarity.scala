@@ -343,4 +343,35 @@ object Similarity {
       .filter(col("pick_rank") <= perCluster)
       .select("vec_id", "cluster", "pick_rank")
   }
+
+  /** Group-wise embedding centroids (class prototypes /
+    * nearest-class-mean features / per-domain embedding drift stats):
+    * the mean vector per label, computed fully distributed —
+    * posexplode to (label, dim-position, value), ONE aggregation on
+    * the (label, pos) key (map-side combined; |labels|·dim keys, tiny
+    * vs the corpus), then each centroid re-assembles in-row via a
+    * merge-order-exact `sort_array(collect_list(struct))`. No driver
+    * collect anywhere — unlike [[kMeansFit]]'s Lloyd loop this is a
+    * single declarative aggregation, the right shape when the label
+    * set is data (not a k the driver owns).
+    *
+    * Determinism contract (same as agg_corr's decimal moments): float
+    * addition is order-sensitive, so each float element is first
+    * floor-quantized to integer micro units (`floor(x·1e6)` — exact,
+    * float→double widening is lossless) and the per-key sum runs on
+    * BIGINTs — merge-order-independent and replayable bit-for-bit by
+    * the oracle. Output mean stays in micro units.
+    */
+  def groupCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("col").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_micro", expr("s div n"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mean_micro)))," +
+        " x -> x.mean_micro)").as("centroid_micro"),
+        // n is identical across a label's positions (fixed-dim,
+        // null-free vectors) — max is the deterministic pick
+        max(col("n")).as("n_vectors"))
 }

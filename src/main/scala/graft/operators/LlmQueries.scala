@@ -1153,6 +1153,28 @@ object LlmQueries {
         |    CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(grams) >= 0.2 AS INT) END AS contaminated
         |FROM sh s LEFT JOIN ov o USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
 
+    // ---- group-wise embedding centroids (class prototypes /
+    // nearest-class-mean): fully distributed vector mean — one
+    // (label, pos) aggregation with scaled-long sums (merge-order
+    // exact), in-row re-assembly; centroid emitted as a joined string
+    // for a type-stable hash (the agg_collect precedent) --------------
+    QDef("embedding_centroids", (s, dir) =>
+      Similarity.groupCentroids(Tables.load(s, dir, "embeddings"),
+          "embedding", "label")
+        .select(col("label"), col("n_vectors"),
+          concat_ws(",", col("centroid_micro")).as("centroid_str"))
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT label, embedding[i] AS val, i AS ord
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS s(i)),
+        |g AS (SELECT label, ord,
+        |    CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM e GROUP BY label, ord)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |  string_agg(CAST(s // n AS VARCHAR), ',' ORDER BY ord) AS centroid_str
+        |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+
     // ---- Lloyd k-means cluster assignment (domain discovery /
     // diversity sampling / real IVF cells). Deterministic by
     // construction (decimal centroid sums, struct-ordered argmin), so

@@ -39,6 +39,20 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("groupCentroids: hand-computed per-label vector means in micro units") {
+    import spark.implicits._
+    val vs = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)),  // label 0: mean (2, 1)
+      (1, Seq(0.5f, 0.25f)))                         // label 1: itself
+      .toDF("label", "embedding")
+    val got = Similarity.groupCentroids(vs, "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0, Seq(2000000L, 1000000L), 2L),
+      (1, Seq(500000L, 250000L), 1L)))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by id + fingerprint") {
     import spark.implicits._
     val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
