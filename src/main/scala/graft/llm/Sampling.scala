@@ -144,4 +144,52 @@ object Sampling {
       .withColumn("shard_seq", row_number().over(
         Window.partitionBy("shard").orderBy("shuffle_key", idCol)).cast("long"))
   }
+
+  /** Decontaminated train/holdout split (eval-leakage hygiene — the
+    * step between splitting and training): after the content-hash
+    * split, any non-holdout document whose n-gram Jaccard similarity
+    * to ANY holdout document reaches `threshold` is quarantined
+    * (kept = 0) — near-duplicates of eval data must not be trained
+    * on, and [[splitByHash]] alone only guarantees EXACT duplicates
+    * land in one split. Emits every document with its split, its
+    * leak-partner count, and the keep verdict, so the cut is
+    * auditable.
+    *
+    * Scale shape: the same 8-byte-hash inverted-index count join as
+    * [[Dedup.ngramJaccardPairs]] (size-ratio prune included — exact
+    * for a Jaccard threshold), but one side is ONLY the holdout
+    * shingles: cost is Σ df_train · df_holdout per shingle, holdout
+    * df a ~tenth of the corpus's. Holdout docs are never dropped.
+    */
+  def decontaminatedSplit(df: DataFrame, textCol: String, idCol: String,
+      bounds: Seq[(String, Int)], holdout: String, shingleN: Int = 2,
+      threshold: Double = 0.5, modulus: Int = 100): DataFrame = {
+    val sp = splitByHash(df, textCol, bounds, modulus)
+      .select(col(idCol).as("doc_id"), col("split_hash"), col("split"),
+        col(textCol).as("text_"))
+    val inv = Dedup.shingleSets(sp, "text_", "doc_id", shingleN)
+      .join(sp.select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("split"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("split"), col("n_sh"),
+        xxhash64(col("s")).as("h"))
+    val tr = inv.filter(col("split") =!= holdout).alias("l")
+    val te = inv.filter(col("split") === holdout).hint("shuffle_hash").alias("r")
+    val tInv = lit(1.0 / threshold)
+    val leaks = tr.join(te, col("l.h") === col("r.h")
+        && col("r.n_sh") <= col("l.n_sh") * tInv
+        && col("l.n_sh") <= col("r.n_sh") * tInv)
+      .groupBy(col("l.doc_id").as("doc_id"), col("r.doc_id").as("test_id"))
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
+      .filter(col("common").cast("double")
+        / (col("na") + col("nb") - col("common")) >= threshold)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leak_partners"))
+    sp.select(col("doc_id"), col("split_hash"), col("split"))
+      .join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split_hash"), col("split"),
+        coalesce(col("n_leak_partners"), lit(0L)).as("n_leak_partners"),
+        when(col("split") =!= holdout && coalesce(col("n_leak_partners"),
+          lit(0L)) > 0, 0).otherwise(1).as("kept"))
+  }
 }

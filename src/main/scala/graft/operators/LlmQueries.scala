@@ -1269,6 +1269,40 @@ object LlmQueries {
         |       WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // ---- decontaminated split: after the content-hash split, any
+    // train/val doc with n-gram Jaccard >= 0.5 to ANY test doc is
+    // quarantined (kept=0) — near-dups of eval data must not be
+    // trained on; hash-split alone only protects exact dups ----------
+    QDef("split_decontaminate", (s, dir) =>
+      graft.llm.Sampling.decontaminatedSplit(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test",
+          shingleN = 2, threshold = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${duckPoly("text")} % 100 AS split_hash,
+        |    text FROM documents),
+        |sp AS (SELECT doc_id, split_hash,
+        |    CASE WHEN split_hash < 80 THEN 'train'
+        |         WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split,
+        |    text FROM h),
+        |tok AS (SELECT doc_id, split, split_hash,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM sp),
+        |sh AS (SELECT doc_id, split, split_hash,
+        |    list_distinct(CASE WHEN len(ws) >= 2
+        |      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |      ELSE [] END) AS shingles FROM tok),
+        |leak AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_leak_partners
+        |  FROM sh a JOIN sh b ON a.split <> 'test' AND b.split = 'test'
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |  GROUP BY a.doc_id)
+        |SELECT s.doc_id, s.split_hash, s.split,
+        |  coalesce(l.n_leak_partners, 0) AS n_leak_partners,
+        |  CAST(CASE WHEN s.split <> 'test' AND coalesce(l.n_leak_partners, 0) > 0
+        |    THEN 0 ELSE 1 END AS INT) AS kept
+        |FROM sp s LEFT JOIN leak l ON s.doc_id = l.doc_id
+        |ORDER BY s.doc_id""".stripMargin)),
+
     // ---- deterministic corpus shuffle → training shards (order
     // randomization + shard layout; per-shard windows only) ---------
     QDef("shard_shuffle", (s, dir) =>

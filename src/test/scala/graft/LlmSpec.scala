@@ -39,6 +39,45 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("decontaminatedSplit == brute-force cross-split jaccard replay; holdout never dropped") {
+    import spark.implicits._
+    // pairs of near-dup texts (jaccard >= 0.5 on bigram shingles) plus
+    // unrelated docs; the content-hash split scatters them, and every
+    // engine verdict must match a brute-force scala replay
+    val texts = (0 until 8).flatMap { i =>
+      Seq(s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i",
+        s"alpha$i beta$i gamma$i delta$i epsilon$i eta$i") // near-dup of its twin
+    } ++ Seq("lonely words unlike anything else", "another fully unrelated document")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.llm.Sampling.decontaminatedSplit(docs, "text", "doc_id",
+        Seq("train" -> 70, "test" -> 100), holdout = "test", shingleN = 2,
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3), r.getInt(4))).toMap
+    def shingles(t: String) =
+      t.split(" ").filter(_.nonEmpty).sliding(2).map(_.mkString(" ")).toSet
+    val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    val testIds = got.collect { case (id, ("test", _, _)) => id }.toSet
+    got.foreach { case (id, (split, nLeak, kept)) =>
+      if (split == "test") assert(kept == 1, s"holdout doc $id dropped")
+      else {
+        val partners = testIds.count { tid =>
+          val (a, b) = (shingles(byId(id)), shingles(byId(tid)))
+          a.nonEmpty && b.nonEmpty &&
+            (a & b).size.toDouble / (a | b).size >= 0.5
+        }
+        assert(nLeak == partners && kept == (if (partners > 0) 0 else 1),
+          s"doc $id: engine ($nLeak, $kept) vs replay $partners")
+      }
+    }
+    // the fixture must actually exercise a quarantine for the test to mean anything
+    assert(got.values.exists(_._3 == 0) || testIds.isEmpty ||
+      got.values.count(_._1 == "test") == 0 ||
+      { val anyCross = got.exists { case (id, (sp, _, _)) => sp != "test" &&
+          testIds.exists(t => (shingles(byId(id)) & shingles(byId(t))).nonEmpty) }
+        !anyCross })
+  }
+
   test("groupCentroids: hand-computed per-label vector means in micro units") {
     import spark.implicits._
     val vs = Seq(
