@@ -793,6 +793,77 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Near-dup-aware incremental ingest — the fuzzy companion to
+    * [[incrementalDedup]], completing the dedup matrix (exact / Bloom
+    * / near-dup × batch / incremental): a new batch document is
+    * admitted only if its n-gram Jaccard similarity stays below
+    * `threshold` against BOTH the served corpus and every
+    * lower-doc_id admitted batch document (so a batch of mutual
+    * near-dups admits exactly its min-id representative — first-write
+    * wins, the [[incrementalDedup]] contract).
+    *
+    * Admission policy (deterministic, one-shot — documented precisely
+    * because chain cases diverge between policies): admitted iff NO
+    * near-dup in the corpus AND no lower-id CORPUS-CLEAN batch peer is
+    * a near-dup. In a within-batch chain A~B, B~C (A≁C) this admits A
+    * and drops both B and C — conservative versus exact sequential
+    * admission (which would re-admit C once B is dropped); exact
+    * sequential semantics are inherently iterative — compose
+    * [[nearDupClusters]] + keep-representatives for that policy.
+    *
+    * Scale shape: the [[ngramJaccardPairs]] 8-byte-hash inverted-index
+    * count join with the size-ratio prune, run twice with asymmetric
+    * sides — batch×existing (existing shingles are index-only; the
+    * served text never moves) and batch×batch. Per-batch cost is
+    * Σ df_batch·(df_existing + df_batch) per shingle — batch-sized,
+    * never corpus². Output: every batch doc with its blocker counts
+    * and the admit verdict.
+    */
+  def incrementalNearDedup(batch: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val tInv = lit(1.0 / threshold)
+    def inv(df: DataFrame) = shingleSets(df, textCol, idCol, shingleN)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val b = inv(batch)
+    def blockers(other: DataFrame, sameBatch: Boolean) = {
+      val l = b.alias("l")
+      val r = other.hint("shuffle_hash").alias("r")
+      val keyCond = if (sameBatch) col("r.doc_id") < col("l.doc_id") else lit(true)
+      l.join(r, col("l.h") === col("r.h") && keyCond
+          && col("r.n_sh") <= col("l.n_sh") * tInv
+          && col("l.n_sh") <= col("r.n_sh") * tInv)
+        .groupBy(col("l.doc_id").as("doc_id"), col("r.doc_id").as("other_id"))
+        .agg(count(lit(1)).as("common"),
+          first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
+        .filter(col("common").cast("double")
+          / (col("na") + col("nb") - col("common")) >= threshold)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+    // a batch doc blocked by the corpus can't itself block its batch
+    // peers (it is not admitted), so peer-blocking only counts
+    // lower-id peers that are THEMSELVES corpus-clean — see the
+    // admission-policy contract in the doc comment.
+    val corpusBlocked = blockers(inv(existing), sameBatch = false)
+      .withColumnRenamed("n", "n_corpus_blockers")
+    val cleanIds = batch.select(col(idCol).as("doc_id"))
+      .join(corpusBlocked.select("doc_id"), Seq("doc_id"), "left_anti")
+    val peerBlocked = blockers(
+        b.join(cleanIds, "doc_id").hint("shuffle_hash"), sameBatch = true)
+      .withColumnRenamed("n", "n_peer_blockers")
+    batch.select(col(idCol).as("doc_id"))
+      .join(corpusBlocked, Seq("doc_id"), "left")
+      .join(peerBlocked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_blockers"), lit(0L)).as("n_corpus_blockers"),
+        coalesce(col("n_peer_blockers"), lit(0L)).as("n_peer_blockers"),
+        (coalesce(col("n_corpus_blockers"), lit(0L)) === 0
+          && coalesce(col("n_peer_blockers"), lit(0L)) === 0)
+          .cast("int").as("admitted"))
+  }
+
   /** Corpus snapshot diff (corpus versioning / release auditing):
     * compare two corpus versions by document id and content
     * fingerprint — `added` (id only in v2), `removed` (only in v1),

@@ -1269,6 +1269,47 @@ object LlmQueries {
         |       WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // ---- near-dup incremental ingest (fuzzy companion to
+    // dedup_incremental, completing the exact/Bloom/near-dup matrix):
+    // batch = doc_id % 10 == 0, corpus = the rest; a batch doc is
+    // admitted iff no near-dup in the corpus and no lower-id
+    // corpus-clean batch peer (policy contract in Dedup.scala) --------
+    QDef("dedup_incremental_neardup", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id", shingleN = 2, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
+        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |    ELSE [] END) AS shingles FROM tok),
+        |b AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |e AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |cb AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM b JOIN e ON
+        |    CAST(len(list_intersect(b.shingles, e.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(b.shingles, e.shingles))) >= 0.5
+        |  GROUP BY b.doc_id),
+        |clean AS (SELECT doc_id, shingles FROM b
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cb)),
+        |pb AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM b x JOIN clean p ON p.doc_id < x.doc_id
+        |    AND CAST(len(list_intersect(x.shingles, p.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, p.shingles))) >= 0.5
+        |  GROUP BY x.doc_id)
+        |SELECT b.doc_id,
+        |  coalesce(cb.n, 0) AS n_corpus_blockers,
+        |  coalesce(pb.n, 0) AS n_peer_blockers,
+        |  CAST(CASE WHEN coalesce(cb.n, 0) = 0 AND coalesce(pb.n, 0) = 0
+        |    THEN 1 ELSE 0 END AS INT) AS admitted
+        |FROM b LEFT JOIN cb ON b.doc_id = cb.doc_id
+        |LEFT JOIN pb ON b.doc_id = pb.doc_id
+        |ORDER BY b.doc_id""".stripMargin)),
+
     // ---- decontaminated split: after the content-hash split, any
     // train/val doc with n-gram Jaccard >= 0.5 to ANY test doc is
     // quarantined (kept=0) — near-dups of eval data must not be

@@ -39,6 +39,28 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0, 0L)))
   }
 
+  test("incrementalNearDedup: corpus blocking, peer blocking, and the chain policy") {
+    import spark.implicits._
+    val existing = Seq((1L, "e1 e2 e3 e4 e5 e6"),
+      (2L, "filler one two three four five")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "e1 e2 e3 e4 e5 x1"),  // j=4/6 vs existing 1 → corpus-blocked
+      (20L, "a1 a2 a3 a4 a5 a6"),  // clean → admitted
+      (21L, "a1 a2 a3 a4 a5 b1"),  // j=4/6 vs 20 → peer-blocked
+      (22L, "a2 a3 a4 a5 b1 b2"),  // j=4/6 vs 21 only; 21 is corpus-CLEAN
+                                   // → blocks (conservative chain policy)
+      (30L, "totally unrelated words here live"),
+      (40L, "e2 e3 e4 e5 x1 x2"))  // j=4/6 vs 10, but 10 is corpus-BLOCKED
+                                   // → no peer block; j=3/7 vs existing 1 → admitted
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDedup(batch, existing, "text", "doc_id",
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got == Map(
+      10L -> (1L, 0L, 0), 20L -> (0L, 0L, 1), 21L -> (0L, 1L, 0),
+      22L -> (0L, 1L, 0), 30L -> (0L, 0L, 1), 40L -> (0L, 0L, 1)))
+  }
+
   test("decontaminatedSplit == brute-force cross-split jaccard replay; holdout never dropped") {
     import spark.implicits._
     // pairs of near-dup texts (jaccard >= 0.5 on bigram shingles) plus
