@@ -145,6 +145,52 @@ object Sampling {
         Window.partitionBy("shard").orderBy("shuffle_key", idCol)).cast("long"))
   }
 
+  /** Weighted corpus sampling without replacement (exponential-race /
+    * priority-sampling family, cf. Efraimidis & Spirtakis 2006): every
+    * document draws a content-addressed pseudo-uniform `u =
+    * poly_hash(text) ∈ [0, P)` and the k smallest priorities
+    * `u·SCALE div weight` win. For small u the priority behaves like an
+    * Exponential(weight) race, so selection probability is
+    * asymptotically proportional to `weight` — the "sample long
+    * documents more" curation knob — while staying a pure integer
+    * function of the document bytes: re-sharding, re-ingestion, and
+    * engine choice cannot move the sample (unlike `sample()`/`rand()`).
+    *
+    * Scale shape: one narrow codegen'd projection then a global
+    * top-k — Spark's TakeOrdered (per-partition heap of k, driver
+    * merge of n_part·k rows), never a global sort. Holds at 100 TB for
+    * the k a training pipeline draws (thousands), the same contract as
+    * `sort_limit`.
+    */
+  def weightedSample(df: DataFrame, textCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = graft.functions.PolyHash(col(textCol))
+    df.select(col(idCol), col(weightCol).cast("long").as("weight"),
+        (u * lit(1000000L)).as("scaled"))
+      .select(col(idCol), col("weight"),
+        expr("scaled div weight").as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-domain document cap (the CommonCrawl-style anti-spam rule:
+    * no single host may contribute more than `cap` documents).
+    * Priority inside a domain is the content hash (stable across
+    * crawls; a re-crawled byte-identical page keeps its slot), id as
+    * tiebreak. One shuffle on the domain key; Spark's WindowGroupLimit
+    * prunes each map task to its local top-`cap` BEFORE the exchange,
+    * so the shuffle carries ≈ domains·cap rows, not the corpus.
+    */
+  def domainCap(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, cap: Int): DataFrame = {
+    val pri = graft.functions.PolyHash(col(textCol))
+    df.withColumn("pri", pri)
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(col("pri"), col(idCol))))
+      .filter(col("domain_rank") <= cap)
+      .drop("pri")
+  }
+
   /** Decontaminated train/holdout split (eval-leakage hygiene — the
     * step between splitting and training): after the content-hash
     * split, any non-holdout document whose n-gram Jaccard similarity

@@ -302,6 +302,118 @@ object Similarity {
       .withColumn("pq_code", packed)
   }
 
+  /** IVF-PQ with asymmetric-distance candidate scan and exact re-rank
+    * (Jégou et al. PAMI'11 §IV — the FAISS `IVFx,PQy` layout, the
+    * billion-vector retrieval standard). Three stages:
+    *
+    *  1. Coarse quantizer: per-label cells (the [[ivfTopK]] stand-in);
+    *     queries probe their `nprobe` nearest cell centroids.
+    *  2. ADC scan: corpus vectors are L2-normalized, PQ-encoded
+    *     ([[kMeansFit]] per subspace), and the candidate scan reads
+    *     ONLY `(cell, id, nSub codes)` — at 100 TB this is the whole
+    *     point: 64 floats (256 B) shrink to `nSub` small ints, so the
+    *     probed-cell scan is ~32× less IO and the uncompressed
+    *     embeddings never shuffle. Each query carries its
+    *     `nSub × codeK` table of sub-dot-products (built once per
+    *     probe row, broadcast with it); the per-candidate score is
+    *     `nSub` array lookups — no vector math on the scan.
+    *  3. Exact re-rank: the top `k·rerank` ADC candidates (already
+    *     only k·rerank·|Q| rows) join back to the full vectors for
+    *     true cosine; top-k of that is emitted.
+    *
+    * Vectors are unit-normalized before encoding, so the ADC inner
+    * product IS approximate cosine (the FAISS cosine recipe) and the
+    * re-rank fixes quantization error inside the candidate set.
+    * Deterministic: normalization/fit/assignment reuse the decimal-sum
+    * k-means machinery; ADC scores are fixed-order double folds; all
+    * ties break on ids.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      nSub: Int, codeK: Int, iters: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
+    val subDim = dim / nSub
+    // unit-normalize (float — PQ quantizes anyway, and kMeansFit
+    // reads float arrays); the norm is a named column so it is
+    // computed once per row, not once per element inside the lambda;
+    // zero vectors stay zero
+    def unit(v: Column, n: Column): Column =
+      transform(v, x => when(n === 0.0, lit(0.0f))
+        .otherwise((x / n).cast("float")))
+    // localCheckpoint: every subspace fit needs (init collect + one
+    // stats aggregation per iteration) over the normalized corpus —
+    // 2·nSub actions whose lineage would otherwise re-scan parquet and
+    // re-normalize each time (the qualityBuckets discipline; persist()
+    // would break columnar codegen instead — see PLANS.md)
+    val normed = corpus
+      .withColumn("nn0", l2Norm(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        unit(col("embedding"), col("nn0")).as("nv"))
+      .localCheckpoint()
+    // per-subspace PQ codebooks over the normalized corpus
+    val fits = (0 until nSub).map { s =>
+      kMeansFit(normed.select(col("vec_id"),
+        slice(col("nv"), s * subDim + 1, subDim).as("sub")),
+        codeK, iters, subDim, "sub", "vec_id")
+    }
+    // compressed candidate table: the ONLY per-vector state ADC reads
+    val codeCols = fits.zipWithIndex.map { case (cents, s) =>
+      assignExpr(cents, slice(col("nv"), s * subDim + 1, subDim)).as(s"code$s")
+    }
+    val codes = normed.select(
+      col("vec_id").as("n_vec_id") +: col("label").as("cell") +: codeCols: _*)
+
+    // coarse probe list (exact per-cell centroid means, as ivfTopK)
+    val comps = (0 until dim).map { i =>
+      (sum(element_at(col("embedding"), i + 1).cast(DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as(s"c$i")
+    }
+    val centroids = corpus.groupBy(col("label").as("cell"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("cell"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+        col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("uqv", unit(col("qv"), col("qn")))
+    val cw = Window.partitionBy("q_vec_id").orderBy(col("ccos").desc, col("cell"))
+    // per-probe ADC tables: adc_s[j] = <q_sub_s, codeword_sj>
+    val adcCols = (0 until nSub).map { s =>
+      array((0 until codeK).map(j =>
+        dot(slice(col("uqv"), s * subDim + 1, subDim),
+          typedLit(fits(s)(j).toSeq))): _*).as(s"adc$s")
+    }
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(Seq(col("q_vec_id"), col("qv"), col("qn"), col("cell"))
+        ++ adcCols: _*)
+
+    // ADC candidate scan: nSub array lookups per (probe, code) row
+    val approx = (0 until nSub)
+      .map(s => element_at(col(s"adc$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val aw = Window.partitionBy("q_vec_id").orderBy(col("approx").desc, col("n_vec_id"))
+    val cands = broadcast(probes).join(codes, Seq("cell"))
+      .filter(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= k * rerank)
+      .select("q_vec_id", "qv", "qn", "n_vec_id")
+
+    // exact re-rank of the k·rerank·|Q| candidate rows
+    val full = corpus.select(col("vec_id").as("n_vec_id"),
+      col("embedding").as("nv2"))
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(cands).join(full, "n_vec_id")
+      .select(col("q_vec_id"), col("n_vec_id"),
+        (dot(col("qv"), col("nv2"))
+          / (col("qn") * l2Norm(col("nv2")))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "rank", "n_vec_id", "cos")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * vector-store compression step (4× smaller than float32; serve
     * recall with int8, rerank survivors with the float originals).
@@ -362,6 +474,47 @@ object Similarity {
     * BIGINTs — merge-order-independent and replayable bit-for-bit by
     * the oracle. Output mean stays in micro units.
     */
+  /** Per-group embedding outlier detection (curation's "drop the
+    * mislabeled / noise tail" pass, the prototypicality complement of
+    * SemDeDup): each vector's squared distance to its own group's
+    * centroid is compared against the group's mean squared distance;
+    * `is_outlier` flags vectors beyond `factorPct`% of the mean
+    * (200 = 2× the mean — the conventional loose fence).
+    *
+    * Integer-exact end to end: vectors are floored to micro-units,
+    * centroids are [[groupCentroids]]' micro-unit means, d² is a
+    * 64-dim integer fold (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, well under 2⁶³),
+    * and the fence is the integer comparison
+    * `d² > (factorPct·(Σd² div n)) div 100` — no doubles anywhere, so
+    * any engine replays every verdict bit-identically, and every
+    * intermediate is bounded by dims·(2·10⁶)²·factorPct ≪ 2⁶³
+    * regardless of group size (the mean is floored BEFORE the
+    * factor multiply, so corpus growth cannot overflow the fence).
+    *
+    * Scale shape: centroid table is ≤|groups| rows (broadcast back);
+    * two corpus scans (centroid sums, then d²) + one ≤|groups|-row
+    * stats aggregate. Never pairwise, never collected.
+    */
+  def centroidOutliers(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, factorPct: Int = 200): DataFrame = {
+    val cents = groupCentroids(df, vecCol, labelCol)
+      .select(col("label"), col("centroid_micro"))
+    val d2 = df.select(col(idCol), col(labelCol).as("label"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+          .as("xm"))
+      .join(broadcast(cents), "label")
+      .select(col(idCol), col("label"),
+        expr("aggregate(zip_with(xm, centroid_micro, (a, b) -> (a - b) * (a - b))," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d2"))
+    val stats = d2.groupBy("label")
+      .agg(sum("d2").as("sum_d2"), count(lit(1)).as("n"))
+    d2.join(broadcast(stats), "label")
+      .select(col(idCol), col("label"), col("d2"),
+        expr("sum_d2 div n").as("mean_d2"),
+        expr(s"d2 > (CAST($factorPct AS BIGINT) * (sum_d2 div n)) div 100")
+          .as("is_outlier"))
+  }
+
   def groupCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
       .groupBy("label", "pos")

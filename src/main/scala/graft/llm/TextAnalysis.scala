@@ -950,4 +950,94 @@ object TextAnalysis {
         when(length(col("d")) === 0, 0L)
           .otherwise(graft.functions.PolyHash(col("d"))).as("enc_fp"))
   }
+
+  /** Per-domain adaptive quality threshold: keep the best `keepPct`%
+    * of documents of EACH domain by mean unigram NLL (ascending,
+    * doc_id tie-break) — the curation rule that avoids a global cutoff
+    * starving minority domains (a global threshold filters
+    * out-of-distribution domains wholesale; a per-domain quantile
+    * keeps every domain's best slice).
+    *
+    * Scale shape: a naive per-domain `row_number` window puts an
+    * entire domain (corpus/|domains| rows) in ONE task — the skew
+    * trap. This uses the [[qualityBuckets]] banding machinery keyed by
+    * (domain, band) instead: global quantile bands over the score,
+    * a ≤|domains|·nBands-row collected count table → per-domain band
+    * offsets, and the rank window partitioned by (domain, band) —
+    * parallel across bands within every domain. Strict-< banding
+    * means ties never straddle bands, so band offset + within-band
+    * row_number is bit-identical to the single-window per-domain rank.
+    * The domain column joins back on doc id (one doc-scale equi-join;
+    * thread the column through the scorer if that shuffle matters).
+    */
+  def domainQualityCut(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, keepPct: Int, nBands: Int = 256): DataFrame = {
+    import graft.operators.RelationalQueries.{quantileBandBounds, bandOf}
+    val sentinel = 8000000000000000000L // token-less docs rank last
+    // localCheckpoint: three actions over a doc-scale table with a
+    // 3-shuffle lineage (same rationale as qualityBuckets)
+    val per = unigramLogProb(df, textCol, idCol)
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") > 0, expr("nll_micro_sum div n_tokens"))
+          .otherwise(lit(sentinel)))
+      .join(df.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+        "doc_id")
+      .localCheckpoint()
+    val bounds = quantileBandBounds(per, "mean_nll_micro", nBands)
+    val banded = per.withColumn("band", bandOf(bounds, col("mean_nll_micro")))
+    // (domain, band) counts — metadata-scale, ≤ |domains|·nBands rows
+    val cnts = banded.groupBy("domain", "band").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = cnts.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+      val nDomain = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, c) =>
+        val o = acc; acc += c; (d, b, o, nDomain)
+      }
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets)
+      .toDF("domain", "band", "off", "n_domain")
+    val wIn = Window.partitionBy("domain", "band")
+      .orderBy("mean_nll_micro", "doc_id")
+    banded.join(broadcast(offDf), Seq("domain", "band"))
+      .withColumn("src_rank", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("domain"), col("mean_nll_micro"),
+        col("src_rank"), col("n_domain"),
+        (col("src_rank") * 100 <= col("n_domain") * keepPct)
+          .cast("int").as("kept"))
+  }
+
+  /** Filter-cascade attrition report — the audit every cleaning
+    * pipeline publishes: for each rule, in cascade order, how many
+    * documents reached it, how many it removed, how many survived,
+    * plus each rule's standalone failure count over the WHOLE corpus
+    * (marginal vs cascade attrition tells you which rules overlap).
+    *
+    * Rules are (name, keep-predicate) pairs evaluated in order; every
+    * predicate here should be integer/string-exact (counts only — no
+    * floating point), so the report is engine-replayable. One corpus
+    * scan feeding a single partial+final aggregate of 2·|rules|
+    * booleans; the |rules|-row report is assembled from that one
+    * aggregate row with a literal explode — no second scan, no shuffle
+    * beyond the global agg. Scan-speed at 100 TB.
+    */
+  def filterAttrition(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    // cumulative survival through rule i; standalone failure of rule i
+    val cumCols = rules.indices.map { i =>
+      val surviveThrough = rules.take(i + 1).map(_._2).reduce(_ && _)
+      sum(when(surviveThrough, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val margCols = rules.indices.map { i =>
+      sum(when(!rules(i)._2, 1L).otherwise(0L)).as(s"m$i")
+    }
+    val one = df.agg(count(lit(1)).as("c_total"), (cumCols ++ margCols): _*)
+    val rows = rules.indices.map { i =>
+      val nIn = if (i == 0) col("c_total") else col(s"c${i - 1}")
+      struct(lit(i + 1).as("stage"), lit(rules(i)._1).as("rule"),
+        nIn.as("n_in"), (nIn - col(s"c$i")).as("n_removed"),
+        col(s"c$i").as("n_out"), col(s"m$i").as("n_fail_alone"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

@@ -647,6 +647,78 @@ object LlmQueries {
         |WHERE (d.doc_id % 100) * 10000 < rate_micro
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- weighted sampling without replacement (exponential-race
+    // priorities, Efraimidis–Spirtakis family): content-addressed
+    // integer priorities, global top-k via TakeOrdered ---------------
+    QDef("weighted_sample", (s, dir) =>
+      graft.llm.Sampling.weightedSample(Tables.load(s, dir, "documents"),
+          "text", "doc_id", "n_chars", k = 100)
+        .orderBy("priority", "doc_id"),
+      Some(s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  (${duckPoly("text")} * 1000000) // n_chars AS priority
+        |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- per-domain document cap (CommonCrawl anti-spam rule):
+    // content-hash priority within each domain, WindowGroupLimit
+    // prunes to top-cap per map task before the shuffle --------------
+    QDef("domain_cap", (s, dir) =>
+      graft.llm.Sampling.domainCap(Tables.load(s, dir, "documents"),
+          "text", "doc_id", "source", cap = 10)
+        .select("doc_id", "source", "domain_rank")
+        .orderBy("doc_id"),
+      Some(s"""WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duckPoly("text")}, doc_id) AS INT) AS domain_rank
+        |  FROM documents)
+        |SELECT doc_id, source, domain_rank FROM r
+        |WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // ---- filter-cascade attrition report (cleaning-pipeline audit):
+    // one scan, one global aggregate, |rules| report rows ------------
+    QDef("filter_attrition", (s, dir) => {
+      import org.apache.spark.sql.functions.{array_distinct, regexp_replace, size}
+      val w = size(TextAnalysis.tokens(col("text")))
+      val ns = length(regexp_replace(col("text"), " ", ""))
+      val uq = size(array_distinct(TextAnalysis.tokens(col("text"))))
+      TextAnalysis.filterAttrition(Tables.load(s, dir, "documents"), Seq(
+          "min_words_20" -> (w >= 20),
+          "max_chars_500" -> (col("n_chars") <= 500),
+          "lang_latin" -> col("lang").isin("en", "de", "es", "fr"),
+          "mean_wordlen_3_9" -> (ns >= w * 3 && ns <= w * 9),
+          "uniq_ratio_30" -> (uq * 10 >= w * 3)))
+        .orderBy("stage")
+    },
+      Some(s"""WITH f AS (SELECT
+        |    CAST(len($DuckToks) AS INT) AS w,
+        |    CAST(length(replace(text, ' ', '')) AS INT) AS ns,
+        |    CAST(len(list_distinct($DuckToks)) AS INT) AS uq,
+        |    n_chars, lang
+        |  FROM documents),
+        |b AS (SELECT w >= 20 AS f1, n_chars <= 500 AS f2,
+        |    lang IN ('en', 'de', 'es', 'fr') AS f3,
+        |    ns >= w * 3 AND ns <= w * 9 AS f4,
+        |    uq * 10 >= w * 3 AS f5 FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |    CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |    CAST(sum(CASE WHEN NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+        |    CAST(sum(CASE WHEN NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS m5
+        |  FROM b)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'min_words_20' AS rule, ct AS n_in,
+        |    ct - c1 AS n_removed, c1 AS n_out, m1 AS n_fail_alone FROM a
+        |  UNION ALL SELECT 2, 'max_chars_500', c1, c1 - c2, c2, m2 FROM a
+        |  UNION ALL SELECT 3, 'lang_latin', c2, c2 - c3, c3, m3 FROM a
+        |  UNION ALL SELECT 4, 'mean_wordlen_3_9', c3, c3 - c4, c4, m4 FROM a
+        |  UNION ALL SELECT 5, 'uniq_ratio_30', c4, c4 - c5, c5, m5 FROM a)
+        |ORDER BY stage""".stripMargin)),
+
     // ---- context-window sequence packing (per-shard window cumsum) -
     QDef("pack_sequences", (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -971,6 +1043,25 @@ object LlmQueries {
         .orderBy("q_vec_id", "rank")
     }, Some(AnnExactSqlWithVerdict)),
 
+    // ---- IVF-PQ with ADC scan + exact re-rank (the FAISS
+    // billion-vector layout): candidate scan reads only (cell, id,
+    // codes); same verdict gate — a broken codebook/ADC/rerank chain
+    // collapses recall_ok. recall_ok pins ≥ 0.2: measured 0.36 / 0.52
+    // / 0.28 at sf0.001/0.01/0.1 with this config — each scale's
+    // plateau equals its IVF nprobe=3 probe ceiling, i.e. the PQ+rerank
+    // chain inside the probed cells is near-lossless even on uniform
+    // data (the worst case for quantization; clustered-data recall is
+    // pinned high in LlmSpec) ----------------------------------------
+    QDef("ann_ivfpq", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.topKWithRecallVerdict(
+          Similarity.bruteForceTopK(qs, emb, k = 5),
+          Similarity.ivfpqTopK(qs, emb, k = 5, nprobe = 3, nSub = 4,
+            codeK = 8, iters = 1, rerank = 32), minRecall = 0.2)
+        .orderBy("q_vec_id", "rank")
+    }, Some(AnnExactSqlWithVerdict)),
+
     // ---- random-hyperplane LSH ANN (structure-free scale path);
     // same verdict gate, recall_ok pins ≥ 0.2 (measured 0.26–0.30 at
     // bits=6 multi-probe on uniform data; probed share is 7/64 ≈ 0.11
@@ -1174,6 +1265,29 @@ object LlmQueries {
         |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
         |  string_agg(CAST(s // n AS VARCHAR), ',' ORDER BY ord) AS centroid_str
         |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- per-group embedding outliers (mislabeled/noise-tail
+    // curation): integer micro-unit d² to own-group centroid vs the
+    // group mean — broadcast centroid + stats tables, never pairwise -
+    QDef("embedding_outliers", (s, dir) =>
+      Similarity.centroidOutliers(Tables.load(s, dir, "embeddings"),
+          "embedding", "vec_id", "label", factorPct = 200)
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+        |    i AS ord
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)),
+        |c AS (SELECT label, ord, CAST(sum(xm) AS BIGINT) AS sm, count(*) AS n
+        |  FROM e GROUP BY label, ord),
+        |d AS (SELECT vec_id, e.label,
+        |    CAST(sum((xm - sm // n) * (xm - sm // n)) AS BIGINT) AS d2
+        |  FROM e JOIN c ON e.label = c.label AND e.ord = c.ord
+        |  GROUP BY vec_id, e.label),
+        |g AS (SELECT label, CAST(sum(d2) AS BIGINT) AS sum_d2,
+        |    CAST(count(*) AS BIGINT) AS n FROM d GROUP BY label)
+        |SELECT vec_id, d.label, d2, sum_d2 // n AS mean_d2,
+        |  d2 > (200 * (sum_d2 // n)) // 100 AS is_outlier
+        |FROM d JOIN g ON d.label = g.label ORDER BY vec_id""".stripMargin)),
 
     // ---- Lloyd k-means cluster assignment (domain discovery /
     // diversity sampling / real IVF cells). Deterministic by
@@ -1585,6 +1699,42 @@ object LlmQueries {
         |  CAST(CASE WHEN sum(n_tokens) OVER (ORDER BY mean_nll_micro, doc_id
         |    ROWS UNBOUNDED PRECEDING) <= 15000 THEN 1 ELSE 0 END AS INT) AS selected
         |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-domain adaptive quality threshold: keep each domain's
+    // best keepPct% by mean NLL — banded (domain, band) windows, no
+    // whole-domain single-task window; oracle = the naive per-domain
+    // rank the banding must equal bit-for-bit ------------------------
+    QDef("domain_quality_cut", (s, dir) =>
+      TextAnalysis.domainQualityCut(Tables.load(s, dir, "documents"),
+          "text", "doc_id", "source", keepPct = 75)
+        .orderBy("doc_id"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM c),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(c_t AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS nll_micro
+        |  FROM tf JOIN c USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf * nll_micro) AS BIGINT) AS nll_micro_sum
+        |  FROM sc GROUP BY 1),
+        |per AS (SELECT d.doc_id, d.source, coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(nll_micro_sum, 0) AS nll_micro_sum
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |m AS (SELECT doc_id, source, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 8000000000000000000
+        |         ELSE nll_micro_sum // n_tokens END AS mean_nll_micro
+        |  FROM per)
+        |SELECT doc_id, source AS domain, mean_nll_micro,
+        |  CAST(row_number() OVER w AS BIGINT) AS src_rank,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_domain,
+        |  CAST(CASE WHEN row_number() OVER w * 100
+        |      <= count(*) OVER (PARTITION BY source) * 75
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM m
+        |WINDOW w AS (PARTITION BY source ORDER BY mean_nll_micro, doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- training-mix accounting per (source, lang): doc/token/char
     // mass + summed unigram NLL — what a mixture designer reads before

@@ -1053,6 +1053,111 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("domainQualityCut keeps each domain's best slice; banded rank = naive rank") {
+    import spark.implicits._
+    // Domain A: 4 docs, keep 50% → 2 best; domain B: 2 docs → 1 best.
+    // Unigram NLL ranks common-word docs better than rare-word docs.
+    val df = Seq(
+      (1L, "a a a a", "A"), (2L, "a a a b", "A"),
+      (3L, "a b c d", "A"), (4L, "x y z w", "A"),
+      (5L, "a a b b", "B"), (6L, "q r s t", "B")).toDF("doc_id", "text", "source")
+    val got = graft.llm.TextAnalysis
+      .domainQualityCut(df, "text", "doc_id", "source", keepPct = 50, nBands = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "domain", "src_rank", "n_domain", "kept")
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4, r._5)) == Seq(
+      (1L, "A", 4L, 1), (2L, "A", 4L, 1), (3L, "A", 4L, 0), (4L, "A", 4L, 0),
+      (5L, "B", 2L, 1), (6L, "B", 2L, 0)))
+    // banded per-domain ranks must form each domain's exact 1..n
+    assert(got.filter(_._2 == "A").map(_._3).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(got.filter(_._2 == "B").map(_._3).sorted == Seq(1L, 2L))
+  }
+
+  test("ivfpqTopK equals brute force on well-separated clusters") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes (dim=8, 10 vectors each);
+    // the ADC scan + rerank must recover the exact in-cluster top-3
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f)
+      a(axis) = 10.0f
+      a((axis + 2) % 8) = 0.1f * i // deterministic jitter, breaks ties
+      a
+    }
+    val rows = (0 until 10).map(i => (i.toLong, vec(0, i), 0)) ++
+      (10 until 20).map(i => (i.toLong, vec(4, i - 10), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id").isin(0L, 10L))
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .select("q_vec_id", "rank", "n_vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val got = Similarity.ivfpqTopK(qs, emb, k = 3, nprobe = 1, nSub = 2,
+        codeK = 4, iters = 1, rerank = 2, dim = 8)
+      .select("q_vec_id", "rank", "n_vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == exact)
+    assert(got.size == 6) // 2 queries × top-3
+  }
+
+  test("weightedSample: integer exponential-race priorities, weight pulls docs in") {
+    import spark.implicits._
+    // poly_hash("a")=97, "b"=98, "c"=99; priority = hash*1e6 div weight.
+    // With weight, doc 3's huge weight wins despite the largest hash.
+    val df = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 99L))
+      .toDF("doc_id", "text", "w")
+    val got = graft.llm.Sampling.weightedSample(df, "text", "doc_id", "w", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 99L, 1000000L), (1L, 1L, 97000000L)))
+  }
+
+  test("domainCap keeps the cap lowest-content-hash docs per domain") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.Sampling.domainCap(df, "text", "doc_id", "source", cap = 1)
+      .select("doc_id", "source", "domain_rank")
+      .as[(Long, String, Int)].collect().toSet
+    // d1: hash("a")=97 < hash("b")=98 → doc 1 keeps the slot
+    assert(got == Set((1L, "d1", 1), (3L, "d2", 1)))
+  }
+
+  test("filterAttrition: cascade vs marginal counts on a hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10),  // passes both
+      (2L, 3),   // fails r1 only → removed at stage 1
+      (3L, 30),  // passes r1, fails r2 → removed at stage 2
+      (4L, 2)    // fails both → removed at stage 1; marginal for both
+    ).toDF("doc_id", "v")
+    val got = TextAnalysis.filterAttrition(df, Seq(
+        "v_min_5" -> (col("v") >= 5),
+        "v_max_20" -> (col("v") <= 20)))
+      .orderBy("stage")
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "v_min_5", 4L, 2L, 2L, 2L),
+      (2, "v_max_20", 2L, 1L, 1L, 1L)))
+  }
+
+  test("centroidOutliers: integer micro-unit fence flags the far vector only") {
+    import spark.implicits._
+    // label 0 vectors: 0,0,0,4 → centroid 1e6 micro; d² = 1e12 ×3, 9e12
+    // mean = 3e12, fence = 200·mean div 100 = 6e12 → only the 9e12 vector
+    val df = Seq(
+      (1L, Array(0.0f), 0), (2L, Array(0.0f), 0),
+      (3L, Array(0.0f), 0), (4L, Array(4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity
+      .centroidOutliers(df, "embedding", "vec_id", "label", factorPct = 200)
+      .orderBy("vec_id")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 1000000000000L, 3000000000000L, false),
+      (2L, 0, 1000000000000L, 3000000000000L, false),
+      (3L, 0, 1000000000000L, 3000000000000L, false),
+      (4L, 0, 9000000000000L, 3000000000000L, true)))
+  }
+
   test("domainMixtureStats aggregates doc/char/token/NLL mass per stratum") {
     import spark.implicits._
     val df = Seq(

@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
       "centroid probe = broadcast k-cell crossJoin; verdict window input is " +
       "k*|Q| rows (top-k output), not corpus-scale"),
     "ann_lsh" -> "same verdict harness as ann_ivf (exact baseline + bounded verdict window)",
+    "ann_ivfpq" -> ("same verdict harness as ann_ivf: one BNLJ is the broadcast " +
+      "brute-force baseline, one the broadcast k-cell centroid crossJoin " +
+      "(probe ranking); ADC candidate + rerank joins are equi-joins on cell/id"),
     "join_cross" -> "the cross-join operator itself (4-row region side, broadcast)",
     "multimodal_frames" -> "ascii_ok verdict = crossJoin of a broadcast 1-row aggregate",
     "multimodal_resize" -> "ascii_ok verdict = crossJoin of a broadcast 1-row aggregate",
