@@ -951,6 +951,61 @@ object TextAnalysis {
           .otherwise(graft.functions.PolyHash(col("d"))).as("enc_fp"))
   }
 
+  /** Broadcast dictionary phrase tagging (blocklist screening, topic
+    * tagging, PII wordlists, gazetteer entity matching): find every
+    * occurrence of every dictionary phrase (multi-word supported) in
+    * every document, and emit per-doc match accounting plus the
+    * ordered match list.
+    *
+    * Shape: ONE corpus scan — all distinct phrase lengths' positional
+    * n-grams build inside a single flattened Generate (no per-length
+    * re-scan union), then an inner join against the broadcast
+    * dictionary (MB-scale for real blocklists — never shuffles the
+    * corpus on content), then one doc-key aggregation with partial
+    * collect_list (the agg_collect precedent; match lists are per-doc
+    * bounded). A trie/Aho-Corasick native expression is the
+    * single-pass alternative if dictionary phrase-length spread ever
+    * makes the gram fan-out hurt; at 1-3 lengths the declarative form
+    * wins (codegen'd, AQE-sized).
+    *
+    * Deterministic: matches are re-assembled sorted by (pos, phrase),
+    * so the output is a pure function of the text.
+    */
+  def dictTag(df: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty dictionary")
+    val lens = phrases.map(_.split(" ").count(_.nonEmpty)).distinct.sorted
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+    val emptyGrams =
+      expr("CAST(array() AS array<struct<pos: int, phrase: string>>)")
+    val gramArrays = lens.map { l =>
+      when(size(col("ws")) >= l,
+        expr(s"transform(sequence(1, size(ws) - $l + 1)," +
+          s" i -> struct(i - 1 AS pos, array_join(slice(ws, i, $l), ' ') AS phrase))"))
+        .otherwise(emptyGrams)
+    }
+    val grams = toks
+      .select(col("doc_id"), explode(flatten(array(gramArrays: _*))).as("m"))
+      .select(col("doc_id"), col("m.pos").as("pos"), col("m.phrase").as("phrase"))
+    val dict = df.sparkSession.createDataFrame(phrases.map(Tuple1(_)))
+      .toDF("phrase")
+    val hits = grams.join(broadcast(dict), "phrase")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_matches"),
+        countDistinct(col("phrase")).as("n_distinct"),
+        min(col("pos")).as("first_pos"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, phrase)))," +
+            " x -> x.phrase)"), "|").as("matches"))
+    df.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("first_pos"), lit(-1)).as("first_pos"),
+        coalesce(col("matches"), lit("")).as("matches"))
+  }
+
   /** Per-domain adaptive quality threshold: keep the best `keepPct`%
     * of documents of EACH domain by mean unigram NLL (ascending,
     * doc_id tie-break) — the curation rule that avoids a global cutoff

@@ -1700,6 +1700,39 @@ object LlmQueries {
         |    ROWS UNBOUNDED PRECEDING) <= 15000 THEN 1 ELSE 0 END AS INT) AS selected
         |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- broadcast dictionary phrase tagging (blocklists / topic
+    // tags / gazetteers): per-length positional n-grams ⋈ broadcast
+    // dict, one doc-key agg; corpus never shuffles on content --------
+    QDef("dict_tag", (s, dir) =>
+      TextAnalysis.dictTag(Tables.load(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "big table", "hash value", "sort table",
+            "data column", "fast merge batch"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'ph': array_to_string(ws[i+1:i+1], ' ')}
+        |      for i in range(0, len(ws))]) AS m FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, unnest([{'pos': i, 'ph': array_to_string(ws[i+1:i+2], ' ')}
+        |      for i in range(0, len(ws) - 1)]) AS m FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, unnest([{'pos': i, 'ph': array_to_string(ws[i+1:i+3], ' ')}
+        |      for i in range(0, len(ws) - 2)]) AS m FROM tok),
+        |h AS (SELECT doc_id, m.pos AS pos, m.ph AS phrase FROM g
+        |  WHERE m.ph IN ('spark', 'big table', 'hash value', 'sort table',
+        |    'data column', 'fast merge batch')),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    CAST(count(DISTINCT phrase) AS BIGINT) AS n_distinct,
+        |    CAST(min(pos) AS INT) AS first_pos,
+        |    string_agg(phrase, '|' ORDER BY pos, phrase) AS matches
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_matches, 0) AS n_matches,
+        |  coalesce(n_distinct, 0) AS n_distinct,
+        |  coalesce(first_pos, -1) AS first_pos,
+        |  coalesce(matches, '') AS matches
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- per-domain adaptive quality threshold: keep each domain's
     // best keepPct% by mean NLL — banded (domain, band) windows, no
     // whole-domain single-task window; oracle = the naive per-domain

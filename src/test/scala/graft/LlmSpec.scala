@@ -1053,6 +1053,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dictTag: multi-length phrase matches with positions and ordered list") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x spark y big table spark"),
+      (2L, "no match here"),
+      (3L, "fast merge batch end")).toDF("doc_id", "text")
+    val got = TextAnalysis.dictTag(df, "text", "doc_id",
+        Seq("spark", "big table", "fast merge batch"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1, "spark|big table|spark"),
+      (2L, 0L, 0L, -1, ""),
+      (3L, 1L, 1L, 0, "fast merge batch")))
+  }
+
   test("domainQualityCut keeps each domain's best slice; banded rank = naive rank") {
     import spark.implicits._
     // Domain A: 4 docs, keep 50% → 2 best; domain B: 2 docs → 1 best.
