@@ -217,6 +217,39 @@ object EngineQueries {
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // foreachBatch micro-batch MERGE (latest-wins keyed snapshot via
+    // versioned write-new-then-switch — the streaming CDC upsert
+    // pattern; maxFilesPerTrigger=1 forces 2 real micro-batches so the
+    // snapshot-merge path is exercised, and latest-wins associativity
+    // makes the final state equal the one-shot batch oracle) ----------
+    QDef("stream_upsert", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-supsert")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/in")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      val src = StreamStages.fileSource(s, "parquet", s"$base/in",
+        schema.json, maxFilesPerTrigger = Some(1))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try StreamStages.foreachBatchUpsert(src, Seq("user_id"),
+        Seq("ets", "event_id"), s"$base/out")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      StreamStages.latestSnapshot(s, s"$base/out")
+        .select(col("user_id"), unix_micros(col("ets")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Stateful sessionization (flatMapGroupsWithState): 30-min-gap
     // sessions per user with an event-time timeout. Closed sessions
     // emit in-batch; the still-open last session per user emits only

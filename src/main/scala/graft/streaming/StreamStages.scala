@@ -190,6 +190,66 @@ object StreamStages {
     q
   }
 
+  /** Micro-batch MERGE (the foreachBatch upsert pattern — how
+    * Structured Streaming maintains a latest-wins keyed snapshot
+    * without a transactional table format): per micro-batch, the
+    * previous snapshot version is read, unioned with the batch, and
+    * reduced to one latest row per key (`orderCols` descending, which
+    * must totally order rows per key — include a unique tiebreak);
+    * the result lands as a NEW versioned snapshot `v<batchId>` under
+    * `baseDir` (write-new-then-switch — never read-and-overwrite one
+    * path in the same job, and a restarted/replayed batch rewrites
+    * the same version with identical bytes, so the checkpoint's
+    * at-least-once delivery is idempotent). Latest-wins merge is
+    * associative + commutative over batches, so the final snapshot is
+    * independent of how the stream was micro-batched — the gate pins
+    * it to the one-shot batch CDC oracle.
+    *
+    * Scale shape per batch: batch ∪ snapshot → Sort +
+    * WindowGroupLimit(partial, rank ≤ 1) BEFORE the key exchange
+    * (the cdc_upsert plan) — the shuffle carries ≈ |keys| rows. On a
+    * real deployment the snapshot would be a Delta/Iceberg MERGE
+    * target; the per-batch plan is the same.
+    */
+  def foreachBatchUpsert(src: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], baseDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    def versionDirs(): Seq[(Long, java.io.File)] =
+      Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(f => (f.getName.drop(1).toLong, f)).sortBy(_._1)
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      // a replayed batch must merge against the snapshot BEFORE it
+      val prev = versionDirs().filter(_._1 < id).lastOption
+      val all = prev match {
+        case Some((_, dir)) =>
+          batch.unionByName(spark.read.parquet(dir.getAbsolutePath))
+        case None => batch
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .write.mode("overwrite").parquet(s"$baseDir/v$id")
+      ()
+    }
+      .option("checkpointLocation", s"$baseDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Latest snapshot written by [[foreachBatchUpsert]]. */
+  def latestSnapshot(spark: SparkSession, baseDir: String): DataFrame = {
+    val vs = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => (f.getName.drop(1).toLong, f)).sortBy(_._1)
+    require(vs.nonEmpty, s"no snapshot versions under $baseDir")
+    spark.read.parquet(vs.last._2.getAbsolutePath)
+  }
+
   /** Production-shaped sink: parquet files + checkpoint dir (the
     * at-least-once restart contract).
     */

@@ -215,6 +215,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out.toString).count() == 5)
   }
 
+  test("foreachBatchUpsert: latest-wins snapshot across real micro-batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-upsert")
+    val in = base.resolve("in").toString; val out = base.resolve("out").toString
+    // batch A: user 1 @100, user 2 @150; batch B: user 1 @200 (update)
+    Seq((1L, 1L, 100L), (2L, 2L, 150L)).toDF("event_id", "user_id", "ts_us")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    Seq((3L, 1L, 200L)).toDF("event_id", "user_id", "ts_us")
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val src = StreamStages.fileSource(spark, "parquet", in, schema.json,
+      maxFilesPerTrigger = Some(1))
+    StreamStages.foreachBatchUpsert(src, Seq("user_id"),
+      Seq("ts_us", "event_id"), out)
+    // two micro-batches ⇒ two snapshot versions (merge path exercised)
+    val versions = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
+    assert(versions.toSet == Set("v0", "v1"))
+    val got = StreamStages.latestSnapshot(spark, out)
+      .select("user_id", "event_id", "ts_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 200L), (2L, 2L, 150L)))
+  }
+
   test("streaming parquet sink with checkpoint") {
     val base = Files.createTempDirectory("graft-stream3")
     val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
