@@ -237,6 +237,19 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_id", "ts_us")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 200L), (2L, 2L, 150L)))
+    // restart with the same checkpoint: no new files ⇒ no new
+    // versions, snapshot unchanged (the idempotent-replay contract)
+    val src2 = StreamStages.fileSource(spark, "parquet", in, schema.json,
+      maxFilesPerTrigger = Some(1))
+    StreamStages.foreachBatchUpsert(src2, Seq("user_id"),
+      Seq("ts_us", "event_id"), out)
+    val versions2 = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
+    assert(versions2.toSet == Set("v0", "v1"))
+    val got2 = StreamStages.latestSnapshot(spark, out)
+      .select("user_id", "event_id", "ts_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == got)
   }
 
   test("streaming parquet sink with checkpoint") {
