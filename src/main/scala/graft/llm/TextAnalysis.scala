@@ -781,6 +781,52 @@ object TextAnalysis {
         lit(sketchOk).as("sketch_ok"))
   }
 
+  /** Count–min sketch frequency estimation (Cormode & Muthukrishnan,
+    * J. Algorithms '05) over the token stream, cross-checked against
+    * exact counts — the streaming-frequency companion to
+    * [[heavyHitters]] (Misra–Gries bounds WHICH terms are frequent;
+    * CMS answers point queries "how often did w occur" from a
+    * fixed-size summary). Uses Spark's native `count_min_sketch`
+    * aggregate: depth×width counter matrix, merged associatively
+    * map-side, so one pass shuffles kilobyte summaries — never the
+    * term key — exactly the shape a 100 TB token stream needs.
+    *
+    * The sketch guarantees est ≥ true and (w.h.p.) est ≤ true + ε·n.
+    * Hash placement is seed-dependent, so the raw estimate is not
+    * oracle-replayable; instead the gate pins the two guarantee
+    * verdicts per probe term (the [[graft.llm.Similarity]] ANN
+    * recall-verdict discipline). Probe set = the exact top-`topK`
+    * terms (count desc, term asc — deterministic), whose exact counts
+    * the oracle replays in full.
+    *
+    * Driver-side state: ONE serialized sketch (depth·width longs,
+    * ~`10·⌈2/ε⌉·8` bytes — metadata scale, like the BPE argmax row)
+    * and the ≤topK probe rows. The exact-count side stays distributed;
+    * estimates join back as a broadcast literal table.
+    */
+  def cmsFreq(df: DataFrame, textCol: String, topK: Int,
+      eps: Double = 0.0001, confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+    val row = words.agg(
+      expr(s"count_min_sketch(w, ${eps}d, ${confidence}d, $seed)").as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val n = row.getLong(1)
+    val slack = math.ceil(eps * n).toLong
+    val exact = words.groupBy("w").agg(count(lit(1)).as("freq"))
+    // deterministic bounded probe set: exact top-K (freq desc, term asc)
+    val probes = exact.orderBy(col("freq").desc, col("w")).limit(topK)
+      .select("w").collect().map(_.getString(0))
+    val estDf = df.sparkSession.createDataFrame(
+      probes.toSeq.map(w => (w, cms.estimateCount(w)))).toDF("w", "est")
+    exact.join(broadcast(estDf), "w")
+      .select(col("w"), col("freq"),
+        (col("est") >= col("freq")).cast("int").as("cms_lower_ok"),
+        (col("est") <= col("freq") + lit(slack)).cast("int").as("cms_upper_ok"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, Table A1) — the published
     * composite document filter MassiveText shipped with, as one
     * per-row projection: word-count bounds, mean-word-length bounds,

@@ -586,6 +586,19 @@ object LlmQueries {
         |  1 AS sketch_ok
         |FROM f, t WHERE freq * 30 > n ORDER BY w""".stripMargin)),
 
+    // ---- count-min sketch point-frequency estimates: mergeable
+    // depth×width summary, guarantee verdicts pinned by the oracle
+    // (est ≥ true; est ≤ true + ε·n), probe set = exact top-20 ------
+    QDef("freq_cms", (s, dir) =>
+      TextAnalysis.cmsFreq(Tables.load(s, dir, "documents"), "text",
+          topK = 20)
+        .orderBy("w"),
+      Some(s"""WITH w AS (SELECT unnest($DuckToks) AS w FROM documents),
+        |f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY w),
+        |t AS (SELECT w, freq FROM f ORDER BY freq DESC, w LIMIT 20)
+        |SELECT w, freq, 1 AS cms_lower_ok, 1 AS cms_upper_ok
+        |FROM t ORDER BY w""".stripMargin)),
+
     // ---- BPE encoding: apply the trained merge table corpus-wide —
     // merge rules fold into codegen as a literal replace chain, so
     // encoding is one narrow scan (no vocab join, no shuffle) --------

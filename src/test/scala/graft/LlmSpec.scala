@@ -865,6 +865,27 @@ class LlmSpec extends SparkSpec {
       s"expected exactly the hot token with its exact count, got ${out.toList}")
   }
 
+  test("cmsFreq: estimates respect both CMS guarantees across many partial merges") {
+    import spark.implicits._
+    // skewed stream over 16 partitions: partial sketches merge in
+    // arbitrary order; counter additions are commutative so the merged
+    // sketch must behave as if built sequentially
+    val docs = ((1 to 3000).map(i => (i.toLong, s"cold$i")) ++
+      (1 to 500).map(i => (3000L + i, "hot")) ++
+      (1 to 250).map(i => (3500L + i, "warm warm")))
+      .toDF("doc_id", "text").repartition(16)
+    val out = TextAnalysis.cmsFreq(docs, "text", topK = 3)
+      .orderBy("w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // probe set = exact top-3 (freq desc, term asc): hot=500, warm=500,
+    // cold1=1 (first cold term alphabetically... freq ties break asc)
+    assert(out.map(_._1).toSet == Set("hot", "warm", "cold1"), out.toList)
+    val byW = out.map(t => t._1 -> t).toMap
+    assert(byW("hot")._2 == 500L && byW("warm")._2 == 500L && byW("cold1")._2 == 1L)
+    // both guarantee verdicts hold for every probe
+    assert(out.forall(t => t._3 == 1 && t._4 == 1), out.toList)
+  }
+
   test("bpeEncode applies merges in priority order (Sennrich corpus, hand-counted tokens)") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
