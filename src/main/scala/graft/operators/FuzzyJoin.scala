@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity join (entity resolution / record linkage)
@@ -59,5 +60,48 @@ object FuzzyJoin {
         levenshtein(col("a_val"), col("b_val")).as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
+  }
+
+  /** Sorted-neighborhood candidate pairing (Hernández & Stolfo,
+    * SIGMOD'95 — the merge/purge record-linkage classic): sort all
+    * records by a blocking key, slide a window of `w` records over the
+    * sorted order, and verify every in-window pair with
+    * `levenshtein ≤ maxDist`. Complements [[editDistance1Pairs]]:
+    * deletion-neighborhood blocking is exact but only for d = 1; SNM
+    * supports any distance with a fixed w·n candidate budget (recall
+    * limited to what the sort order co-locates — the documented SNM
+    * trade; multi-pass SNM re-runs with rotated keys).
+    *
+    * The global sort rank is computed WITHOUT a global window (the
+    * qualityBuckets discipline): lexicographic prefix bands — a
+    * `bandChars`-char prefix of the sort key is order-consistent with
+    * the full (key, id) order, and equal keys can't straddle bands —
+    * per-band start offsets from a ≤|alphabet|^bandChars-row collected
+    * count (metadata scale), exact global rank = offset + within-band
+    * row_number. Neighbor candidates materialize as an equi-join on
+    * the rank (each row targets ranks rn+1..rn+w — one generate, w
+    * rows), so the candidate stage is a plain shuffle join: no
+    * all-pairs, no single-task global sort anywhere.
+    */
+  def snmPairs(df: DataFrame, idCol: String, keyCol: String, w: Int,
+      maxDist: Int, bandChars: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(keyCol).as("k"))
+    val banded = base.withColumn("band", substring(col("k"), 1, bandChars))
+    val cnts = banded.groupBy("band").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF("band", "off")
+    val win = Window.partitionBy("band").orderBy("k", "id")
+    val ranked = banded.join(broadcast(offDf), "band")
+      .withColumn("rn", col("off") + row_number().over(win))
+      .select("id", "k", "rn")
+    val targets = ranked.select(col("id").as("a_id"), col("k").as("a_val"),
+      explode(sequence(col("rn") + 1, col("rn") + lit(w.toLong))).as("rn"))
+    targets.join(ranked.hint("shuffle_hash"), Seq("rn"))
+      .select(col("a_id"), col("id").as("b_id"), col("a_val"),
+        col("k").as("b_val"),
+        levenshtein(col("a_val"), col("k")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

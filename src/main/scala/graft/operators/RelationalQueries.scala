@@ -1269,6 +1269,25 @@ object RelationalQueries {
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- sorted-neighborhood record linkage (Hernández–Stolfo
+    // merge/purge): rank by blocking key WITHOUT a global window
+    // (prefix bands + collected offsets), pair ranks rn+1..rn+w via
+    // an equi-join, levenshtein verify. The oracle replays the exact
+    // same window semantics with a plain global row_number ----------
+    QDef("snm_pairs", (s, dir) =>
+      FuzzyJoin.snmPairs(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", w = 3, maxDist = 3)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH r AS (SELECT p_partkey AS id, p_name AS k,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE levenshtein(a.k, b.k) <= 3
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     // ---- funnel analysis: earliest-completion view→click→purchase
     // per user. Cascading first-times: each stage's timestamp is the
     // earliest qualifying event STRICTLY AFTER the previous stage.

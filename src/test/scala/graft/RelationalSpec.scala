@@ -94,6 +94,31 @@ class RelationalSpec extends SparkSpec {
     assert(want.contains(1L -> 2L), "substitution pair missing from fixture")
   }
 
+  test("snmPairs: banded rank equals a global sort, window pairs cross band boundaries") {
+    import spark.implicits._
+    // bands by 2-char prefix: "aa"(×2), "ab", "ba", "bb" — window 2
+    // must pair the last "ab" row with the first "ba" row ACROSS the
+    // band boundary, and the in-band ("aaX","aaY") neighbors.
+    val rows = Seq(
+      10L -> "aaX", 11L -> "aaY", 12L -> "abX", 13L -> "baX", 14L -> "bbQ")
+      .toDF("id", "name").repartition(4)
+    // sorted order: aaX(1) aaY(2) abX(3) baX(4) bbQ(5)
+    val got = graft.operators.FuzzyJoin
+      .snmPairs(rows, "id", "name", w = 2, maxDist = 3)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // window-2 candidates: (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5);
+    // lev: aaX~aaY=1 aaX~abX=1 aaY~abX=2 aaY~baX=2 abX~baX=2
+    //      abX~bbQ=2 baX~bbQ=2  — all within maxDist=3
+    val want = Set((10L, 11L, 1), (10L, 12L, 1), (11L, 12L, 2),
+      (11L, 13L, 2), (12L, 13L, 2), (12L, 14L, 2), (13L, 14L, 2))
+    assert(got == want, s"got $got want $want")
+    // tighter verify keeps only the true near-matches
+    val tight = graft.operators.FuzzyJoin
+      .snmPairs(rows, "id", "name", w = 2, maxDist = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tight == Set((10L, 11L), (10L, 12L)), s"got $tight")
+  }
+
   test("approx_count_distinct stays within HLL error of exact") {
     // the gate query now emits the bound verdict; assert the raw
     // estimate directly here
