@@ -680,6 +680,52 @@ object Dedup {
       .distinct() // a close pair can agree on several blocks
   }
 
+  /** Generic Hamming-distance pairing of precomputed fixed-width
+    * signatures — the [[simhashPairs]] pigeonhole (Manku WWW'07 §3)
+    * lifted to ANY signature column (perceptual image hashes, audio
+    * fingerprints, 64-bit SimHash variants): split the `bits`-wide
+    * signature into `maxHamming + 1` contiguous blocks, equi-join on
+    * exact block agreement (two signatures within the distance bound
+    * must agree on ≥ 1 block), verify with one codegen'd
+    * popcount(xor), distinct. Same scale shape as [[simhashPairs]]:
+    * one ×(maxHamming+1) explode, one shuffle on the (block, bits)
+    * key, shuffle-hash join, never all-pairs. Input `sig` must carry
+    * one row per id.
+    */
+  def hammingPairs(sig: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"need $nBlocks non-empty blocks out of $bits bits")
+    val widths = (0 until nBlocks).map(h =>
+      bits / nBlocks + (if (h < bits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // unsigned shift so a set sign bit (bits = 64) can't smear across
+    // the block extraction; the top block of a full 64-bit signature
+    // needs no mask (and `(1L << 64) - 1` would be wrong anyway)
+    val blockStructs = (0 until nBlocks).map { h =>
+      val width = widths(h)
+      val shifted = shiftrightunsigned(col("sg"), offsets(h))
+      val bv =
+        if (offsets(h) + width >= 64) shifted
+        else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(h).as("blk"), bv.as("bv"))
+    }
+    val base = sig.select(col(idCol).as("sid"), col(hashCol).as("sg"))
+    val ex = base.select(col("sid"), col("sg"),
+        explode(array(blockStructs: _*)).as("b"))
+      .select(col("sid"), col("sg"),
+        col("b.blk").as("blk"), col("b.bv").as("bv"))
+    val l = ex.alias("l")
+    val r = ex.hint("shuffle_hash").alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.bv") === col("r.bv") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("ia"), col("r.sid").as("ib"),
+        bit_count(col("l.sg").bitwiseXOR(col("r.sg")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---------------------------------------------------------------
   // Embedding near-dup: EXACT cosine-threshold self-join via triangle
   // blocking. Exact all-pairs comparison is inherently O(n²) FLOPs,

@@ -127,7 +127,12 @@ object Multimodal {
     * Luma is the integer ITU-R BT.601 weighting: per pixel
     * 299·R + 587·G + 114·B (milli-units, exact in Long).
     */
-  def decodePpm(bytes: Array[Byte]): Option[ImageFeatures] = {
+  /** P6 header parse shared by [[decodePpm]] and [[ppmDHash]]:
+    * returns (width, height, maxval, pixel-data offset) for a complete
+    * 8-bit binary PPM, None otherwise (same validity contract as
+    * [[decodePpm]]'s Scaladoc).
+    */
+  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var pos = 2
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
@@ -163,7 +168,12 @@ object Multimodal {
       _ = { pos += 1 }
       nPix = w.toLong * h
       if bytes.length - pos >= nPix * 3
-    } yield {
+    } yield (w, h, maxval, pos)
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[ImageFeatures] = {
+    parsePpmHeader(bytes).map { case (w, h, maxval, pos) =>
+      val nPix = w.toLong * h
       var luma = 0L
       var i = pos
       val end = pos + (nPix * 3).toInt
@@ -174,6 +184,60 @@ object Multimodal {
       }
       ImageFeatures(0L, w, h, 3, maxval, nPix, luma)
     }
+  }
+
+  /** Perceptual difference hash (dHash — Krawetz's gradient hash, the
+    * standard cheap near-duplicate image fingerprint) of a P6 PPM:
+    * nearest-neighbor sample the image onto an 8-row × 9-column luma
+    * grid (grid cell (r, c) reads the pixel at row ⌊r·h/8⌋, column
+    * ⌊c·w/9⌋ — integer-exact, no resampling filter, so every engine
+    * replays it bit-for-bit), then bit r·8+c of the 64-bit hash is set
+    * iff luma(r, c) > luma(r, c+1). Luma is the integer BT.601
+    * milli-weighting (299·R + 587·G + 114·B) — same as [[decodePpm]].
+    * Bits combine with OR, so bit 63 (two's-complement sign) is safe.
+    */
+  def ppmDHash(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    parsePpmHeader(bytes).map { case (w, h, _, pos) =>
+      def lumaAt(rr: Int, cc: Int): Long = {
+        val p = pos + 3 * (rr * w + cc)
+        299L * (bytes(p) & 0xff) + 587L * (bytes(p + 1) & 0xff) +
+          114L * (bytes(p + 2) & 0xff)
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        val rr = r * h / 8
+        var c = 0
+        while (c < 8) {
+          val l0 = lumaAt(rr, c * w / 9)
+          val l1 = lumaAt(rr, (c + 1) * w / 9)
+          if (l0 > l1) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      (w, h, hash)
+    }
+
+  /** Per-image dHash row (drops undecodable payloads — the
+    * [[decodeImages]] two-path contract). */
+  final case class ImageHashRow(doc_id: Long, width: Int, height: Int,
+      dhash: Long)
+
+  /** Distributed dHash over a media table: partition-wise decode+hash,
+    * payload dropped immediately — only (id, dims, 8-byte hash)
+    * survive toward the pairing shuffle.
+    */
+  def imageDHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          ppmDHash(r.payload).map { case (w, h, hsh) =>
+            ImageHashRow(r.doc_id, w, h, hsh)
+          }
+        }
+      }
   }
 
   /** Real image decode over a media table: PPM payloads parse to

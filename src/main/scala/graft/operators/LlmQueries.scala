@@ -1830,7 +1830,44 @@ object LlmQueries {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  3 AS channels, 255 AS maxval, CAST(w * h AS BIGINT) AS n_pixels,
         |  CAST(sum(lum) AS BIGINT) AS luma_sum
-        |FROM l GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
+        |FROM l GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // ---- perceptual image near-dup: decode → 64-bit dHash (8×9
+    // nearest-neighbor luma grid, gradient sign bits) → pigeonhole
+    // Hamming pairing (the generic Dedup.hammingPairs — never
+    // all-pairs). The oracle replays hash AND pairing from the
+    // synthetic-PPM pixel formula alone (quadratic all-pairs — the
+    // usual exact-oracle-vs-blocked-engine contrast), so writer,
+    // parser, grid sampling and block join are all cross-checked.
+    // In DuckDB 1<<63 overflows; bit 63 ORs in as the BIGINT min
+    // literal (same two's-complement bit) ---------------------------
+    QDef("image_phash_pairs", (s, dir) => {
+      val media = Multimodal.syntheticPpmTable(Tables.load(s, dir, "documents"))
+      val sig = Multimodal.imageDHashes(s, media).toDF()
+      Dedup.hammingPairs(sig, "doc_id", "dhash", bits = 64, maxHamming = 1)
+        .orderBy("ia", "ib")
+    },
+      Some("""WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, w, h,
+        |  [299*((doc_id*31 + 21*(((i//9)*h//8)*w + ((i%9)*w//9)))%256)
+        |   + 587*((doc_id*31 + 21*(((i//9)*h//8)*w + ((i%9)*w//9)) + 7)%256)
+        |   + 114*((doc_id*31 + 21*(((i//9)*h//8)*w + ((i%9)*w//9)) + 14)%256)
+        |   for i in range(0, 72)] AS lm
+        |  FROM p),
+        |hsh AS (SELECT doc_id,
+        |  list_reduce([CASE
+        |      WHEN lm[(i//8)*9 + (i%8) + 1] <= lm[(i//8)*9 + (i%8) + 2]
+        |        THEN CAST(0 AS BIGINT)
+        |      WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << i) END
+        |    for i in range(0, 64)], (a, b) -> a | b) AS dh
+        |  FROM l)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 1
+        |ORDER BY ia, ib""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -865,6 +865,44 @@ class LlmSpec extends SparkSpec {
       s"expected exactly the hot token with its exact count, got ${out.toList}")
   }
 
+  test("ppmDHash: monotone-gradient images hash to all-ones / all-zeros; comments skipped") {
+    def ppm(w: Int, h: Int, comment: Boolean)(px: (Int, Int) => Int): Array[Byte] = {
+      val head = if (comment) s"P6\n# c\n$w $h\n255\n" else s"P6\n$w $h\n255\n"
+      head.getBytes("US-ASCII") ++
+        Array.tabulate(w * h * 3)(i => px(i / 3 % w, i / 3 / w).toByte)
+    }
+    // luma strictly decreasing along every row → every l0 > l1 → all
+    // 64 gradient bits set → hash == -1L (bit 63 = sign bit exercised)
+    val dec = ppm(9, 8, comment = true)((x, _) => 255 - x * 10)
+    assert(Multimodal.ppmDHash(dec).contains((9, 8, -1L)))
+    // strictly increasing → no bit set
+    val inc = ppm(9, 8, comment = false)((x, _) => x * 10)
+    assert(Multimodal.ppmDHash(inc).contains((9, 8, 0L)))
+    // flat image → no strict gradient → 0
+    val flat = ppm(4, 3, comment = false)((_, _) => 77)
+    assert(Multimodal.ppmDHash(flat).contains((4, 3, 0L)))
+    // truncated pixel data → None (falls through to the stub path)
+    assert(Multimodal.ppmDHash(dec.dropRight(1)).isEmpty)
+  }
+
+  test("hammingPairs: pigeonhole finds exactly the within-distance pairs, sign bit included") {
+    import spark.implicits._
+    val sig = Seq(
+      1L -> -1L,               // all 64 bits
+      2L -> (-1L ^ 1L),        // hamming 1 from id 1 (bit 0)
+      3L -> 0L,                // hamming 64 from id 1
+      4L -> (1L << 63),        // hamming 1 from id 3 — sign-bit block
+      5L -> 3L)                // hamming 2 from id 3 — excluded at d=1
+      .toDF("doc_id", "dhash").repartition(3)
+    val got = Dedup.hammingPairs(sig, "doc_id", "dhash", bits = 64, maxHamming = 1)
+      .select("ia", "ib", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (3L, 4L, 1)), s"got $got")
+    // d=2 admits (3,5) and (4,5)=3? no: 1<<63 vs 3 differs in 3 bits
+    val got2 = Dedup.hammingPairs(sig, "doc_id", "dhash", bits = 64, maxHamming = 2)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 2L), (3L, 4L), (3L, 5L)), s"got $got2")
+  }
+
   test("cmsFreq: estimates respect both CMS guarantees across many partial merges") {
     import spark.implicits._
     // skewed stream over 16 partitions: partial sketches merge in
