@@ -333,6 +333,60 @@ object TextAnalysis {
       .select("query_id", "rank", "doc_id", "score_micro")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR'09 — the standard way modern search stacks
+    * combine a lexical index with a vector index): run [[bm25TopK]]
+    * over the text and an exact cosine top-k over the embeddings for
+    * the same query ids, then fuse per (query, doc) as
+    * Σ 1/(rrfK + rank) over the legs that retrieved it. The corpus is
+    * the ids carrying BOTH a text and a vector (semi-joins); queries
+    * are the ids ≡ 0 mod `qMod`, probing with their own first-3-token
+    * text and their own embedding.
+    *
+    * Determinism: RRF contributions are exact integer divisions
+    * (`1e9 div (rrfK + rank)`) summed as longs — no float fusion; leg
+    * ranks are already deterministic (bm25's quantized idf, the ANN
+    * gate's bit-stable cosine), ties break on doc_id. The dense leg
+    * excludes the query's own vector (cosine 1 with itself — noise);
+    * the lexical leg keeps self-hits (the 3-token probe is a genuine
+    * query, not the document). A leg that misses a doc contributes 0,
+    * and its rank surfaces as −1.
+    *
+    * Scale shape: both legs are the already-scale-shaped operators
+    * (broadcast-pruned postings; broadcast query vectors); fusion
+    * touches only ≤ 2·kLeg·|Q| leg rows — a full-outer equi-join on
+    * (query, doc) plus a per-query window, all metadata-scale.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, textCol: String,
+      docIdCol: String, vecIdCol: String, qMod: Long, kLeg: Int, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val d = docs.join(emb.select(col(vecIdCol).as("jid")),
+      col(docIdCol) === col("jid"), "left_semi")
+    val e = emb.join(docs.select(col(docIdCol).as("jid")),
+      col(vecIdCol) === col("jid"), "left_semi")
+    val queriesTxt = d.filter(col(docIdCol) % qMod === 0)
+      .select(col(docIdCol).as("query_id"),
+        array_join(slice(tokens(col(textCol)), 1, 3), " ").as("qtext"))
+    val lex = bm25TopK(d, queriesTxt, textCol, docIdCol, "query_id",
+        "qtext", kLeg)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = Similarity.bruteForceTopK(
+        e.filter(col(vecIdCol) % qMod === 0), e, kLeg)
+      .select(col("q_vec_id").as("query_id"), col("n_vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + dense_rank)"), lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(-1)).as("dense_rank"))
+  }
+
   /** CCNet-style quality bucketing: every document ranked by its mean
     * unigram NLL (from [[unigramLogProb]], integer division so the
     * key is an exact long) and split into `buckets` equal-frequency

@@ -1188,6 +1188,82 @@ object LlmQueries {
         |SELECT query_id, rank, doc_id, score_micro FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- hybrid retrieval: BM25 leg + exact-cosine leg fused by
+    // reciprocal-rank (integer 1e9 div (60+rank) — no float fusion).
+    // Corpus = ids with both text and vector; the oracle replays both
+    // leg chains over the same restricted corpus plus the fusion -----
+    QDef("hybrid_rrf", (s, dir) =>
+      TextAnalysis.hybridRrf(Tables.load(s, dir, "documents"),
+          Tables.load(s, dir, "embeddings"), "text", "doc_id", "vec_id",
+          qMod = 97L, kLeg = 10, k = 5)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        |e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+        |terms AS (SELECT doc_id, unnest($DuckToks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len_d
+        |  FROM terms GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len_d) AS BIGINT) AS tot_len FROM lens),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(($DuckToks)[1:3], ' ') AS qtext
+        |  FROM d WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT query_id, unnest(
+        |    list_filter(string_split(qtext, ' '), w -> w <> '')) AS term FROM q),
+        |cand AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf
+        |  FROM tf JOIN qt USING (term)),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+        |  FROM (SELECT DISTINCT term, doc_id FROM cand) GROUP BY 1),
+        |contrib AS (SELECT query_id, c.doc_id,
+        |    CAST(floor(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |      * 1000000.0) AS BIGINT) AS idf_micro,
+        |    (c.tf * (1.2 + 1)) / (c.tf + 1.2 * ((1 - 0.75) + 0.75 * len_d
+        |      / (CAST(tot_len AS DOUBLE) / n_docs))) AS tf_factor
+        |  FROM cand c JOIN lens USING (doc_id) JOIN dfreq USING (term)
+        |  CROSS JOIN stats),
+        |scored AS (SELECT query_id, doc_id,
+        |    CAST(sum(CAST(floor(CAST(idf_micro AS DOUBLE) * tf_factor)
+        |      AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+        |  FROM scored QUALIFY lex_rank <= 10),
+        |nv AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |pr AS (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+        |  list_reduce(list_transform(list_zip(qv.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (qv.nrm * c.nrm) AS cos
+        |  FROM nv qv JOIN nv c ON qv.vec_id % 97 = 0 AND qv.vec_id <> c.vec_id),
+        |dense AS (SELECT query_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
+        |  FROM pr QUALIFY dense_rank <= 10),
+        |f AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+        |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+        |    l.lex_rank AS lex_rank, dn.dense_rank AS dense_rank
+        |  FROM lex l FULL OUTER JOIN dense dn
+        |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+        |sc AS (SELECT query_id, doc_id,
+        |    coalesce(1000000000 // (60 + lex_rank), 0)
+        |      + coalesce(1000000000 // (60 + dense_rank), 0) AS rrf_micro,
+        |    coalesce(lex_rank, -1) AS lex_rank,
+        |    coalesce(dense_rank, -1) AS dense_rank
+        |  FROM f),
+        |r AS (SELECT query_id, doc_id, rrf_micro, lex_rank, dense_rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |  lex_rank, dense_rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- boilerplate span removal (RefinedWeb line-dedup variant):
     // drop EVERY occurrence of a chunk present in > maxDocFreq
     // distinct docs; chunk_dedup above keeps the first instead -------

@@ -865,6 +865,33 @@ class LlmSpec extends SparkSpec {
       s"expected exactly the hot token with its exact count, got ${out.toList}")
   }
 
+  test("hybridRrf: integer fusion reorders — a both-legs doc beats each single-leg leader") {
+    import spark.implicits._
+    // identical texts → bm25 ties → lex rank by doc_id (0,1,2,3);
+    // dense vs query 0: doc1 cos 1 (r1), doc3 cos 0.6 (r2),
+    // doc2 cos 0 (r3); doc0 excluded (self). Fusion (k0=60):
+    //   doc1 = 1e9/62 + 1e9/61 = 32522474  ← both legs, wins
+    //   doc3 = 1e9/64 + 1e9/62 = 31754032
+    //   doc2 = 1e9/63 + 1e9/63 = 31746030
+    //   doc0 = 1e9/61           = 16393442 ← lex leader alone, falls last
+    val docs = (0L to 3L).map(i => (i, "apple banana cherry"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = TextAnalysis.hybridRrf(docs, emb, "text", "doc_id", "vec_id",
+        qMod = 97L, kLeg = 10, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(got.toList == List(
+      (0L, 1, 1L, 32522474L, 2, 1),
+      (0L, 2, 3L, 31754032L, 4, 2),
+      (0L, 3, 2L, 31746030L, 3, 3),
+      (0L, 4, 0L, 16393442L, 1, -1)), got.toList)
+  }
+
   test("ppmDHash: monotone-gradient images hash to all-ones / all-zeros; comments skipped") {
     def ppm(w: Int, h: Int, comment: Boolean)(px: (Int, Int) => Int): Array[Byte] = {
       val head = if (comment) s"P6\n# c\n$w $h\n255\n" else s"P6\n$w $h\n255\n"
