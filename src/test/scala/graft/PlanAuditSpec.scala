@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     // exposes it to this audit (the checkpointed sub-plan was audited
     // via unigram_logprob, which shares the chain).
     "bm25_topk" -> "crossJoin of the broadcast 1-row corpus stats (N, avg doclen)",
+    "hybrid_rrf" -> ("its two legs' already-adjudicated shapes: the dense leg IS " +
+      "ann_topk_exact's broadcast-query x corpus brute force; the lexical leg " +
+      "carries bm25_topk's broadcast 1-row corpus-stats crossJoin"),
     "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
