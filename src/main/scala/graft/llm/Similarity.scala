@@ -269,6 +269,56 @@ object Similarity {
     cents
   }
 
+  /** All `nSub` per-subspace Lloyd loops fused into ONE loop: each
+    * iteration runs a single aggregation keyed by (subspace, cluster,
+    * pos) instead of `nSub` sequential scans — same assignments, same
+    * order-exact decimal sums, bit-identical centroids to calling
+    * [[kMeansFit]] per slice, but `nSub`× fewer jobs and corpus scans
+    * (at 100 TB the training scan dominates PQ codebook cost; there is
+    * no reason to pay it once per subspace). Init matches the
+    * per-slice form: the first k vectors by id, sliced on the driver.
+    */
+  def kMeansFitMulti(corpus: DataFrame, nSub: Int, k: Int, iters: Int,
+      subDim: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    require(nSub >= 1 && k >= 1 && iters >= 0)
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val init = v.orderBy("vec_id").limit(k).select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.nonEmpty, "k-means needs a non-empty corpus")
+    var cents: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until nSub).map(s =>
+      init.map(full => full.slice(s * subDim, (s + 1) * subDim)).toIndexedSeq)
+    for (_ <- 1 to iters) {
+      val subRows = v
+        .select(col("v"), explode(array((0 until nSub).map(lit(_)): _*)).as("s"))
+        .withColumn("sub", slice(col("v"), col("s") * subDim + 1, lit(subDim)))
+      val clusterCol = (0 until nSub).foldLeft(lit(-1)) { (acc, s) =>
+        when(col("s") === s, assignExpr(cents(s), col("sub"))).otherwise(acc)
+      }
+      val stats = subRows
+        .select(col("s"), clusterCol.as("cluster"), posexplode(col("sub")))
+        .groupBy("s", "cluster", "pos")
+        .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      cents = (0 until nSub).map { s =>
+        val byCluster = stats.filter(_.getInt(0) == s).groupBy(_.getInt(1))
+        cents(s).indices.map { j =>
+          byCluster.get(j) match {
+            case Some(rows) =>
+              val arr = new Array[Double](subDim)
+              rows.foreach { r =>
+                arr(r.getInt(2)) = r.getDecimal(3).doubleValue() / r.getLong(4)
+              }
+              arr
+            case None => cents(s)(j)
+          }
+        }
+      }
+    }
+    cents
+  }
+
   /** Product quantization (Jégou et al., PAMI'11 — the vector-store
     * compression standard): split the `dim`-wide embedding into
     * `nSub` contiguous subspaces, k-means each subspace independently
@@ -277,21 +327,18 @@ object Similarity {
     * indices. `dim` doubles compress to `nSub` small ints (`pq_code`
     * packs them into one BIGINT for storage/grouping).
     *
-    * Scale shape: each subspace fit is the usual Lloyd loop (one scan
-    * + one k·subDim-row shuffle per iteration); the final encoding is a
-    * SINGLE projection with all `nSub` argmin expressions folded into
-    * codegen — no join between subspaces, no shuffle, scan speed.
+    * Scale shape: ALL subspace fits run as one fused Lloyd loop
+    * ([[kMeansFitMulti]] — one scan + one nSub·k·subDim-row shuffle
+    * per iteration total); the final encoding is a SINGLE projection
+    * with all `nSub` argmin expressions folded into codegen — no join
+    * between subspaces, no shuffle, scan speed.
     */
   def pqCodes(corpus: DataFrame, nSub: Int, k: Int, iters: Int,
       dim: Int = 64, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
     val subDim = dim / nSub
-    val fits = (0 until nSub).map { s =>
-      val sub = corpus.select(col(idCol).as("vec_id"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
-      kMeansFit(sub, k, iters, subDim, "sub", "vec_id")
-    }
+    val fits = kMeansFitMulti(corpus, nSub, k, iters, subDim, vecCol, idCol)
     val codeCols = fits.zipWithIndex.map { case (cents, s) =>
       assignExpr(cents, slice(col(vecCol), s * subDim + 1, subDim))
         .as(s"c$s")
@@ -349,12 +396,10 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         unit(col("embedding"), col("nn0")).as("nv"))
       .localCheckpoint()
-    // per-subspace PQ codebooks over the normalized corpus
-    val fits = (0 until nSub).map { s =>
-      kMeansFit(normed.select(col("vec_id"),
-        slice(col("nv"), s * subDim + 1, subDim).as("sub")),
-        codeK, iters, subDim, "sub", "vec_id")
-    }
+    // per-subspace PQ codebooks over the normalized corpus — all
+    // subspaces trained in one fused Lloyd loop (one scan + one
+    // driver round per iteration TOTAL, not per subspace)
+    val fits = kMeansFitMulti(normed, nSub, codeK, iters, subDim, "nv", "vec_id")
     // compressed candidate table: the ONLY per-vector state ADC reads
     val codeCols = fits.zipWithIndex.map { case (cents, s) =>
       assignExpr(cents, slice(col("nv"), s * subDim + 1, subDim)).as(s"code$s")
