@@ -459,6 +459,43 @@ object Similarity {
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
 
+  /** Deterministic ±1 sign matrix for [[signedRandomProjection]]:
+    * row j is output dimension j's sign vector over the input dims.
+    * `java.util.Random`'s LCG is spec-pinned (Javadoc defines the
+    * exact recurrence), so the matrix is reproducible everywhere —
+    * the oracle SQL is generated from these same arrays.
+    */
+  def projectionSigns(outDim: Int, dim: Int,
+      seed: Long = 42L): IndexedSeq[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    IndexedSeq.fill(outDim)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Johnson–Lindenstrauss signed random projection (Achlioptas '03:
+    * ±1 entries preserve pairwise distances as well as Gaussian ones):
+    * project the `dim`-wide embedding to `outDim` dims with a
+    * deterministic ±1 matrix — the cheap-prefilter compression for
+    * clustering/dedup/ANN candidate generation. Each output dim is one
+    * [[dot]] against a literal sign vector, so the whole projection is
+    * a single narrow codegen'd scan: no shuffle, no join, and the
+    * embedding column is read once. The conventional 1/√outDim scale
+    * is omitted — it cancels in cosine and rank comparisons, and
+    * omitting it keeps the gate bit-exact with one fewer rounding.
+    *
+    * Output exploded to (vec_id, j, proj) for the gate's row-compare;
+    * production keeps the array form (same expressions, no explode).
+    */
+  def signedRandomProjection(corpus: DataFrame, outDim: Int, dim: Int = 64,
+      seed: Long = 42L, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val signs = projectionSigns(outDim, dim, seed)
+    val projCols = (0 until outDim).map(j =>
+      dot(col(vecCol), typedLit(signs(j).toSeq)))
+    corpus.select(col(idCol).as("vec_id"),
+        posexplode(array(projCols: _*)))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("proj"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * vector-store compression step (4× smaller than float32; serve
     * recall with int8, rerank survivors with the float originals).

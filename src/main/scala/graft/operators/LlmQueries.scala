@@ -1457,6 +1457,30 @@ object LlmQueries {
         |    CAST(trunc(CAST(x AS DOUBLE) / scale * 127.0) AS INT) END AS q
         |FROM e ORDER BY vec_id, pos""".stripMargin)),
 
+    // ---- Johnson–Lindenstrauss signed random projection: 64 → 16
+    // dims with a deterministic ±1 matrix (Achlioptas '03) — the
+    // cheap-prefilter compression ahead of clustering/dedup/ANN.
+    // One codegen'd scan (16 VectorDot folds against literal sign
+    // rows); the oracle SQL is GENERATED from the same sign matrix,
+    // replaying each fold left-to-right so the doubles are
+    // bit-identical -------------------------------------------------
+    QDef("embed_project", (s, dir) =>
+      Similarity.signedRandomProjection(Tables.load(s, dir, "embeddings"),
+          outDim = 16)
+        .orderBy("vec_id", "j"),
+      Some {
+        val signs = Similarity.projectionSigns(outDim = 16, dim = 64)
+        val legs = signs.zipWithIndex.map { case (row, j) =>
+          val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+          s"""SELECT vec_id, $j AS j,
+             |  list_reduce(list_transform(list_zip(embedding, [$arr]),
+             |    x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b) AS proj
+             |FROM embeddings""".stripMargin
+        }
+        legs.mkString("SELECT vec_id, CAST(j AS INT) AS j, proj FROM (\n",
+          "\nUNION ALL\n", "\n) ORDER BY vec_id, j")
+      }),
+
     // ---- content-addressed train/val/test split (re-shard-stable;
     // byte-identical dups always share a split — no exact-dup
     // train→test leakage by construction) ----------------------------

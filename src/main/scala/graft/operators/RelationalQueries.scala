@@ -1376,7 +1376,234 @@ object RelationalQueries {
         |  SELECT a AS node FROM tri
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
-        |GROUP BY node ORDER BY node""".stripMargin))
+        |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ---- sketch set algebra: audience overlap (distinct users doing
+    // BOTH event types) by inclusion–exclusion over mergeable HLL
+    // sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B). The raw user ids
+    // never shuffle twice: one sketch per type, then a pair grid over
+    // the handful of per-type sketch rows (metadata-scale). The exact
+    // intersection (the verdict pin) comes from a distinct user×type
+    // self-join — the gate harness, not the scale path. Datasketches
+    // HLL is deterministic (hash-based, register max-merge is
+    // order-insensitive), so the verdict is stable across runs.
+    QDef("sketch_hll_intersect", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_n"))
+      val pairs = perType.as("a")
+        .join(broadcast(perType.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.exact_n").as("exact_a"), col("b.exact_n").as("exact_b"),
+          (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk"))
+            - hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+            .as("est_both"))
+      val du = ev.select("event_type", "user_id").distinct()
+      val exact = du.as("x")
+        .join(du.as("y"), col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_both"))
+      exact.join(pairs, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_both"),
+          (abs(col("est_both") - col("exact_both"))
+            <= (col("exact_a") + col("exact_b")).cast("double") * 0.05)
+            .cast("int").as("iex_within_5pct"))
+        .orderBy("type_a", "type_b")
+    },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS exact_both, 1 AS iex_within_5pct
+        |FROM du a JOIN du b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- 2-D Pareto front (skyline): parts not dominated on
+    // (maximize p_size, minimize p_retailprice) — the multi-criteria
+    // quality cut. Sort-based O(n log n) plan instead of the O(n²)
+    // dominance test: per-size min price m(s) (one bounded shuffle),
+    // then the running min over STRICTLY larger sizes M(s) via a
+    // window over the ≤|distinct sizes| aggregated rows
+    // (metadata-scale — the only global window, see PlanAuditSpec),
+    // broadcast back. p survives iff p.price = m(p.size) AND
+    // p.price < M(p.size) (vacuous at the max size): equal-size
+    // domination needs strictly lower price, larger-size domination
+    // needs less-or-equal price. Exact duplicates both survive
+    // (neither strictly dominates). The oracle runs the O(n²)
+    // NOT EXISTS definition — same set.
+    QDef("pareto_front", (s, dir) => {
+      val p = t(s, dir, "part")
+      val m = p.groupBy("p_size").agg(min("p_retailprice").as("m"))
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mm = m.withColumn("bigM", min(col("m")).over(w))
+      p.join(broadcast(mm), "p_size")
+        .filter(col("p_retailprice") === col("m")
+          && (col("bigM").isNull || col("p_retailprice") < col("bigM")))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- association mining: event-type co-occurrence lift
+    // (market-basket analytics over the behavior log). Support and
+    // lift are exact-integer counts with ONE final IEEE division
+    // (numerator/denominator are bigint products < 2^53, so the
+    // doubles are bit-identical across engines — no logs, no floats
+    // in the pipeline). Shape: distinct (user, type) once, pair
+    // counts via the user-key equi-self-join (never all-pairs on
+    // types × types), per-type counts + 1-row total broadcast back.
+    QDef("assoc_lift", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val du = ev.select("user_id", "event_type").distinct()
+      val totals = du.agg(countDistinct("user_id").as("n_users"))
+      val per = du.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = du.as("x")
+        .join(du.as("y"), col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(per.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(per.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(totals))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          ((col("n_ab") * col("n_users")).cast("double")
+            / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+      Some("""WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM du),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM du GROUP BY 1),
+        |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  CAST(n_ab * n_users AS DOUBLE) / (ca.n_t * cb.n_t) AS lift
+        |FROM p JOIN c ca ON ca.event_type = p.type_a
+        |  JOIN c cb ON cb.event_type = p.type_b, n
+        |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---- rolling z-score anomaly detection on the event stream:
+    // per-type 20-row trailing window, flag |z| > 3. Window moments
+    // go through exact decimal sums (the agg_corr discipline — the
+    // frame aggregation is merge/traversal-order-proof) and the final
+    // z is one fixed-order double formula both engines replay
+    // bit-identically; zero-variance frames yield NULL z, flag 0.
+    // Per-type partitioned window — never global.
+    QDef("anomaly_zscore", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val x = col("value").cast(DecimalType(18, 4))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      val base = ev.select(col("event_id"), col("event_type"), col("value"),
+        count(lit(1)).over(w).cast("double").as("n"),
+        sum(x).over(w).cast("double").as("sx"),
+        sum(x * x).over(w).cast("double").as("sxx"))
+      val varNum = col("n") * col("sxx") - col("sx") * col("sx")
+      val z = (col("value") - col("sx") / col("n")) /
+        sqrt(varNum / (col("n") * (col("n") - 1)))
+      base.filter(col("n") === 20)
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(varNum <= 0, lit(null)).otherwise(z).as("zscore"),
+          when(varNum <= 0, lit(0))
+            .otherwise((abs(z) > 3.0).cast("int")).as("is_anomaly"))
+        .orderBy("event_id")
+    },
+      Some("""WITH b AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+        |    ELSE (value - sx / n)
+        |      / sqrt((n * sxx - sx * sx) / (n * (n - 1))) END AS zscore,
+        |  CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+        |    ELSE CAST(abs((value - sx / n)
+        |      / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > 3.0 AS INT) END
+        |    AS is_anomaly
+        |FROM b WHERE n = 20 ORDER BY event_id""".stripMargin)),
+
+    // ---- one-pass table profiling: per-column row/null/distinct
+    // counts + min/max, the data-quality summary every ingest job
+    // emits. One aggregation over one scan (the multi-countDistinct
+    // Expand multiplies rows by #profiled columns — at 100 TB swap
+    // exact distincts for approx_count_distinct, same shape); min/max
+    // normalize to strings via type-stable casts (doubles through
+    // DECIMAL so both engines round identically, timestamps through
+    // DATE). Output: one row per profiled column.
+    QDef("profile_table", (s, dir) => {
+      val o = t(s, dir, "orders")
+      def minMaxS(c: Column): (Column, Column) = (min(c).cast("string"), max(c).cast("string"))
+      val specs: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2)),
+        "o_orderdate" -> col("o_orderdate").cast("date"),
+        "o_orderpriority" -> col("o_orderpriority"))
+      val aggs = specs.flatMap { case (n, c) =>
+        val (mn, mx) = minMaxS(c)
+        Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n"),
+          mn.as(s"mn_$n"), mx.as(s"mx_$n"))
+      }
+      val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = specs.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$n")).as("n_null"),
+          col(s"nd_$n").as("n_distinct"),
+          col(s"mn_$n").as("min_s"), col(s"mx_$n").as("max_s"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("col_name")
+    },
+      Some("""SELECT * FROM (
+        |SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT CAST(o_orderdate AS DATE)),
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |) ORDER BY col_name""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -45,7 +45,14 @@ class PlanAuditSpec extends SparkSpec {
     "hybrid_rrf" -> ("its two legs' already-adjudicated shapes: the dense leg IS " +
       "ann_topk_exact's broadcast-query x corpus brute force; the lexical leg " +
       "carries bm25_topk's broadcast 1-row corpus-stats crossJoin"),
-    "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)")
+    "bigram_logprob" -> "crossJoin of the broadcast 1-row vocabulary size (smoothing V)",
+    "sketch_hll_intersect" -> ("pair grid over the per-event-type sketch rows " +
+      "(one row per type — metadata-scale, broadcast); the user-id scan " +
+      "reduces to sketches before any pairing"),
+    "pareto_front" -> ("running-min window over the per-size aggregate " +
+      "(<=|distinct p_size| rows — metadata-scale); the corpus-side pass " +
+      "is a broadcast equi-join on p_size"),
+    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)")
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own

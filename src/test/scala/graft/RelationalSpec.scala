@@ -262,4 +262,56 @@ class RelationalSpec extends SparkSpec {
       assert(joined.count() == spark.table("li_b").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pareto front: window form equals the O(n^2) dominance definition; exact duplicates both survive") {
+    import spark.implicits._
+    // hand-built frontier on (maximize size, minimize price):
+    //  (1, s=10, 5.0) frontier     (2, s=10, 5.0) exact duplicate — both stay
+    //  (3, s=20, 7.0) dominated by 5 (s=30 > 20, 6.0 < 7.0)
+    //  (4, s=20, 9.0) dominated by 3 (same size, pricier) and by 5
+    //  (5, s=30, 6.0) frontier (max size)
+    //  (6, s=5, 4.0)  frontier     (7, s=5, 5.5) dominated by 1 (bigger and cheaper)
+    //  (8, s=25, 6.0) dominated by 5 (s=30 > 25, 6.0 <= 6.0, strict on size)
+    val p = Seq((1L, 10, 5.0), (2L, 10, 5.0), (3L, 20, 7.0), (4L, 20, 9.0),
+      (5L, 30, 6.0), (6L, 5, 4.0), (7L, 5, 5.5), (8L, 25, 6.0))
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    p.createOrReplaceTempView("pareto_fix")
+    val m = p.groupBy("p_size").agg(min("p_retailprice").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_size").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mm = m.withColumn("bigM", min(col("m")).over(w))
+    val got = p.join(broadcast(mm), "p_size")
+      .filter(col("p_retailprice") === col("m")
+        && (col("bigM").isNull || col("p_retailprice") < col("bigM")))
+      .select("p_partkey").as[Long].collect().sorted.toSeq
+    // O(n^2) reference: NOT EXISTS a strict dominator
+    val ref = spark.sql(
+      """SELECT p_partkey FROM pareto_fix p WHERE NOT EXISTS (
+        |  SELECT 1 FROM pareto_fix q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |""".stripMargin).as[Long].collect().sorted.toSeq
+    assert(got == ref, s"window form $got != dominance definition $ref")
+    assert(got == Seq(1L, 2L, 5L, 6L), s"unexpected frontier $got")
+  }
+
+  test("signed random projection matches a naive per-dim recompute and is sign-matrix-stable") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity
+      .signedRandomProjection(vecs, outDim = 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val signs = graft.llm.Similarity.projectionSigns(outDim = 3, dim = 4)
+    // same seed twice -> same matrix (the oracle-generation contract)
+    assert(signs.map(_.toSeq) ==
+      graft.llm.Similarity.projectionSigns(outDim = 3, dim = 4).map(_.toSeq))
+    val v1 = Array(1.0, 2.0, -3.0, 0.5)
+    for (j <- 0 until 3) {
+      val want = v1.indices.foldLeft(0.0)((a, i) => a + v1(i) * signs(j)(i))
+      assert(got((1L, j)) == want, s"dim $j: ${got((1L, j))} != $want")
+      assert(got((2L, j)) == 0.0)
+    }
+  }
 }
