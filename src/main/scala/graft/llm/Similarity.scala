@@ -459,6 +459,57 @@ object Similarity {
       .select("q_vec_id", "rank", "n_vec_id", "cos")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell–Goldstein
+    * SIGIR'98) — the retrieval-stack diversity pass: greedily pick k
+    * of the top-`nCand` candidates, each step maximizing
+    * `λ·rel − (1−λ)·max_{j∈picked} sim(i, j)` (ties → lower id;
+    * step 1 has no picked set, so its score is λ·rel).
+    *
+    * Shape: candidate generation is [[bruteForceTopK]] (swap in
+    * ivf/lsh at 100 TB — the re-rank is agnostic); the greedy is k−1
+    * UNROLLED dataframe steps, each an anti-join + picked-set join +
+    * max-sim aggregate + per-query argmax window over |Q|·nCand rows —
+    * everything partitioned by query, never corpus-scale, no
+    * driver-side loop over data (the loop is over k, a constant).
+    * Every arithmetic step is a fixed-order double formula (`max` is
+    * order-independent), so the DuckDB oracle — generated with the
+    * same unrolling — replays the picks bit-identically.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, nCand: Int, k: Int,
+      lam: Double = 0.5): DataFrame = {
+    val vecs = corpus.select(col("vec_id").as("n_vec_id"),
+        col("embedding").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val cands = bruteForceTopK(queries, corpus, nCand)
+      .join(vecs, "n_vec_id")
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos").as("rel"),
+        col("cv"), col("cn"))
+    def argmax(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_vec_id")
+        .orderBy(col("score").desc, col("n_vec_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("q_vec_id", "n_vec_id", "score")
+    }
+    var all = argmax(cands.withColumn("score", lit(lam) * col("rel")))
+      .withColumn("mmr_rank", lit(1))
+    for (t <- 2 to k) {
+      val pickedV = all.select(col("q_vec_id"), col("n_vec_id").as("p_id"))
+        .join(vecs.select(col("n_vec_id").as("p_id"), col("cv").as("pv"),
+          col("cn").as("pn")), "p_id")
+      val rem = cands.join(all.select("q_vec_id", "n_vec_id"),
+        Seq("q_vec_id", "n_vec_id"), "left_anti")
+      val ms = rem.join(pickedV, "q_vec_id")
+        .groupBy(col("q_vec_id"), col("n_vec_id"))
+        .agg(first(col("rel")).as("rel"),
+          max(dot(col("cv"), col("pv")) / (col("cn") * col("pn"))).as("maxsim"))
+      val nxt = argmax(ms.withColumn("score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")))
+        .withColumn("mmr_rank", lit(t))
+      all = all.union(nxt)
+    }
+    all.select("q_vec_id", "mmr_rank", "n_vec_id", "score")
+  }
+
   /** Deterministic ±1 sign matrix for [[signedRandomProjection]]:
     * row j is output dimension j's sign vector over the input dims.
     * `java.util.Random`'s LCG is spec-pinned (Javadoc defines the

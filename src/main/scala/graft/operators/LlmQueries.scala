@@ -215,6 +215,58 @@ object LlmQueries {
       |SELECT q_vec_id, rank, n_vec_id, cos, 1 AS recall_ok FROM r WHERE rank <= 5
       |ORDER BY q_vec_id, rank""".stripMargin
 
+  /** DuckDB replay of [[graft.llm.Similarity.mmrRerank]]: the k−1
+    * greedy steps UNROLLED as generated CTEs (step t = anti-join vs
+    * the cumulative picked set, max-sim against it, per-query argmax
+    * with the same tie-break), dots/norms via the standard
+    * left-to-right `list_reduce` fold — every pick replays
+    * bit-identically, so the gate is a full hash compare, not a
+    * verdict.
+    */
+  private def mmrSql(nCand: Int, k: Int): String = {
+    val steps = (2 to k).map { t =>
+      s"""m$t AS (SELECT c.q, c.id, c.rel, max(sm.s) AS ms
+         |  FROM c0 c
+         |  LEFT JOIN s${t - 1} px ON px.q = c.q AND px.id = c.id
+         |  JOIN s${t - 1} pk ON pk.q = c.q
+         |  JOIN sim sm ON sm.q = c.q AND sm.ia = c.id AND sm.ib = pk.id
+         |  WHERE px.id IS NULL
+         |  GROUP BY c.q, c.id, c.rel),
+         |p$t AS (SELECT q, id, score, $t AS mmr_rank FROM (
+         |  SELECT q, id, 0.5 * rel - 0.5 * ms AS score,
+         |    row_number() OVER (PARTITION BY q
+         |      ORDER BY 0.5 * rel - 0.5 * ms DESC, id) AS rn
+         |  FROM m$t) WHERE rn = 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |c0 AS (SELECT q, id, rel, cv, cn FROM (
+       |  SELECT q, id, rel, cv, cn,
+       |    row_number() OVER (PARTITION BY q ORDER BY rel DESC, id) AS rnk
+       |  FROM (SELECT q.vec_id AS q, c.vec_id AS id,
+       |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+       |      / (q.nrm * c.nrm) AS rel,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id))
+       |  WHERE rnk <= $nCand),
+       |sim AS (SELECT a.q, a.id AS ia, b.id AS ib,
+       |  list_reduce(list_transform(list_zip(a.cv, b.cv),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+       |    / (a.cn * b.cn) AS s
+       |  FROM c0 a JOIN c0 b ON a.q = b.q AND a.id <> b.id),
+       |s1 AS (SELECT q, id, score, 1 AS mmr_rank FROM (
+       |  SELECT q, id, 0.5 * rel AS score,
+       |    row_number() OVER (PARTITION BY q ORDER BY 0.5 * rel DESC, id) AS rn
+       |  FROM c0) WHERE rn = 1),
+       |$steps
+       |SELECT q AS q_vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       |  id AS n_vec_id, score
+       |FROM s$k ORDER BY q_vec_id, mmr_rank""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- text stats ------------------------------------------------
@@ -1074,6 +1126,19 @@ object LlmQueries {
             codeK = 8, iters = 1, rerank = 32), minRecall = 0.2)
         .orderBy("q_vec_id", "rank")
     }, Some(AnnExactSqlWithVerdict)),
+
+    // ---- MMR diversity re-ranking (Carbonell–Goldstein SIGIR'98):
+    // greedy λ·rel − (1−λ)·max-sim-to-picked over the exact top-8
+    // candidates, k=4 picks. Unrolled dataframe greedy (constant k
+    // steps, everything per-query bounded); the oracle unrolls the
+    // same steps, so the gate hash-matches picks AND scores ----------
+    QDef("mmr_rerank", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.mmrRerank(qs, emb, nCand = 8, k = 4)
+        .withColumn("mmr_rank", col("mmr_rank").cast("int"))
+        .orderBy("q_vec_id", "mmr_rank")
+    }, Some(mmrSql(nCand = 8, k = 4))),
 
     // ---- random-hyperplane LSH ANN (structure-free scale path);
     // same verdict gate, recall_ok pins ≥ 0.2 (measured 0.26–0.30 at

@@ -1201,6 +1201,28 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 6) // 2 queries × top-3
   }
 
+  test("mmrRerank: diversity overtakes a redundant near-duplicate of the top pick") {
+    import spark.implicits._
+    // query 0 along axis 0. Candidates (dim=4):
+    //  2: (1, .009, 0, 0) rel highest (smallest off-axis)   -> pick 1
+    //  1: (1, .01, 0, 0)  near-clone of 2 (sim~1), rel #2   -> demoted
+    //  3: (.7, 0, .7, 0)  less relevant but diverse         -> pick 2
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(1.0f, 0.01f, 0f, 0f), 0),
+      (2L, Array(1.0f, 0.009f, 0f, 0f), 0),
+      (3L, Array(0.7f, 0f, 0.7f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id") === 0L)
+    val got = graft.llm.Similarity.mmrRerank(qs, emb, nCand = 3, k = 3)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "n_vec_id").as[(Int, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 3L, 1L), s"got $got")
+    // plain relevance order would have been 2, 1, 3 — diversity moved 3 up
+    val rel = graft.llm.Similarity.bruteForceTopK(qs, emb, k = 3)
+      .orderBy("rank").select("n_vec_id").as[Long].collect().toSeq
+    assert(rel == Seq(2L, 1L, 3L))
+  }
+
   test("weightedSample: integer exponential-race priorities, weight pulls docs in") {
     import spark.implicits._
     // poly_hash("a")=97, "b"=98, "c"=99; priority = hash*1e6 div weight.

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     "pareto_front" -> ("running-min window over the per-size aggregate " +
       "(<=|distinct p_size| rows — metadata-scale); the corpus-side pass " +
       "is a broadcast equi-join on p_size"),
-    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)")
+    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)",
+    "mmr_rerank" -> ("candidate generation IS ann_topk_exact's broadcast-query " +
+      "x corpus brute force (swap in ivf/lsh at scale); every greedy step " +
+      "is per-query bounded (<= nCand rows each)"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
