@@ -1195,4 +1195,33 @@ object TextAnalysis {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Cross-corpus n-gram novelty / redundancy scoring: for each doc,
+    * the fraction of its distinct n-gram shingles already present in
+    * some EARLIER doc (lower id — ingestion order). The corpus-growth
+    * redundancy curve data curators watch ("how much of each new
+    * shard is new?"), and a per-doc prune signal that — unlike pair
+    * dedup — needs no pair enumeration at all.
+    *
+    * Shape: one shingle explode → min-doc-id per shingle (the
+    * inverted index reduced to its first posting — ONE row per
+    * distinct shingle, not a posting list) → join back → per-doc
+    * counts. Two shuffles on the shingle key, one on doc_id; nothing
+    * pairwise, nothing quadratic — this is the linear-cost redundancy
+    * metric, scale-safe by construction. Docs shorter than n words
+    * have no shingles and drop out (both engines).
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(graft.llm.Dedup.shingles(col(textCol), n)).as("g"))
+    val firstSeen = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        (col("n_seen").cast("double") / col("n_shingles")).as("redundancy"))
+  }
 }

@@ -1127,6 +1127,26 @@ object LlmQueries {
         .orderBy("q_vec_id", "rank")
     }, Some(AnnExactSqlWithVerdict)),
 
+    // ---- cross-corpus n-gram novelty: per-doc fraction of distinct
+    // shingles already seen in an earlier (lower-id) doc — the
+    // corpus-growth redundancy curve; linear cost, no pair
+    // enumeration (inverted index reduced to first posting) ----------
+    QDef("ngram_novelty", (s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+        |    ELSE [] END)) AS g FROM tok),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN fs.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN fs.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS redundancy
+        |FROM sh JOIN fs USING (g)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- MMR diversity re-ranking (Carbonell–Goldstein SIGIR'98):
     // greedy λ·rel − (1−λ)·max-sim-to-picked over the exact top-8
     // candidates, k=4 picks. Unrolled dataframe greedy (constant k

@@ -1453,6 +1453,40 @@ object RelationalQueries {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_partkey""".stripMargin)),
 
+    // ---- first-order Markov transition matrix over the event
+    // stream: per-user next-event pairs via a lead window (partitioned
+    // by user — never global), transition counts + row-normalized
+    // probabilities. Exact bigint counts; p is ONE IEEE division.
+    // The behavior-model companion to funnel/cohort/sessionize.
+    QDef("event_transitions", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = ev
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val counts = steps.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val fromTotals = counts.groupBy("from_type")
+        .agg(sum("n_trans").as("n_from"))
+      counts.join(broadcast(fromTotals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          (col("n_trans").cast("double") / col("n_from")).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+      Some("""WITH s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE) / n_from AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- association mining: event-type co-occurrence lift
     // (market-basket analytics over the behavior log). Support and
     // lift are exact-integer counts with ONE final IEEE division
