@@ -480,10 +480,16 @@ object Similarity {
     val vecs = corpus.select(col("vec_id").as("n_vec_id"),
         col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+    // localCheckpoint: every greedy step references the candidate
+    // table (anti-join) AND the cumulative picked set (twice) — without
+    // a lineage cut each step re-runs the whole candidate-generation
+    // chain, multiplying the brute-force scan k× (measured 4.6 s → the
+    // checkpointed form below; the qualityBuckets discipline)
     val cands = bruteForceTopK(queries, corpus, nCand)
       .join(vecs, "n_vec_id")
       .select(col("q_vec_id"), col("n_vec_id"), col("cos").as("rel"),
         col("cv"), col("cn"))
+      .localCheckpoint()
     def argmax(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_vec_id")
         .orderBy(col("score").desc, col("n_vec_id"))
@@ -505,7 +511,9 @@ object Similarity {
       val nxt = argmax(ms.withColumn("score",
           lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")))
         .withColumn("mmr_rank", lit(t))
-      all = all.union(nxt)
+      // |Q|·t rows — checkpointing keeps step t+1 from re-running
+      // steps 1..t (each step reads `all` twice)
+      all = all.union(nxt).localCheckpoint()
     }
     all.select("q_vec_id", "mmr_rank", "n_vec_id", "score")
   }
