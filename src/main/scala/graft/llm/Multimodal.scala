@@ -260,6 +260,159 @@ object Multimodal {
     * a formula the DuckDB oracle replays WITHOUT parsing PPM, so the
     * gate cross-checks writer and parser against independent math.
     */
+  /** Decoded audio features (what a real audio-decode stage keeps:
+    * format fields from the fmt chunk + exact integer signal stats so
+    * the gate hash is bit-stable).
+    */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, bits: Int,
+      n_samples: Long, duration_us: Long, energy: Long, zero_crossings: Long)
+
+  /** Synthetic RIFF/WAVE table: one 8 kHz 16-bit mono PCM clip per
+    * doc, sample i = (codepoint(text_i) − 77) · 256 — a pure function
+    * of `documents.text`, so the oracle recomputes every feature from
+    * the text column (the syntheticPpmTable recipe, for audio). Every
+    * 3rd doc carries an extra LIST chunk ahead of `data` so the
+    * parser's generic chunk walk (not a fixed 44-byte offset) is what
+    * the gate actually exercises.
+    */
+  def syntheticWavTable(docs: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long, text: String) =>
+      val samples = text.map(c => ((c.toInt - 77) * 256).toShort)
+      val dataLen = samples.length * 2
+      val extra = if (docId % 3 == 0) 12 else 0 // "LIST" + size + "INFO"
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000) // sample rate, byte rate
+        .putShort(2).putShort(16) // block align, bits
+      if (extra > 0)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    docs.select(col("doc_id"), lit("audio/wav").as("media_type"),
+      gen(col("doc_id"), col("text")).as("payload"))
+  }
+
+  /** Pure-JVM RIFF/WAVE PCM parse — the one real audio decoder this
+    * container can have (PCM WAV is uncompressed interchange, like PPM
+    * for images). Walks chunks generically: "RIFF"+size+"WAVE", then
+    * (id, LE32 size) chunks with the RIFF even-byte padding rule,
+    * accepting any chunk order and skipping unknowns; requires a
+    * 16-bit mono PCM fmt chunk and a complete data chunk, else None —
+    * opaque/truncated formats fall through to [[decodeStub]].
+    *
+    * Features are exact integers: energy = Σ s², zero crossings =
+    * #{i : s_{i−1}·s_i < 0}, duration_us = n·1e6 div rate.
+    */
+  /** Chunk-walk core shared by [[parseWav]] and [[wavFingerprint]]:
+    * (sample rate, decoded int16 samples) for a valid 16-bit mono PCM
+    * stream, None otherwise.
+    */
+  def wavSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (bytes.length < 12) return None
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    def le16(off: Int): Int = (bytes(off) & 0xff) | (bytes(off + 1) & 0xff) << 8
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (format, channels, rate)
+    var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, byte length)
+    while (off + 8 <= bytes.length) {
+      val id = ascii(off)
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16) {
+        fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt))
+        bits = le16(off + 22)
+      } else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // RIFF pads chunks to even length
+    }
+    (fmt, data) match {
+      case (Some((1, 1, rate)), Some((dOff, dLen)))
+          if bits == 16 && dLen % 2 == 0 && rate > 0 =>
+        Some((rate, Array.tabulate(dLen / 2)(i =>
+          (le16(dOff + 2 * i) << 16) >> 16))) // sign-extend int16
+      case _ => None
+    }
+  }
+
+  def parseWav(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    wavSamples(bytes).map { case (rate, samples) =>
+      var energy = 0L
+      var crossings = 0L
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        energy += s.toLong * s
+        if (i > 0 && samples(i - 1).toLong * s < 0) crossings += 1
+        i += 1
+      }
+      (rate, 16, samples.length.toLong,
+        samples.length.toLong * 1000000L / rate, energy, crossings)
+    }
+
+  /** Audio decode over the media table: real WAV parse per record,
+    * invalid payloads dropped (same mapPartitions shape as
+    * [[decodeImages]] — bounded per-record work, payload never
+    * survives past the stage).
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseWav(r.payload).map { case (sr, b, n, dur, en, zc) =>
+            AudioFeatures(r.doc_id, sr, b, n, dur, en, zc)
+          }
+        }
+      }
+  }
+
+  final case class AudioHashRow(doc_id: Long, afp: Long)
+
+  /** 64-bit audio fingerprint (the Haitsma–Kalker energy-delta family,
+    * reduced to one band): frame the signal into 3-sample frames,
+    * bit i = (frame-energy i > frame-energy i+1) over the first 65
+    * frames (missing frames count as energy 0, so short clips get a
+    * deterministic suffix). Exact integer energies — reproducible
+    * bits, same dHash gradient-sign convention as [[ppmDHash]].
+    * Pair via the generic [[Dedup.hammingPairs]] pigeonhole blocks.
+    */
+  def wavFingerprint(bytes: Array[Byte], frame: Int = 3): Option[Long] =
+    wavSamples(bytes).map { case (_, samples) =>
+      val e = Array.tabulate(65) { j =>
+        var acc = 0L
+        var i = j * frame
+        val end = math.min(samples.length, (j + 1) * frame)
+        while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
+        acc
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i) > e(i + 1)) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.flatMap(r =>
+        wavFingerprint(r.payload).map(AudioHashRow(r.doc_id, _))))
+  }
+
   def syntheticPpmTable(docs: DataFrame): DataFrame = {
     val gen = udf { (docId: Long) =>
       val w = 4 + (docId % 5).toInt

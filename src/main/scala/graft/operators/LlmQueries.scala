@@ -2017,6 +2017,64 @@ object LlmQueries {
         |  CAST(sum(lum) AS BIGINT) AS luma_sum
         |FROM l GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
+    // ---- audio decode: real RIFF/WAVE PCM parser (generic chunk
+    // walk incl. an injected LIST chunk on every 3rd doc + the RIFF
+    // even-padding rule) over synthetic 8 kHz 16-bit mono clips whose
+    // samples are a pure function of documents.text — the oracle
+    // recomputes sample rate, duration, energy and zero crossings
+    // from the text alone, so writer AND parser are cross-checked.
+    // All features exact integers ------------------------------------
+    QDef("audio_features", (s, dir) => {
+      val media = Multimodal.syntheticWavTable(Tables.load(s, dir, "documents"))
+      Multimodal.decodeAudio(s, media).toDF().orderBy("doc_id")
+    },
+      Some("""WITH c AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> (unicode(ch) - 77) * 256) AS s
+        |  FROM documents)
+        |SELECT doc_id, 8000 AS sample_rate, 16 AS bits,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  CAST(len(s) * 1000000 // 8000 AS BIGINT) AS duration_us,
+        |  CAST(CASE WHEN len(s) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(s, x -> CAST(x AS BIGINT) * x),
+        |      (a, b) -> a + b) END AS BIGINT) AS energy,
+        |  CAST(len([1 for i in range(2, len(s) + 1)
+        |    if s[i-1] * s[i] < 0]) AS BIGINT) AS zero_crossings
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- audio near-dup: 64-bit energy-delta fingerprint
+    // (Haitsma–Kalker family, one band: 3-sample frame energies,
+    // gradient-sign bits) → the same generic pigeonhole Hamming
+    // pairing as images. Oracle replays fingerprint AND all-pairs
+    // Hamming from the text→sample formula — writer, parser, framing
+    // and block join all cross-checked; same BIGINT-min bit-63
+    // convention as image_phash_pairs -------------------------------
+    QDef("audio_fingerprint_pairs", (s, dir) => {
+      val media = Multimodal.syntheticWavTable(Tables.load(s, dir, "documents"))
+      val sig = Multimodal.audioFingerprints(s, media).toDF()
+      Dedup.hammingPairs(sig, "doc_id", "afp", bits = 64, maxHamming = 2)
+        .orderBy("ia", "ib")
+    },
+      Some("""WITH c AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> (unicode(ch) - 77) * 256) AS s
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  [CASE WHEN len(list_slice(s, 3*j + 1, 3*j + 3)) = 0 THEN 0
+        |    ELSE list_reduce(list_transform(list_slice(s, 3*j + 1, 3*j + 3),
+        |      x -> CAST(x AS BIGINT) * x), (a, b) -> a + b) END
+        |   for j in range(0, 65)] AS en
+        |  FROM c),
+        |h AS (SELECT doc_id,
+        |  list_reduce([CASE WHEN en[i + 1] <= en[i + 2] THEN CAST(0 AS BIGINT)
+        |      WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << i) END
+        |    for i in range(0, 64)], (a, b) -> a | b) AS afp
+        |  FROM e)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+        |ORDER BY ia, ib""".stripMargin)),
+
     // ---- perceptual image near-dup: decode → 64-bit dHash (8×9
     // nearest-neighbor luma grid, gradient sign bits) → pigeonhole
     // Hamming pairing (the generic Dedup.hammingPairs — never

@@ -1201,6 +1201,48 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 6) // 2 queries × top-3
   }
 
+  test("parseWav: hand-built PCM features; chunk walk skips extras; malformed streams -> None") {
+    import graft.llm.Multimodal
+    def wav(samples: Seq[Short], extraChunk: Boolean = false,
+        channels: Short = 1, bits: Short = 16, magic: String = "RIFF",
+        truncate: Int = 0): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val extra = if (extraChunk) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(magic.getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels).putInt(8000).putInt(16000)
+        .putShort(2).putShort(bits)
+      if (extraChunk)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array().dropRight(truncate)
+    }
+    // samples 100, -100, 50, 0: energy = 10000+10000+2500+0 = 22500;
+    // crossings: (100,-100) and (-100,50) strictly negative products = 2
+    // ((50,0) product 0 -> no crossing); duration = 4*1e6/8000 = 500us
+    val ok = Multimodal.parseWav(wav(Seq[Short](100, -100, 50, 0)))
+    assert(ok.contains((8000, 16, 4L, 500L, 22500L, 2L)))
+    // extra LIST chunk before data: generic walk still finds data
+    assert(Multimodal.parseWav(wav(Seq[Short](100, -100, 50, 0),
+      extraChunk = true)).contains((8000, 16, 4L, 500L, 22500L, 2L)))
+    assert(Multimodal.parseWav(wav(Seq[Short](1), magic = "RIFX")).isEmpty)
+    assert(Multimodal.parseWav(wav(Seq[Short](1), channels = 2)).isEmpty)
+    assert(Multimodal.parseWav(wav(Seq[Short](1), bits = 8)).isEmpty)
+    // truncated data chunk (declared size overruns buffer) -> None
+    assert(Multimodal.parseWav(wav(Seq[Short](1, 2), truncate = 2)).isEmpty)
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    // fingerprint: frame energies e0=10000, e1..e64=0 -> only bit 0
+    // set (e0 > e1); all-zero signal -> no bit set
+    assert(Multimodal.wavFingerprint(wav(Seq[Short](100, 0, 0, 0, 0, 0)))
+      .contains(1L))
+    assert(Multimodal.wavFingerprint(wav(Seq[Short](0, 0, 0))).contains(0L))
+  }
+
   test("mmrRerank: diversity overtakes a redundant near-duplicate of the top pick") {
     import spark.implicits._
     // query 0 along axis 0. Candidates (dim=4):

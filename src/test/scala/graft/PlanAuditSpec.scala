@@ -52,10 +52,13 @@ class PlanAuditSpec extends SparkSpec {
     "pareto_front" -> ("running-min window over the per-size aggregate " +
       "(<=|distinct p_size| rows — metadata-scale); the corpus-side pass " +
       "is a broadcast equi-join on p_size"),
-    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)",
-    "mmr_rerank" -> ("candidate generation IS ann_topk_exact's broadcast-query " +
-      "x corpus brute force (swap in ivf/lsh at scale); every greedy step " +
-      "is per-query bounded (<= nCand rows each)"))
+    // NOTE: mmr_rerank's candidate generation IS ann_topk_exact's
+    // broadcast-query x corpus brute force (swap in ivf/lsh at scale),
+    // but it now executes inside an eager localCheckpoint, so the
+    // returned plan no longer exposes it to this audit (the shape was
+    // adjudicated via ann_topk_exact, which shares the chain); every
+    // greedy step after it is per-query bounded (<= nCand rows).
+    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)")
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
