@@ -378,6 +378,75 @@ object Multimodal {
       }
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, luma_sum: Long)
+
+  /** Concatenated-P6 "video" stream parse: frames back-to-back, each a
+    * complete binary PPM; per-frame integer luma sums (the
+    * scene-analysis signal). None if any frame is malformed or the
+    * payload has trailing garbage — a half-decodable video is not a
+    * video. `maxFrames` bounds per-record work (one pathological
+    * record can't skew a partition — the frameSample discipline).
+    */
+  def parsePpmStream(bytes: Array[Byte],
+      maxFrames: Int = 64): Option[IndexedSeq[(Int, Int, Long)]] = {
+    val out = IndexedSeq.newBuilder[(Int, Int, Long)]
+    var off = 0
+    var n = 0
+    while (off < bytes.length) {
+      if (n >= maxFrames) return None
+      val rest = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
+      parsePpmHeader(rest) match {
+        case None => return None
+        case Some((w, h, _, pos)) =>
+          var luma = 0L
+          var q = 0
+          val nPix = w * h
+          while (q < nPix) {
+            val i = pos + 3 * q
+            luma += 299L * (rest(i) & 0xff) + 587L * (rest(i + 1) & 0xff) +
+              114L * (rest(i + 2) & 0xff)
+            q += 1
+          }
+          out += ((w, h, luma))
+          off += pos + 3 * nPix
+          n += 1
+      }
+    }
+    if (n == 0) None else Some(out.result())
+  }
+
+  /** Video decode stage: per-frame rows (same mapPartitions shape as
+    * the other decoders; payload dropped after extraction).
+    */
+  def videoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        parsePpmStream(r.payload).toSeq.flatMap(_.zipWithIndex.map {
+          case ((w, h, luma), i) => VideoFrame(r.doc_id, i, w, h, luma)
+        })
+      })
+  }
+
+  /** Synthetic video table: 3 + doc_id % 4 concatenated 4×3 P6 frames;
+    * pixel byte i of frame f = (doc_id·31 + f²·17 + 7·i) mod 256 — a
+    * pure function of doc_id, so the oracle replays per-frame luma
+    * and scene cuts from the formula (the syntheticPpmTable recipe).
+    */
+  def syntheticVideoTable(docs: DataFrame): DataFrame = {
+    val gen = udf { (docId: Long) =>
+      val frames = 3 + (docId % 4).toInt
+      val header = "P6\n4 3\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      (0 until frames).flatMap { f =>
+        header ++ Array.tabulate(36)(i =>
+          ((docId * 31 + f.toLong * f * 17 + 7L * i) % 256).toByte)
+      }.toArray
+    }
+    docs.select(col("doc_id"), lit("video/x-ppm-stream").as("media_type"),
+      gen(col("doc_id")).as("payload"))
+  }
+
   final case class AudioHashRow(doc_id: Long, afp: Long)
 
   /** 64-bit audio fingerprint (the Haitsma–Kalker energy-delta family,

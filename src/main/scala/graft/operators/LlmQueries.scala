@@ -2041,6 +2041,41 @@ object LlmQueries {
         |    if s[i-1] * s[i] < 0]) AS BIGINT) AS zero_crossings
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- video decode + scene-cut detection: concatenated-P6
+    // streams (a real multi-frame parser walk — each frame's header
+    // re-parsed, trailing garbage rejects the record), per-frame
+    // integer luma, cut = |Δluma| > threshold via a per-doc lag
+    // window. Oracle replays frames AND cuts from the pixel formula —
+    // writer, stream walk, luma and windowing all cross-checked ------
+    QDef("video_scene_cuts", (s, dir) => {
+      val media = Multimodal.syntheticVideoTable(Tables.load(s, dir, "documents"))
+      val vf = Multimodal.videoFrames(s, media).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      vf.withColumn("prev", lag(col("luma_sum"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx"), col("luma_sum"),
+          when(col("prev").isNull, 0)
+            .otherwise((abs(col("luma_sum") - col("prev")) > 50000L)
+              .cast("int")).as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS fi
+        |  FROM documents),
+        |l AS (SELECT doc_id, fi,
+        |  CAST(list_reduce([299*((doc_id*31 + fi*fi*17 + 7*(3*q))%256)
+        |    + 587*((doc_id*31 + fi*fi*17 + 7*(3*q+1))%256)
+        |    + 114*((doc_id*31 + fi*fi*17 + 7*(3*q+2))%256)
+        |   for q in range(0, 12)], (a, b) -> a + b) AS BIGINT) AS luma_sum
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, luma_sum,
+        |  CAST(CASE
+        |    WHEN lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY fi) IS NULL
+        |      THEN 0
+        |    WHEN abs(luma_sum - lag(luma_sum)
+        |      OVER (PARTITION BY doc_id ORDER BY fi)) > 50000 THEN 1
+        |    ELSE 0 END AS INT) AS is_cut
+        |FROM l ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- audio near-dup: 64-bit energy-delta fingerprint
     // (Haitsma–Kalker family, one band: 3-sample frame energies,
     // gradient-sign bits) → the same generic pigeonhole Hamming

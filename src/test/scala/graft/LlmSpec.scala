@@ -1243,6 +1243,26 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.wavFingerprint(wav(Seq[Short](0, 0, 0))).contains(0L))
   }
 
+  test("parsePpmStream: multi-frame walk, luma per frame; garbage/truncation/overrun -> None") {
+    import graft.llm.Multimodal
+    def frame(px: Array[Byte], w: Int = 1, h: Int = 1): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    // two 1x1 frames: luma = 299R+587G+114B
+    val f1 = frame(Array[Byte](10, 20, 30))
+    val f2 = frame(Array[Byte](40, 50, 60))
+    val got = Multimodal.parsePpmStream(f1 ++ f2)
+    assert(got.contains(IndexedSeq(
+      (1, 1, 299L * 10 + 587 * 20 + 114 * 30),
+      (1, 1, 299L * 40 + 587 * 50 + 114 * 60))))
+    // trailing garbage after the last frame -> not a video
+    assert(Multimodal.parsePpmStream(f1 ++ Array[Byte](0x42)).isEmpty)
+    // second frame truncated mid-pixels -> None
+    assert(Multimodal.parsePpmStream(f1 ++ f2.dropRight(1)).isEmpty)
+    // frame-count bound enforced
+    assert(Multimodal.parsePpmStream(f1 ++ f2, maxFrames = 1).isEmpty)
+    assert(Multimodal.parsePpmStream(Array.empty[Byte]).isEmpty)
+  }
+
   test("mmrRerank: diversity overtakes a redundant near-duplicate of the top pick") {
     import spark.implicits._
     // query 0 along axis 0. Candidates (dim=4):
