@@ -7,6 +7,22 @@ import graft.streaming.StreamStages
 
 class StreamingSpec extends SparkSpec {
 
+  // Isolated session state on the shared SparkContext: DynamicSpec
+  // ships runtime-compiled jars into the shared session via
+  // addArtifact, and a streaming query's CLONED session can race
+  // Spark's per-session artifact serving — an executor task then
+  // 404s fetching /artifacts/<uuid>/jars/graft-dyn*.jar
+  // (seen intermittently in full-suite runs). Streaming needs no
+  // dynamic jars, so an artifact-free session removes the fetch
+  // entirely instead of retrying around the race.
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+
   /** events replayed as a file stream (FIXTURES.md §B streaming
     * fixture): copy the sf0.001 events parquet into a stream dir, run a
     * windowed agg, compare against the identical batch computation.
