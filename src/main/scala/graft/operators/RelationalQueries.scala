@@ -1453,6 +1453,34 @@ object RelationalQueries {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_partkey""".stripMargin)),
 
+    // ---- 24-hour rolling reach: distinct users in the trailing 24h
+    // at every active hour. Distinct counts can't ride a running
+    // window (no mergeable running state), so the exact shape is the
+    // bounded 24× hour-spread explode + one distinct aggregation —
+    // partial+final on the (hour, user) key, never a global window.
+    // The sketch path for 100 TB is per-hour HLL + 24-sketch union
+    // (see sketch_hll_union — same machinery).
+    QDef("rolling_distinct", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val withHour = ev.select(col("user_id"),
+        expr("(ts div 1000) div 3600000000").as("h"))
+      val hours = withHour.select(col("h").as("hour")).distinct()
+      withHour
+        .select(col("user_id"),
+          explode(sequence(col("h"), col("h") + 23)).as("hour"))
+        .join(hours, "hour") // only hours that actually occur
+        .groupBy("hour")
+        .agg(countDistinct("user_id").as("reach_24h"))
+        .orderBy("hour")
+    },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |hrs AS (SELECT DISTINCT h AS hour FROM e),
+        |sp AS (SELECT user_id, unnest(range(h, h + 24)) AS hour FROM e)
+        |SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_24h
+        |FROM sp JOIN hrs USING (hour)
+        |GROUP BY hour ORDER BY hour""".stripMargin)),
+
     // ---- first-order Markov transition matrix over the event
     // stream: per-user next-event pairs via a lead window (partitioned
     // by user — never global), transition counts + row-normalized
