@@ -1127,6 +1127,37 @@ object LlmQueries {
         .orderBy("q_vec_id", "rank")
     }, Some(AnnExactSqlWithVerdict)),
 
+    // ---- curriculum ordering: band-stratified round-robin training
+    // order (short/easy docs interleaved with long/hard ones instead
+    // of a length-sorted corpus). The global position needs NO global
+    // window: pos = within_band_rank · nBands + band — per-band
+    // windows only, and the formula guarantees a total order with the
+    // bands perfectly interleaved. Difficulty proxy here = length
+    // bands with literal boundaries (swap in any quality score).
+    QDef("curriculum_order", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val band = when(col("n_chars") < 180, 0)
+        .when(col("n_chars") < 310, 1)
+        .when(col("n_chars") < 420, 2).otherwise(3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band").orderBy("doc_id")
+      docs.select(col("doc_id"), band.as("band"))
+        .withColumn("band_rank", row_number().over(w) - 1)
+        .select(col("doc_id"), col("band"),
+          (col("band_rank") * 4 + col("band")).as("curriculum_pos"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH b AS (SELECT doc_id,
+        |    CASE WHEN n_chars < 180 THEN 0 WHEN n_chars < 310 THEN 1
+        |         WHEN n_chars < 420 THEN 2 ELSE 3 END AS band
+        |  FROM documents),
+        |r AS (SELECT doc_id, band,
+        |    row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1 AS br
+        |  FROM b)
+        |SELECT doc_id, CAST(band AS INT) AS band,
+        |  CAST(br * 4 + band AS INT) AS curriculum_pos
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- cross-corpus n-gram novelty: per-doc fraction of distinct
     // shingles already seen in an earlier (lower-id) doc — the
     // corpus-growth redundancy curve; linear cost, no pair

@@ -1453,6 +1453,45 @@ object RelationalQueries {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_partkey""".stripMargin)),
 
+    // ---- robust outlier detection: median absolute deviation per
+    // event type (Hampel filter — the robust alternative to z-scores
+    // when the tail itself corrupts mean/stddev). Two exact-percentile
+    // passes (median, then MAD over |x − median|), both bounded by
+    // the type key and broadcast back; flag |x − med| > 3·1.4826·MAD
+    // (the Gaussian-consistency constant). percentile() and DuckDB's
+    // quantile_cont interpolate identically (the agg_percentile
+    // contract), and the flag formula is one fixed-order double
+    // expression.
+    QDef("mad_outliers", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          when(col("mad") === 0.0, lit(0))
+            .otherwise((abs(col("value") - col("med"))
+              > lit(3.0) * lit(1.4826) * col("mad")).cast("int"))
+            .as("is_outlier"))
+        .orderBy("event_id")
+    },
+      Some("""WITH m AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, value, med, mad,
+        |  CASE WHEN mad = 0 THEN 0
+        |    ELSE CAST(abs(value - med) > 3.0 * 1.4826 * mad AS INT) END
+        |    AS is_outlier
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY event_id""".stripMargin)),
+
     // ---- 24-hour rolling reach: distinct users in the trailing 24h
     // at every active hour. Distinct counts can't ride a running
     // window (no mergeable running state), so the exact shape is the
