@@ -238,4 +238,38 @@ object Sampling {
         when(col("split") =!= holdout && coalesce(col("n_leak_partners"),
           lit(0L)) > 0, 0).otherwise(1).as("kept"))
   }
+
+  /** Token-budget waterfilling across domains: cap level c such that
+    * Σ min(n_d, c) = budgetFrac·Σ n_d — spend a fixed budget without
+    * letting big domains starve small ones (the mixture-allocation
+    * solve behind "cap every domain at its fair share"). Input: one
+    * row per domain, (groupCol, nCol bigint). Everything runs on that
+    * ≤|domains|-row metadata frame: ascending prefix sums give every
+    * candidate level c_k = (B − P_k)/(m − k) in closed form; validity
+    * brackets select the waterfill level (every valid candidate
+    * carries the same c, so a null-skipping min picks it);
+    * alloc = least(n_d, c). Global windows here are metadata-scale by
+    * construction. One fixed-order double division per candidate —
+    * oracle-replayable bit-for-bit.
+    */
+  def waterfill(domains: DataFrame, budgetFrac: Double,
+      groupCol: String = "source", nCol: String = "n"): DataFrame = {
+    val ord = Window.orderBy(nCol, groupCol)
+    val all = Window.orderBy(nCol, groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r = domains
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("prev_n", lag(nCol, 1).over(ord))
+      .withColumn("prefix", sum(nCol).over(ord))
+      .withColumn("total", sum(nCol).over(all))
+      .withColumn("m", count(lit(1)).over(all))
+    val cand = (lit(budgetFrac) * col("total") - (col("prefix") - col(nCol))) /
+      (col("m") - (col("rk") - 1))
+    val valid = (cand <= col(nCol)) &&
+      (col("rk") === 1 || cand >= col("prev_n"))
+    r.withColumn("c_lvl", min(when(valid, cand)).over(all))
+      .select(col(groupCol), col(nCol).as("n_tokens"),
+        least(col(nCol).cast("double"), col("c_lvl")).as("alloc"),
+        (col(nCol) > col("c_lvl")).cast("int").as("capped"))
+  }
 }

@@ -1127,6 +1127,48 @@ object LlmQueries {
         .orderBy("q_vec_id", "rank")
     }, Some(AnnExactSqlWithVerdict)),
 
+    // ---- token-budget allocation across domains (waterfilling): cap
+    // level c such that Σ min(n_d, c) = B — the "spend a fixed token
+    // budget without letting big domains starve small ones" mixture
+    // solve. Everything after the per-domain aggregate runs on the
+    // ≤|domains|-row metadata frame (global windows there are
+    // metadata-scale — see PlanAuditSpec): ascending prefix sums give
+    // every candidate level c_k = (B − P_{k})/(m − k) in closed form,
+    // validity brackets pick the waterfill level (all valid
+    // candidates carry the same c, so a null-skipping min selects
+    // it), and alloc = least(n_d, c). One fixed-order double division
+    // per candidate — both engines replay it bit-identically.
+    QDef("mixture_waterfill", (s, dir) =>
+      graft.llm.Sampling.waterfill(
+          Tables.load(s, dir, "documents")
+            .groupBy("source").agg(sum("n_chars").as("n")),
+          budgetFrac = 0.95)
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, n,
+        |    row_number() OVER w AS rk,
+        |    lag(n) OVER w AS prev_n,
+        |    sum(n) OVER (ORDER BY n, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    sum(n) OVER () AS total,
+        |    count(*) OVER () AS m
+        |  FROM d WINDOW w AS (ORDER BY n, source)),
+        |c AS (SELECT *,
+        |    -- 0.95 must be DOUBLE: DuckDB parses the bare literal as
+        |    -- DECIMAL and decimal math drifts from the engine's
+        |    -- double path in the last bits
+        |    (CAST(0.95 AS DOUBLE) * total - (prefix - n))
+        |      / (m - (rk - 1)) AS cand
+        |  FROM r),
+        |l AS (SELECT *, min(CASE WHEN cand <= n
+        |      AND (rk = 1 OR cand >= prev_n) THEN cand END) OVER () AS c_lvl
+        |  FROM c)
+        |SELECT source, n AS n_tokens,
+        |  least(CAST(n AS DOUBLE), c_lvl) AS alloc,
+        |  CAST(n > c_lvl AS INT) AS capped
+        |FROM l ORDER BY source""".stripMargin)),
+
     // ---- curriculum ordering: band-stratified round-robin training
     // order (short/easy docs interleaved with long/hard ones instead
     // of a length-sorted corpus). The global position needs NO global

@@ -1243,6 +1243,20 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.wavFingerprint(wav(Seq[Short](0, 0, 0))).contains(0L))
   }
 
+  test("waterfill: cap level spends the budget exactly, small domains uncapped") {
+    import spark.implicits._
+    // n = [10, 20, 70], B = 0.95*100 = 95: candidate levels
+    // k=0: 95/3=31.67 > 10 invalid; k=1: (95-10)/2=42.5 > 20 invalid;
+    // k=2: (95-30)/1=65 in [20, 70] -> c=65, allocs [10, 20, 65]
+    val d = Seq(("a", 10L), ("b", 20L), ("c", 70L)).toDF("source", "n")
+    val got = graft.llm.Sampling.waterfill(d, budgetFrac = 0.95)
+      .orderBy("source")
+      .select("source", "alloc", "capped")
+      .as[(String, Double, Int)].collect().toSeq
+    assert(got == Seq(("a", 10.0, 0), ("b", 20.0, 0), ("c", 65.0, 1)), s"got $got")
+    assert(got.map(_._2).sum == 95.0) // budget identity Σ min(n, c) = B
+  }
+
   test("parsePpmStream: multi-frame walk, luma per frame; garbage/truncation/overrun -> None") {
     import graft.llm.Multimodal
     def frame(px: Array[Byte], w: Int = 1, h: Int = 1): Array[Byte] =

@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
     // returned plan no longer exposes it to this audit (the shape was
     // adjudicated via ann_topk_exact, which shares the chain); every
     // greedy step after it is per-query bounded (<= nCand rows).
-    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)")
+    "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)",
+    "mixture_waterfill" -> ("waterfill solve runs entirely on the per-domain " +
+      "aggregate (<=|domains| rows — metadata-scale global windows)"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
