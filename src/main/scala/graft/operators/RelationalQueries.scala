@@ -1453,6 +1453,39 @@ object RelationalQueries {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_partkey""".stripMargin)),
 
+    // ---- equi-depth histogram: exact decile boundaries (one
+    // bounded-output aggregate — 9 doubles to the driver, AQE-stats
+    // scale) folded into the codegen'd SortedBucket binary search;
+    // bucket = count of boundaries strictly below the value, so
+    // boundary ties bucket identically in both engines (percentile ≡
+    // quantile_cont per the agg_percentile contract). Per-bucket
+    // count + min/max = one partial+final aggregation. The profiling
+    // companion to profile_table — distribution shape, not just
+    // min/max.
+    QDef("histogram_equidepth", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val probs = (1 to 9).map(_ / 10.0)
+      val bounds = ev
+        .agg(expr(s"percentile(value, array(${probs.mkString(", ")}))"))
+        .head().getSeq[Double](0).toArray
+      ev.select(graft.functions.SortedBucket(col("value"), bounds)
+          .as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("lo"), max("value").as("hi"))
+        .orderBy("bucket")
+    },
+      Some("""WITH b AS (SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+        |    quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+        |    quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+        |    quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+        |    quantile_cont(value, 0.9)] AS bl FROM events),
+        |a AS (SELECT CAST(len(list_filter((SELECT bl FROM b), x -> x < value))
+        |    AS INT) AS bucket, value FROM events)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // ---- robust outlier detection: median absolute deviation per
     // event type (Hampel filter — the robust alternative to z-scores
     // when the tail itself corrupts mean/stddev). Two exact-percentile
