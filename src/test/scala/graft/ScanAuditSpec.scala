@@ -39,6 +39,21 @@ class ScanAuditSpec extends SparkSpec {
     assert(plan.contains("codegen id"), s"no codegen span:\n$plan")
   }
 
+  test("partitioned layout: directory pruning reaches the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val one = all.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_type"), s"no partition pruning:\n$plan")
+    // pruned read returns exactly the one directory's rows
+    assert(one.count() ==
+      all.filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
+  }
+
   test("join_multiway: small dimensions broadcast, never shuffled") {
     val plan = SparkEntry.queries("join_multiway")(spark, sfDir)
       .queryExecution.executedPlan.toString
