@@ -1196,6 +1196,39 @@ object TextAnalysis {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Per-document token-distribution Shannon entropy — the
+    * "template/boilerplate detector" quality signal (a low-entropy
+    * doc repeats few types; spam and scaffolding score near 0). For
+    * each doc: H = Σ_t (tf_t/toks)·ln(toks/tf_t), computed in the
+    * engine's quantized-log discipline (the [[unigramLogProb]] rule):
+    * per-term `floor(ln(toks/tf)·1e6)` BEFORE the per-doc sum, so the
+    * aggregation is integer-exact, order-independent, and a 1-ulp
+    * libm drift can't change the output. One explode + two bounded
+    * keyed aggregations; nothing global, nothing broadcast.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy("doc_id")
+      .agg(sum("tf").as("toks"), count(lit(1)).as("n_types"))
+    val ent = tf.join(perDoc, "doc_id")
+      .withColumn("h_micro",
+        col("tf") * floor(log(col("toks").cast("double") / col("tf"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(first("toks").as("n_tokens"), first("n_types").as("n_types"),
+        sum("h_micro").as("entropy_micro"))
+    df.select(col(idCol).as("doc_id")).join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("entropy_micro").cast("double") / col("n_tokens"))
+          .as("entropy_per_token_micro"))
+  }
+
   /** Cross-corpus n-gram novelty / redundancy scoring: for each doc,
     * the fraction of its distinct n-gram shingles already present in
     * some EARLIER doc (lower id — ingestion order). The corpus-growth

@@ -1200,6 +1200,82 @@ object LlmQueries {
         |  CAST(br * 4 + band AS INT) AS curriculum_pos
         |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // ---- collocation extraction: within-document term co-occurrence
+    // lift (binary-occurrence PMI's exp) over the frequent vocabulary.
+    // df-prune FIRST (broadcast ≥minDf terms) so the per-doc pair
+    // fan-out is bounded by the frequent-vocab size, never the raw
+    // vocabulary; pairs via the doc-key equi-self-join (never
+    // all-pairs on terms); exact bigint counts, lift = one IEEE
+    // division. Top-20 by lift so the gate output is bounded.
+    QDef("collocations", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val fdt = dt.join(broadcast(dfT.filter(col("df") >= 25)), "term")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = fdt.as("x")
+        .join(fdt.as("y"), col("x.doc_id") === col("y.doc_id")
+          && col("x.term") < col("y.term"))
+        .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      pairs
+        .join(broadcast(dfT.select(col("term").as("term_a"),
+          col("df").as("df_a"))), "term_a")
+        .join(broadcast(dfT.select(col("term").as("term_b"),
+          col("df").as("df_b"))), "term_b")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("lift", (col("n_ab") * col("n_docs")).cast("double")
+          / (col("df_a") * col("df_b")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("rk", "term_a", "term_b", "n_ab", "lift")
+        .orderBy("rk")
+    },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($DuckToks) AS term
+        |  FROM documents),
+        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+        |f AS (SELECT dt.doc_id, dt.term FROM dt
+        |  JOIN dfT USING (term) WHERE df >= 25),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |p AS (SELECT x.term AS term_a, y.term AS term_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM f x JOIN f y ON x.doc_id = y.doc_id AND x.term < y.term
+        |  GROUP BY 1, 2),
+        |l AS (SELECT term_a, term_b, n_ab,
+        |    CAST(n_ab * n_docs AS DOUBLE) / (a.df * b.df) AS lift
+        |  FROM p JOIN dfT a ON a.term = p.term_a
+        |    JOIN dfT b ON b.term = p.term_b, n),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC,
+        |    term_a, term_b) AS INT) AS rk FROM l)
+        |SELECT rk, term_a, term_b, n_ab, lift FROM r
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin)),
+
+    // ---- token-distribution entropy: the template/boilerplate
+    // quality signal (low entropy = few repeated types). Quantized
+    // per-term logs summed as integers (the unigram_logprob rule) —
+    // order-independent, libm-drift-proof ---------------------------
+    QDef("token_entropy", (s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS toks,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM tf GROUP BY 1),
+        |e AS (SELECT tf.doc_id, d.toks, d.n_types,
+        |    CAST(sum(tf * CAST(floor(ln(CAST(toks AS DOUBLE) / tf)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |  FROM tf JOIN d USING (doc_id) GROUP BY 1, 2, 3)
+        |SELECT doc_id, toks AS n_tokens, n_types, entropy_micro,
+        |  CASE WHEN toks = 0 THEN 0.0
+        |    ELSE CAST(entropy_micro AS DOUBLE) / toks END
+        |    AS entropy_per_token_micro
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
     // ---- cross-corpus n-gram novelty: per-doc fraction of distinct
     // shingles already seen in an earlier (lower-id) doc — the
     // corpus-growth redundancy curve; linear cost, no pair

@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     // greedy step after it is per-query bounded (<= nCand rows).
     "assoc_lift" -> "crossJoin of the broadcast 1-row distinct-user total (lift denominator)",
     "mixture_waterfill" -> ("waterfill solve runs entirely on the per-domain " +
-      "aggregate (<=|domains| rows — metadata-scale global windows)"))
+      "aggregate (<=|domains| rows — metadata-scale global windows)"),
+    "collocations" -> ("top-20 window over <=|frequent-vocab|^2/2 aggregated " +
+      "pair rows (df-pruned vocabulary — metadata-scale) + the broadcast " +
+      "1-row doc count (lift denominator)"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
