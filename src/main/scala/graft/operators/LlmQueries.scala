@@ -1169,6 +1169,40 @@ object LlmQueries {
         |  CAST(n > c_lvl AS INT) AS capped
         |FROM l ORDER BY source""".stripMargin)),
 
+    // ---- corpus-balance audit: Gini concentration of the domain
+    // mixture (0 = perfectly balanced, →1 = one domain dominates) —
+    // the one-number health check next to domain_mixture_stats.
+    // Gini = Σ(2i − m − 1)·x_(i) / (m·Σx) over ascending sizes: the
+    // numerator is EXACT integer arithmetic on the ≤|domains|-row
+    // metadata frame (the waterfill discipline), the final value one
+    // IEEE division.
+    QDef("domain_gini", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ord = W.orderBy("n", "source")
+      val all = W.orderBy("n", "source")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      Tables.load(s, dir, "documents")
+        .groupBy("source").agg(sum("n_chars").as("n"))
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("m", count(lit(1)).over(all))
+        .withColumn("tot", sum("n").over(all))
+        .withColumn("num",
+          sum((lit(2) * col("rk") - col("m") - 1) * col("n")).over(all))
+        .select(col("m").as("n_domains"), col("tot").as("total_tokens"),
+          (col("num").cast("double") / (col("m") * col("tot"))).as("gini"))
+        .limit(1)
+    },
+      Some("""WITH d AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS INT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT CAST(m AS BIGINT) AS n_domains, tot AS total_tokens,
+        |  CAST(sum((2 * rk - m - 1) * n) AS DOUBLE) / (m * tot) AS gini
+        |FROM r GROUP BY m, tot""".stripMargin)),
+
     // ---- curriculum ordering: band-stratified round-robin training
     // order (short/easy docs interleaved with long/hard ones instead
     // of a length-sorted corpus). The global position needs NO global

@@ -63,7 +63,9 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate (<=|domains| rows — metadata-scale global windows)"),
     "collocations" -> ("top-20 window over <=|frequent-vocab|^2/2 aggregated " +
       "pair rows (df-pruned vocabulary — metadata-scale) + the broadcast " +
-      "1-row doc count (lift denominator)"))
+      "1-row doc count (lift denominator)"),
+    "domain_gini" -> ("Gini numerator on the per-domain aggregate " +
+      "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
