@@ -132,9 +132,15 @@ object Multimodal {
     * 8-bit binary PPM, None otherwise (same validity contract as
     * [[decodePpm]]'s Scaladoc).
     */
-  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    var pos = 2
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+  /** Parse one P6 header at `start` (absolute offset into `bytes`);
+    * the returned pixel-data position is absolute too, so stream
+    * parsers can walk concatenated frames without copying the tail
+    * per frame (a copyOfRange walk is O(frames × payload) allocation).
+    */
+  private def parsePpmHeader(bytes: Array[Byte],
+      start: Int = 0): Option[(Int, Int, Int, Int)] = {
+    var pos = start + 2
+    if (bytes.length - start < 2 || bytes(start) != 'P' || bytes(start + 1) != '6') return None
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
     def skipWsAndComments(): Boolean = {
       var progressed = true
@@ -274,6 +280,16 @@ object Multimodal {
     * 3rd doc carries an extra LIST chunk ahead of `data` so the
     * parser's generic chunk walk (not a fixed 44-byte offset) is what
     * the gate actually exercises.
+    *
+    * ASCII CONTRACT (ADVICE r7): the sample formula iterates UTF-16
+    * code units and wraps via toShort, while the oracle's
+    * `(unicode(ch) - 77) * 256` iterates codepoints with no 16-bit
+    * wrap — the two agree iff every character is ASCII (codepoint
+    * < 128, where (cp−77)·256 fits a short exactly). That invariant
+    * is pinned as a failing-spec contract in SchemaPinSpec ("documents
+    * text is ASCII"), so a testdata regeneration that introduces
+    * non-ASCII text fails one readable spec instead of flipping the
+    * audio gates' hashes.
     */
   def syntheticWavTable(docs: DataFrame): DataFrame = {
     val gen = udf { (docId: Long, text: String) =>
@@ -395,21 +411,22 @@ object Multimodal {
     var n = 0
     while (off < bytes.length) {
       if (n >= maxFrames) return None
-      val rest = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
-      parsePpmHeader(rest) match {
+      // offset-aware header parse: a pure pointer walk over the shared
+      // buffer — no per-frame tail copy (ADVICE r7)
+      parsePpmHeader(bytes, off) match {
         case None => return None
-        case Some((w, h, _, pos)) =>
+        case Some((w, h, _, pos)) => // pos is absolute in `bytes`
           var luma = 0L
           var q = 0
           val nPix = w * h
           while (q < nPix) {
             val i = pos + 3 * q
-            luma += 299L * (rest(i) & 0xff) + 587L * (rest(i + 1) & 0xff) +
-              114L * (rest(i + 2) & 0xff)
+            luma += 299L * (bytes(i) & 0xff) + 587L * (bytes(i + 1) & 0xff) +
+              114L * (bytes(i + 2) & 0xff)
             q += 1
           }
           out += ((w, h, luma))
-          off += pos + 3 * nPix
+          off = pos + 3 * nPix
           n += 1
       }
     }

@@ -254,6 +254,11 @@ object Sampling {
     */
   def waterfill(domains: DataFrame, budgetFrac: Double,
       groupCol: String = "source", nCol: String = "n"): DataFrame = {
+    // outside (0, 1] no candidate level is valid and c_lvl would go
+    // NULL, silently NULLing every domain's alloc — fail fast instead
+    // (budgetFrac = 1 trivially allocates n_d to every domain)
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
     val ord = Window.orderBy(nCol, groupCol)
     val all = Window.orderBy(nCol, groupCol)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

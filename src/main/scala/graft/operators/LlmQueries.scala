@@ -223,7 +223,20 @@ object LlmQueries {
     * bit-identically, so the gate is a full hash compare, not a
     * verdict.
     */
-  private def mmrSql(nCand: Int, k: Int): String = {
+  /** The mmr_rerank gate's λ and query-set modulus, shared between the
+    * engine call and the generated oracle so they can't drift apart.
+    */
+  private val MmrLam = 0.5
+  private val MmrQueryMod = 50
+
+  private def mmrSql(nCand: Int, k: Int, lam: Double,
+      queryPred: String): String = {
+    // lam enters as CAST(.. AS DOUBLE) literals (the bare-decimal
+    // DuckDB trap) mirroring the engine's lit(lam)/lit(1.0 - lam), and
+    // the query-set predicate is a parameter — engine and oracle stay
+    // coupled by construction (ADVICE r7)
+    val L = s"CAST($lam AS DOUBLE)"
+    val Lc = s"CAST(${1.0 - lam} AS DOUBLE)"
     val steps = (2 to k).map { t =>
       s"""m$t AS (SELECT c.q, c.id, c.rel, max(sm.s) AS ms
          |  FROM c0 c
@@ -233,9 +246,9 @@ object LlmQueries {
          |  WHERE px.id IS NULL
          |  GROUP BY c.q, c.id, c.rel),
          |p$t AS (SELECT q, id, score, $t AS mmr_rank FROM (
-         |  SELECT q, id, 0.5 * rel - 0.5 * ms AS score,
+         |  SELECT q, id, $L * rel - $Lc * ms AS score,
          |    row_number() OVER (PARTITION BY q
-         |      ORDER BY 0.5 * rel - 0.5 * ms DESC, id) AS rn
+         |      ORDER BY $L * rel - $Lc * ms DESC, id) AS rn
          |  FROM m$t) WHERE rn = 1),
          |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
     }.mkString(",\n")
@@ -250,7 +263,7 @@ object LlmQueries {
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
        |      / (q.nrm * c.nrm) AS rel,
        |    c.embedding AS cv, c.nrm AS cn
-       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id))
+       |  FROM n q JOIN n c ON $queryPred AND q.vec_id <> c.vec_id))
        |  WHERE rnk <= $nCand),
        |sim AS (SELECT a.q, a.id AS ia, b.id AS ib,
        |  list_reduce(list_transform(list_zip(a.cv, b.cv),
@@ -258,8 +271,8 @@ object LlmQueries {
        |    / (a.cn * b.cn) AS s
        |  FROM c0 a JOIN c0 b ON a.q = b.q AND a.id <> b.id),
        |s1 AS (SELECT q, id, score, 1 AS mmr_rank FROM (
-       |  SELECT q, id, 0.5 * rel AS score,
-       |    row_number() OVER (PARTITION BY q ORDER BY 0.5 * rel DESC, id) AS rn
+       |  SELECT q, id, $L * rel AS score,
+       |    row_number() OVER (PARTITION BY q ORDER BY $L * rel DESC, id) AS rn
        |  FROM c0) WHERE rn = 1),
        |$steps
        |SELECT q AS q_vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
@@ -1304,11 +1317,14 @@ object LlmQueries {
         |    CAST(sum(tf * CAST(floor(ln(CAST(toks AS DOUBLE) / tf)
         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
         |  FROM tf JOIN d USING (doc_id) GROUP BY 1, 2, 3)
-        |SELECT doc_id, toks AS n_tokens, n_types, entropy_micro,
-        |  CASE WHEN toks = 0 THEN 0.0
+        |SELECT doc.doc_id, COALESCE(toks, 0) AS n_tokens,
+        |  COALESCE(n_types, 0) AS n_types,
+        |  COALESCE(entropy_micro, 0) AS entropy_micro,
+        |  CASE WHEN COALESCE(toks, 0) = 0 THEN 0.0
         |    ELSE CAST(entropy_micro AS DOUBLE) / toks END
         |    AS entropy_per_token_micro
-        |FROM e ORDER BY doc_id""".stripMargin)),
+        |FROM documents doc LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- cross-corpus n-gram novelty: per-doc fraction of distinct
     // shingles already seen in an earlier (lower-id) doc — the
@@ -1337,11 +1353,12 @@ object LlmQueries {
     // same steps, so the gate hash-matches picks AND scores ----------
     QDef("mmr_rerank", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.mmrRerank(qs, emb, nCand = 8, k = 4)
+      val qs = emb.filter(col("vec_id") % MmrQueryMod === 0)
+      Similarity.mmrRerank(qs, emb, nCand = 8, k = 4, lam = MmrLam)
         .withColumn("mmr_rank", col("mmr_rank").cast("int"))
         .orderBy("q_vec_id", "mmr_rank")
-    }, Some(mmrSql(nCand = 8, k = 4))),
+    }, Some(mmrSql(nCand = 8, k = 4, lam = MmrLam,
+      queryPred = s"q.vec_id % $MmrQueryMod = 0"))),
 
     // ---- random-hyperplane LSH ANN (structure-free scale path);
     // same verdict gate, recall_ok pins ≥ 0.2 (measured 0.26–0.30 at
