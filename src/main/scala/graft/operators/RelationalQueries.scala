@@ -48,6 +48,30 @@ object RelationalQueries {
 
   final case class QDef(name: String, fn: Q, sql: Option[String])
 
+  /** The six orders columns profiled by `profile_table` and its gated
+    * approx twin `profile_table_approx` — one shared list so the two
+    * gates can't drift apart. Doubles go through DECIMAL and dates
+    * through DATE (type-stable distinct domains in both engines).
+    */
+  private val ProfileSpecs: Seq[(String, Column)] = Seq(
+    "o_orderkey" -> col("o_orderkey"),
+    "o_custkey" -> col("o_custkey"),
+    "o_orderstatus" -> col("o_orderstatus"),
+    "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2)),
+    "o_orderdate" -> col("o_orderdate").cast("date"),
+    "o_orderpriority" -> col("o_orderpriority"))
+
+  /** The production profiling aggregation: one scan producing one row
+    * of mergeable HLL++ estimates — no Expand, no per-column rescan.
+    * Exposed so RelationalSpec can pin the no-Expand plan property on
+    * exactly the aggregation the gate runs.
+    */
+  private[graft] def profileApproxAgg(o: DataFrame): DataFrame = {
+    val aggs = ProfileSpecs.map { case (n, c) =>
+      approx_count_distinct(c, 0.01).as(s"ad_$n") }
+    o.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Approx-quantile band boundaries for [[cumulativeRangeCount]]:
     * `nBands-1` sketch quantiles of `valueCol`, dedup'd (heavy skew
     * collapses repeated quantiles onto the hot value) and sorted. A
@@ -1686,13 +1710,7 @@ object RelationalQueries {
     QDef("profile_table", (s, dir) => {
       val o = t(s, dir, "orders")
       def minMaxS(c: Column): (Column, Column) = (min(c).cast("string"), max(c).cast("string"))
-      val specs: Seq[(String, Column)] = Seq(
-        "o_orderkey" -> col("o_orderkey"),
-        "o_custkey" -> col("o_custkey"),
-        "o_orderstatus" -> col("o_orderstatus"),
-        "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2)),
-        "o_orderdate" -> col("o_orderdate").cast("date"),
-        "o_orderpriority" -> col("o_orderpriority"))
+      val specs = ProfileSpecs
       val aggs = specs.flatMap { case (n, c) =>
         val (mn, mx) = minMaxS(c)
         Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n"),
@@ -1737,7 +1755,93 @@ object RelationalQueries {
         |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
-        |) ORDER BY col_name""".stripMargin))
+        |) ORDER BY col_name""".stripMargin)),
+
+    // ---- the GATED 100 TB swap for profile_table (VERDICT r7 #1a):
+    // per-column approx_count_distinct in ONE aggregation — mergeable
+    // HLL++ sketches, NO Expand (exact multi-countDistinct multiplies
+    // scan rows by #profiled columns and shuffles the whole table on
+    // distinct values). The exact distincts here are the verdict
+    // baseline only (the ann_ivf harness discipline: the Expand lives
+    // in the in-gate baseline, never the production path —
+    // RelationalSpec asserts [[profileApproxAgg]] alone plans no
+    // Expand). rsd 0.01 against the 5% verdict band = 5σ, and the
+    // sketch is deterministic per fixed data — hash-stable.
+    QDef("profile_table_approx", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val approx = profileApproxAgg(o)
+      val exactAggs = ProfileSpecs.map { case (n, c) =>
+        countDistinct(c).as(s"nd_$n") }
+      val exact = o.agg(exactAggs.head, exactAggs.tail: _*)
+      val rows = ProfileSpecs.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"nd_$n").as("n_distinct"),
+          (abs(col(s"ad_$n").cast("double") - col(s"nd_$n").cast("double"))
+            <= col(s"nd_$n").cast("double") * 0.05).cast("int")
+            .as("approx_within_5pct"))
+      }
+      exact.crossJoin(approx) // 1 row × 1 row, both broadcast
+        .select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("col_name")
+    },
+      Some("""SELECT * FROM (
+        |SELECT 'o_orderkey' AS col_name,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  1 AS approx_within_5pct FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(DISTINCT o_custkey), 1 FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), 1 FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))), 1 FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate',
+        |  count(DISTINCT CAST(o_orderdate AS DATE)), 1 FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(DISTINCT o_orderpriority), 1 FROM orders
+        |) ORDER BY col_name""".stripMargin)),
+
+    // ---- the GATED 100 TB swap for rolling_distinct (VERDICT r7
+    // #1b): per-hour HLL sketches + trailing-24 sketch union — the
+    // sketch_hll_union machinery on a RANGE window. State is one KB
+    // sketch per hour instead of 24× exploded (hour, user) rows: the
+    // hourly aggregate is a linear partial+final pass over events,
+    // and the union window runs on the ≤|hours|-row metadata frame
+    // (8760 rows/year — the waterfill discipline). The exact explode
+    // (rolling_distinct's shape) feeds the verdict only. lgConfigK 14
+    // → rsd ≈0.8%; 5% band ≈ 6σ, deterministic per fixed data.
+    QDef("rolling_distinct_hll", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val wh = ev.select(col("user_id"),
+        expr("(ts div 1000) div 3600000000").as("h"))
+      val hours = wh.select(col("h").as("hour")).distinct()
+      val exact = wh
+        .select(col("user_id"),
+          explode(sequence(col("h"), col("h") + 23)).as("hour"))
+        .join(hours, "hour")
+        .groupBy("hour")
+        .agg(countDistinct("user_id").as("reach_24h"))
+      val hourly = wh.groupBy(col("h").as("hour"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      val w = Window.orderBy("hour").rangeBetween(-23, 0)
+      val est = hourly
+        .withColumn("est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .select("hour", "est")
+      exact.join(est, "hour")
+        .select(col("hour"), col("reach_24h"),
+          (abs(col("est") - col("reach_24h"))
+            <= col("reach_24h").cast("double") * 0.05).cast("int")
+            .as("est_within_5pct"))
+        .orderBy("hour")
+    },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |hrs AS (SELECT DISTINCT h AS hour FROM e),
+        |sp AS (SELECT user_id, unnest(range(h, h + 24)) AS hour FROM e)
+        |SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_24h,
+        |  1 AS est_within_5pct
+        |FROM sp JOIN hrs USING (hour)
+        |GROUP BY hour ORDER BY hour""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -65,7 +65,14 @@ class PlanAuditSpec extends SparkSpec {
       "pair rows (df-pruned vocabulary — metadata-scale) + the broadcast " +
       "1-row doc count (lift denominator)"),
     "domain_gini" -> ("Gini numerator on the per-domain aggregate " +
-      "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"))
+      "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"),
+    "profile_table_approx" -> ("verdict harness: crossJoin of TWO broadcast " +
+      "1-row aggregates (exact baseline × approx production row); the " +
+      "production path is the approx aggregation alone — no Expand, " +
+      "pinned in RelationalSpec"),
+    "rolling_distinct_hll" -> ("24-sketch trailing union = global RANGE " +
+      "window over the per-hour sketch aggregate (<=|hours| rows — " +
+      "metadata-scale, ~8760/year; the waterfill discipline)"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own

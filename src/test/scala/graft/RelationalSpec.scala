@@ -140,6 +140,35 @@ class RelationalSpec extends SparkSpec {
     assert(gate.forall(_.getInt(2) == 1))
   }
 
+  test("profileApproxAgg plans no Expand; the exact profile does") {
+    // the 100 TB contract behind profile_table_approx: the production
+    // aggregation is ONE scan of mergeable sketches — Spark's Expand
+    // (which multiplies scan rows by the number of exact distinct
+    // aggregates) must not appear in its plan, while the exact
+    // profile_table plan DOES carry it (proving the audit looks at the
+    // right node and the swap removes a real cost, not a phantom)
+    import org.apache.spark.sql.execution.ExpandExec
+    val orders = Tables.load(spark, sfDir, "orders")
+    val approxPlan = graft.operators.RelationalQueries
+      .profileApproxAgg(orders).queryExecution.sparkPlan
+    assert(approxPlan.collect { case e: ExpandExec => e }.isEmpty,
+      s"approx profile planned an Expand:\n$approxPlan")
+    val exactPlan = SparkEntry.queries("profile_table")(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(exactPlan.collect { case e: ExpandExec => e }.nonEmpty,
+      "exact profile no longer plans an Expand — update PLANS.md's trade note")
+    // and the gated twin's verdict holds at spec scale too
+    val gate = SparkEntry.queries("profile_table_approx")(spark, sfDir).collect()
+    assert(gate.nonEmpty && gate.forall(_.getInt(2) == 1))
+  }
+
+  test("rolling_distinct_hll: sketch union tracks the exact 24h reach") {
+    val rows = SparkEntry.queries("rolling_distinct_hll")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) == 1),
+      "an hourly HLL union estimate fell outside the 5% verdict band")
+  }
+
   test("quantile-banded RANGE frame: exact under pathological skew, bands stay balanced") {
     import spark.implicits._
     import graft.operators.RelationalQueries
