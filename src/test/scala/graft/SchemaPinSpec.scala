@@ -77,6 +77,67 @@ class SchemaPinSpec extends SparkSpec {
     assert(typeOf("region", "r_regionkey") == IntegerType)
   }
 
+  // ---- value-DOMAIN pins (VERDICT r7 #3): the verdict-gated queries
+  // (ann_* recall floors, audio/multimodal ascii_ok oracles) depend on
+  // distribution properties of the generated data, not just types. A
+  // regeneration that shifts the distribution should fail ONE readable
+  // spec here instead of spuriously flipping recall_ok/ascii_ok gate
+  // verdicts (the r6-class upstream-drift failure mode).
+
+  test("documents: text is ASCII (the audio-oracle sample-formula contract)") {
+    // syntheticWavTable's (codepoint−77)·256 sample formula and its
+    // DuckDB oracle replay agree iff every character is ASCII
+    // (Multimodal.scala's documented contract: UTF-16 code-unit
+    // iteration + toShort wrap vs codepoint iteration, identical below
+    // 128). Also guards every $DuckToks tokenizer parity assumption.
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(docs.filter(org.apache.spark.sql.functions.col("text").isNull)
+      .limit(1).count() == 0L, "documents.text has nulls")
+    val nonAscii = docs
+      .filter(org.apache.spark.sql.functions.col("text").rlike("[^\\u0000-\\u007F]"))
+      .limit(1).count()
+    assert(nonAscii == 0L,
+      "documents.text contains non-ASCII characters — the audio gates' " +
+        "writer/oracle sample formulas diverge above codepoint 127; " +
+        "re-derive the Multimodal ASCII contract before trusting their hashes")
+  }
+
+  test("embeddings: the distribution invariants the ANN recall floors were calibrated on") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // dim pinned exactly: every bucketing/PQ-subspace constant (64 = 8
+    // subspaces × 8 dims) assumes it
+    val dims = emb.select(size(col("embedding")).as("d"))
+      .agg(min("d"), max("d")).collect().head
+    assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+      s"embedding dim drifted from 64: [${dims.getInt(0)}, ${dims.getInt(1)}]")
+    // unit-norm band: cosine = dot for these vectors; a generator that
+    // stops L2-normalizing shifts every cos threshold in the ann gates
+    val nrm = emb.select(sqrt(graft.llm.Similarity.dot(col("embedding"),
+        col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).collect().head
+    assert(nrm.getDouble(0) > 0.999 && nrm.getDouble(1) < 1.001,
+      s"embeddings are no longer unit-norm: [${nrm.getDouble(0)}, ${nrm.getDouble(1)}]")
+    // label cardinality (kmeans_assign / stratified gates assume 10)
+    val nLab = emb.agg(countDistinct("label")).collect().head.getLong(0)
+    assert(nLab == 10L, s"label cardinality drifted from 10: $nLab")
+    // clusteredness proxy: the data is uniform-on-the-sphere (mean
+    // pairwise cos ≈ 0, |mean| ≪ 1/√dim) — the regime the IVF/LSH/PQ
+    // recall floors (0.2) were measured in (0.26–0.30). A generator
+    // switch to clustered embeddings moves recall and must surface
+    // HERE, not as a flipped recall_ok verdict.
+    val sample = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val meanCos = sample.as("a").join(sample.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(graft.llm.Similarity.dot(col("a.embedding"),
+        col("b.embedding")).as("cos"))
+      .agg(avg("cos")).collect().head.getDouble(0)
+    assert(math.abs(meanCos) < 0.02,
+      f"mean pairwise cosine $meanCos%.4f — embeddings are no longer " +
+        "uniform-on-sphere; re-measure the ann_* recall floors")
+  }
+
   test("every declared table loads and is non-empty at sf0.001") {
     Tables.names.foreach { n =>
       assert(Tables.load(spark, sfDir, n).limit(1).count() == 1L, s"table $n is empty")
