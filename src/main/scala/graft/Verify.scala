@@ -28,6 +28,32 @@ object Verify {
     // the results the driver hashes.
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Per-query retry sidecar INSIDE the result dir (VERDICT r7 #4):
+    // underscore-prefixed files are invisible to Spark/DuckDB parquet
+    // globs, so the status rides along with exactly the rows it
+    // annotates — flakiness is visible where the correctness artifact
+    // is built, not only in a separate stderr/meta channel. Written
+    // only for non-clean queries (absence = clean first attempt).
+    def sidecar(name: String, status: String, e: Throwable): Unit =
+      try {
+        val dir = Paths.get(outDir, name)
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_verify_meta.json"),
+          s"""{"query": ${jq(name)}, "status": ${jq(status)}, """ +
+            s""""error": ${jq(String.valueOf(e.getMessage).take(500))}}""")
+      } catch { case _: Throwable => () } // never fail the run over meta
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -41,31 +67,29 @@ object Verify {
         catch { case e1: Throwable =>
           System.err.println(s"[verify] $name failed (retrying): ${e1.getMessage}")
           retried += name
-          try attempt()
+          try { attempt(); sidecar(name, "retried", e1) }
           catch { case e2: Throwable =>
             System.err.println(s"[verify] $name failed: ${e2.getMessage}")
             failed += name
+            sidecar(name, "failed", e2)
           }
         }
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val meta = s"""{"retried": [${retried.map(q).mkString(", ")}], """ +
-      s""""failed": [${failed.map(q).mkString(", ")}]}"""
+    val meta = s"""{"retried": [${retried.map(jq).mkString(", ")}], """ +
+      s""""failed": [${failed.map(jq).mkString(", ")}]}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
+    // Round-artifact copy (VERDICT r7 #4): the driver commits leftover
+    // working-tree files at round end, so writing the meta into the
+    // repo cwd makes retry status part of the committed record even
+    // though the driver's outDir is a temp dir. Best-effort: a
+    // read-only cwd must not fail the correctness dump.
+    try {
+      if (only.isEmpty && Files.isDirectory(Paths.get("src/main/scala/graft")))
+        Files.writeString(Paths.get("VERIFY_META_LAST.json"), meta)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
