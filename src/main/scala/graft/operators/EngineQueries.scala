@@ -32,12 +32,12 @@ object EngineQueries {
       .select(col("user_id"), col("event_id").as("l_id"),
         col("ts_us").as("l_us"),
         timestamp_micros(col("ts_us")).as("l_ets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/views")
+      .coalesce(4).write.mode("overwrite").parquet(s"$base/views")
     ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
         col("ts_us").as("r_us"),
         timestamp_micros(col("ts_us")).as("r_ets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/purchases")
+      .coalesce(4).write.mode("overwrite").parquet(s"$base/purchases")
     val lSchema = s.read.parquet(s"$base/views").schema
     val rSchema = s.read.parquet(s"$base/purchases").schema
     val l = StreamStages.fileSource(s, "parquet", s"$base/views", lSchema.json)
@@ -50,14 +50,15 @@ object EngineQueries {
       joinType = joinType)
       .select(col("user_id"), col("l_id"), col("r_id"),
         ((col("r_us") - col("l_us")) / 1000000L).cast("long").as("lag_s"))
-    // state-store partition count is frozen at query start from
-    // shuffle.partitions; 4 stores/partition each commit a delta
-    // file per micro-batch, so size it to the STATE (gate: tiny),
-    // not the session's compute width. Scoped + restored.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try StreamStages.runToMemory(joined, sink)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // withGateConf sizes the state-store width to the gate's state;
+    // the inner join's output never depends on the trailing no-data
+    // batch (matches emit in the data batch), so skip it — the
+    // left_outer variant REQUIRES it for null-extension eviction.
+    val extra = if (joinType == "inner") Seq(StreamStages.SkipNoDataBatch)
+      else Seq.empty
+    StreamStages.withGateConf(s, extra: _*) {
+      StreamStages.runToMemory(joined, sink)
+    }
     s.table(sink).orderBy("user_id", "l_id", "r_id")
   }
 
@@ -112,14 +113,20 @@ object EngineQueries {
       Tables.load(s, dir, "events")
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .select("ets", "event_type")
-        .coalesce(1) // one file → one micro-batch → deterministic emit set
+        .coalesce(4) // AvailableNow lands ALL files in ONE micro-batch
+        // (no maxFilesPerTrigger cap) → same deterministic emit set as a
+        // single file, but the harness write/read parallelizes
         .write.mode("overwrite").parquet(streamDir.toString)
       val schema = s.read.parquet(streamDir.toString).schema
       val src = StreamStages.fileSource(s, "parquet", streamDir.toString, schema.json)
       val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
         windowDuration = "1 day", slide = None,
         groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
-      StreamStages.runToMemory(agg, "gate_stream_win")
+      // append-mode agg: emission depends on the final watermark
+      // advance in the no-data batch — NEVER SkipNoDataBatch here
+      StreamStages.withGateConf(s) {
+        StreamStages.runToMemory(agg, "gate_stream_win")
+      }
       s.table("gate_stream_win")
         .select(col("window.start").as("day_start"), col("event_type"), col("n"))
         .orderBy("day_start", "event_type")
@@ -197,20 +204,19 @@ object EngineQueries {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           timestamp_micros(expr("ts div 1000")).as("ets"))
-      ev.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
-      ev.coalesce(1).write.mode("append").parquet(s"$base/in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+      ev.coalesce(4).write.mode("append").parquet(s"$base/in")
       val schema = s.read.parquet(s"$base/in").schema
       val src = StreamStages.fileSource(s, "parquet", s"$base/in", schema.json)
       val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
         Seq("event_id"))
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ets")).as("ts_us"))
-      // size the state-store count to the state, not the compute
-      // width (see ssJoin) — scoped + restored
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try StreamStages.runToMemory(deduped, "gate_sdedup")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // first occurrences emit on arrival — the no-data batch only
+      // evicts state, so skip it (withGateConf doc)
+      StreamStages.withGateConf(s, StreamStages.SkipNoDataBatch) {
+        StreamStages.runToMemory(deduped, "gate_sdedup")
+      }
       s.table("gate_sdedup").orderBy("event_id")
     },
       Some("""SELECT event_id, event_type,
@@ -234,11 +240,10 @@ object EngineQueries {
       val schema = s.read.parquet(s"$base/in").schema
       val src = StreamStages.fileSource(s, "parquet", s"$base/in",
         schema.json, maxFilesPerTrigger = Some(1))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try StreamStages.foreachBatchUpsert(src, Seq("user_id"),
-        Seq("ets", "event_id"), s"$base/out")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      StreamStages.withGateConf(s) {
+        StreamStages.foreachBatchUpsert(src, Seq("user_id"),
+          Seq("ets", "event_id"), s"$base/out")
+      }
       StreamStages.latestSnapshot(s, s"$base/out")
         .select(col("user_id"), unix_micros(col("ets")).as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
@@ -263,15 +268,16 @@ object EngineQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-gate-ssess")
       Tables.load(s, dir, "events")
         .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
-        .coalesce(1).write.mode("overwrite").parquet(base.toString)
+        .coalesce(4).write.mode("overwrite").parquet(base.toString)
       val schema = s.read.parquet(base.toString).schema
       val src = StreamStages.fileSource(s, "parquet", base.toString, schema.json)
       val sess = StreamStages.statefulSessions(src, "user_id", "ets",
         watermark = "1 hour", gapUs = 1800000000L)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try StreamStages.runToMemory(sess, "gate_ssess")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // event-time timeout: the final sessions emit in the trailing
+      // no-data batch — NEVER SkipNoDataBatch here
+      StreamStages.withGateConf(s) {
+        StreamStages.runToMemory(sess, "gate_ssess")
+      }
       s.table("gate_ssess").orderBy("user_id", "session_start_us")
     },
       Some("""WITH e AS (
@@ -399,10 +405,9 @@ object EngineQueries {
       val joined = src.join(dim, col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_mktsegment"),
           col("value"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try StreamStages.runToMemory(joined, "gate_ssj2")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      StreamStages.withGateConf(s) {
+        StreamStages.runToMemory(joined, "gate_ssj2")
+      }
       s.table("gate_ssj2").orderBy("event_id")
     },
       Some("""SELECT event_id, user_id, c_mktsegment, value

@@ -177,6 +177,39 @@ object StreamStages {
       }.toDF()
   }
 
+  /** Gate-scoped streaming conf (VERDICT r7 #6): the state-store
+    * partition count is frozen at query start from shuffle.partitions,
+    * and EVERY store on every partition commits a delta file per
+    * micro-batch — so size the width to the gate's STATE (tiny), not
+    * the session's compute width. 4 partitions halves the per-batch
+    * task-launch + store-commit overhead vs the previous 8 with zero
+    * semantic effect (fresh checkpoint per gate run, so the frozen
+    * width never has to match a prior run). `extra` carries per-gate
+    * knobs (e.g. noDataMicroBatches for gates whose OUTPUT does not
+    * depend on the trailing watermark batch). Restores on exit.
+    */
+  def withGateConf[T](s: SparkSession, extra: (String, String)*)(body: => T): T = {
+    val conf = ("spark.sql.shuffle.partitions" -> "4") +: extra
+    val prev = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Per-gate knob: skip the trailing no-data micro-batch. ONLY legal
+    * when the query's emitted rows don't depend on the final watermark
+    * advance — inner stream-stream joins (matches emit in the data
+    * batch; the no-data batch only evicts state the query teardown
+    * frees anyway) and within-watermark dedup (first occurrence emits
+    * on arrival). Append-mode aggs, outer joins, and event-time
+    * timeouts REQUIRE the no-data batch — never pass this for those.
+    */
+  val SkipNoDataBatch: (String, String) =
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
+
   /** Memory sink for tests/smoke: processes everything currently
     * available, synchronously, then returns the finished query.
     */
@@ -229,8 +262,14 @@ object StreamStages {
       }
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map(c => col(c).desc): _*)
+      // snapshot is ≈|keys| rows — one file keeps the next batch's
+      // read-back (and latestSnapshot) a single-split scan; at real
+      // scale this coalesce widens with the key count (or the target
+      // becomes a Delta/Iceberg MERGE and file layout is the table
+      // format's problem)
       all.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$baseDir/v$id")
       ()
     }
