@@ -1158,4 +1158,38 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * number of distinct `shingleN`-gram shingles they share and the
+    * Jaccard over their shingle SETS — the corpus-level "which feeds
+    * duplicate each other" planning view (crawl snapshots vs curated
+    * dumps, mirrors, re-hosted corpora) that decides WHERE to spend
+    * dedup effort before any per-document pass runs.
+    *
+    * Scale shape: documents reduce to DISTINCT (source, shingle) rows
+    * first — one shuffle, and the per-shingle posting list is bounded
+    * by |sources| (not |docs|), so the shingle-key self-join fans out
+    * at most |sources|²/2 per shingle and the output is ≤ |sources|²
+    * rows — metadata-scale however big the corpus. Nothing pairwise
+    * at document granularity.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, srcCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(srcCol).as("src"),
+        explode(shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n_sh").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n_sh").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("na"), col("nb"),
+        (col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared"))).as("jaccard"))
+  }
 }

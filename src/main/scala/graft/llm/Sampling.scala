@@ -277,4 +277,92 @@ object Sampling {
         least(col(nCol).cast("double"), col("c_lvl")).as("alloc"),
         (col(nCol) > col("c_lvl")).cast("int").as("capped"))
   }
+
+  /** Per-holdout-document contamination fraction — the eval-overlap
+    * REPORT (GPT-3 appendix C's n-gram overlap metric, at shingle
+    * granularity): after the content-hash split, what fraction of
+    * each holdout document's distinct shingles also occurs anywhere
+    * in train? [[decontaminatedSplit]] quarantines near-dup TRAIN
+    * docs; this measures the other direction — how compromised each
+    * EVAL document already is — which is what an eval-integrity
+    * report needs (a benchmark doc at 0.9 overlap can't be trusted
+    * even after quarantining its known partners).
+    *
+    * Scale shape: the train shingle set reduces to DISTINCT shingles
+    * (one shuffle, first-posting discipline); holdout shingles left
+    * join it on the shingle key and aggregate per doc — all linear,
+    * nothing pairwise (no doc×doc enumeration at any point).
+    */
+  def contaminationFraction(df: DataFrame, textCol: String, idCol: String,
+      bounds: Seq[(String, Int)], holdout: String,
+      shingleN: Int = 2, modulus: Int = 100): DataFrame = {
+    val sp = splitByHash(df, textCol, bounds, modulus)
+    val sh = sp.select(col(idCol).as("doc_id"), col("split"),
+      explode(graft.llm.Dedup.shingles(col(textCol), shingleN)).as("g"))
+    val trainSet = sh.filter(col("split") =!= holdout)
+      .select("g").distinct().withColumn("in_train", lit(1L))
+    sh.filter(col("split") === holdout)
+      .join(trainSet, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_in_train"))
+      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
+        (col("n_in_train").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its tokens are under a
+    * TARGET-domain unigram LM than under the raw-corpus LM —
+    * Σ_tokens log(p̂_target(t)/p̂_raw(t)) with add-1 smoothing over the
+    * shared raw vocabulary. The standard cheap proxy for "select raw
+    * data that looks like the high-quality target" ahead of training;
+    * resample by these weights downstream (weightedSampleWithout
+    * Replacement takes a weight column).
+    *
+    * Determinism: the per-term log-ratio collapses to ONE ln of an
+    * integer-ratio — ln(((c_t+1)·(T_raw+V)) / ((c_r+1)·(T_tgt+V))) —
+    * quantized to micro units BEFORE the per-doc sum (the
+    * unigramLogProb rule: integer-exact, order-independent,
+    * libm-drift-proof). Counts stay BIGINT throughout.
+    *
+    * Scale shape: one corpus scan builds (doc, term, tf); term counts
+    * are two partial+final aggregations; corpus totals ride ONE
+    * broadcast 1-row frame; the per-term weight table joins postings
+    * on the term key and the doc sum is one keyed aggregation — the
+    * unigramLogProb plan with a second (smaller) count branch.
+    * Documents with zero tokens keep a zero row via the left join.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+      explode(graft.llm.TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("is_t").as("is_t"))
+    val raw = tf.groupBy("term").agg(sum("tf").as("cr"))
+    val tgt = tf.filter(col("is_t")).groupBy("term").agg(sum("tf").as("ct"))
+    val totals = raw.agg(sum("cr").as("t_raw"), count(lit(1)).as("v"))
+      .crossJoin(tf.filter(col("is_t")).agg(sum("tf").as("t_tgt")))
+    val perTerm = raw.join(tgt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L) * (col("t_raw") + col("v")))
+            .cast("double")
+          / ((col("cr") + 1L) * (col("t_tgt") + col("v"))).cast("double"))
+          * lit(1000000.0)).cast("long").as("lw_micro"))
+    val perDoc = tf.join(perTerm, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("lw_micro")).as("dsir_micro_sum"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_micro_sum"), lit(0L)).as("dsir_micro_sum"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dsir_micro_sum").cast("double") / col("n_tokens"))
+          .as("dsir_micro_per_tok"))
+  }
 }

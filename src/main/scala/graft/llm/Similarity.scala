@@ -668,4 +668,42 @@ object Similarity {
         // n is identical across a label's positions (fixed-dim,
         // null-free vectors) — max is the deterministic pick
         max(col("n")).as("n_vectors"))
+
+  /** Int8 scalar quantization of an embedding column — the cheap end
+    * of the compression ladder beside PQ (ivfpqTopK): per-dimension
+    * affine code = ⌊(x − min_d)/(max_d − min_d)·256⌋ clamped to 255,
+    * 1 byte/dim (a 4× shrink over float32) with per-dim resolution
+    * (max−min)/256. Constant dims (max = min) code to 0.
+    *
+    * Scale shape: pass 1 reduces the corpus to `dim` (min, max) rows
+    * — a partial+final aggregate whose result is AQE-stats-scale
+    * metadata, collected and folded into pass 2 as LITERALS, so the
+    * quantize itself is one row-local array transform at scan speed
+    * (codes stay array-packed: the production layout is dim bytes per
+    * vector, not an exploded row per dimension).
+    *
+    * Determinism: subtraction, division, ×256 and floor in one fixed
+    * order — IEEE-exact in any engine that mirrors the expression
+    * (the oracle does).
+    */
+  def scalarQuantize8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol))).toDF("dim", "x")
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("dim").collect() // ≤ dim rows — bounded metadata
+    val mnA = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    emb.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val mx = element_at(mxA, i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(least(
+            floor((x.cast("double") - mn) / (mx - mn) * 256.0), lit(255.0))
+            .cast("int"))
+      }).as("codes"))
+  }
 }

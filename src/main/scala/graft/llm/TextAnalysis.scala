@@ -1257,4 +1257,109 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_seen"),
         (col("n_seen").cast("double") / col("n_shingles")).as("redundancy"))
   }
+
+  /** Fixed-size token chunking with overlap — the RAG/embedding
+    * preprocessing cut (LangChain-style recursive splitters reduce to
+    * this at the token level): windows of `window` tokens starting
+    * every `stride` tokens, trailing window clamped to the doc end,
+    * and a window whose PREDECESSOR already reached the end is not
+    * emitted (it would be fully contained). Docs shorter than one
+    * token produce no chunks.
+    *
+    * Scale shape: one tokenize + one bounded explode (≤ n/stride + 1
+    * starts per doc — output rows ≈ (window/stride)× input tokens,
+    * the overlap factor, linear and scan-partitioned; nothing
+    * shuffles at all — chunking is embarrassingly row-local).
+    */
+  def chunkFixedOverlap(df: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .filter(col("start") === 0 ||
+        (col("start") - stride + window) < col("n"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(window), col("n") - col("start")).cast("int").as("n_tok"),
+        array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Heuristic named-entity density: capitalized tokens not at a
+    * sentence start (doc-initial, or preceded by a .!?-terminated
+    * token) per token — the cheap "proper-noun load" quality signal
+    * (encyclopedic text scores high, boilerplate/code low; the
+    * fasttext-era quality-classifier feature). Pure array expressions
+    * — the index-aware filter runs row-local at scan speed, no
+    * shuffle, no explode.
+    *
+    * Capitalization test is an ASCII byte-range compare (65–90), not
+    * a regex character class, so both engines agree by construction
+    * (the documents ASCII contract, SchemaPinSpec).
+    */
+  def entityDensity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        size(filter(col("ws"), (w, i) =>
+          ascii(substring(w, 1, 1)).between(65, 90) &&
+            i > 0 &&
+            !element_at(col("ws"), i).rlike("[.!?]$")))
+          .as("n_entity_like"))
+      .select(col("doc_id"), col("n_tokens"), col("n_entity_like"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_entity_like").cast("double") / col("n_tokens"))
+          .as("entity_density"))
+
+  /** Content-defined chunking at word granularity (the FastCDC/rsync
+    * idea applied to text): a chunk boundary falls AFTER every word
+    * whose hash ≡ 0 (mod `mask`) — boundaries move WITH the content,
+    * so inserting one word near the top of a document re-chunks only
+    * the boundary-local neighborhood instead of shifting every
+    * fixed-size chunk after it. The storage-dedup primitive, and the
+    * sub-document dedup signal fixed windows can't give.
+    *
+    * Emits one row per chunk with an order-exact signature:
+    * Σ poly(word ‖ ':' ‖ offset-in-chunk) — each term position-tagged
+    * BEFORE the sum, so the aggregation is order-independent (the
+    * merge-order-exact discipline) while the signature still
+    * distinguishes permutations. `n_dup_chunks` counts how many
+    * chunks corpus-wide share (signature, n_words) — the dedup hit
+    * rate.
+    *
+    * Scale shape: posexplode + two windows partitioned BY DOC (never
+    * global) + one partial+final aggregation per chunk + one linear
+    * signature-count join. Everything keyed; nothing pairwise.
+    */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+      mask: Int = 8): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "w")
+    val marked = pos
+      .withColumn("b",
+        (pmod(graft.functions.PolyHash(col("w")), lit(mask.toLong)) === 0)
+          .cast("int"))
+      // chunk of a word = boundaries strictly BEFORE it
+      .withColumn("chunk_idx", (sum("b").over(byDoc) - col("b")).cast("int"))
+    val withStart = marked.withColumn("start_pos",
+      min("pos").over(Window.partitionBy("doc_id", "chunk_idx")))
+    val chunks = withStart
+      .withColumn("term_sig", graft.functions.PolyHash(
+        concat(col("w"), lit(":"), (col("pos") - col("start_pos")).cast("string"))))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(first("start_pos").as("start_pos"),
+        count(lit(1)).as("n_words"),
+        sum("term_sig").as("chunk_sig"))
+    val dupCounts = chunks.groupBy("chunk_sig", "n_words")
+      .agg(count(lit(1)).as("n_dup_chunks"))
+    chunks.join(dupCounts, Seq("chunk_sig", "n_words"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_pos").cast("long").as("start_pos"), col("n_words"),
+        col("chunk_sig"), col("n_dup_chunks"))
+  }
 }

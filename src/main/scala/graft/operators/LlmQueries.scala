@@ -2345,7 +2345,189 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 1
-        |ORDER BY ia, ib""".stripMargin))
+        |ORDER BY ia, ib""".stripMargin)),
+
+    // ---- fixed-size token chunking with overlap (RAG/embedding prep;
+    // row-local — no shuffle at all) ---------------------------------
+    QDef("chunk_fixed_overlap", (s, dir) =>
+      TextAnalysis.chunkFixedOverlap(Tables.load(s, dir, "documents"),
+          "text", "doc_id", window = 8, stride = 4)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
+        |st AS (SELECT doc_id, ws, n, unnest(range(0, n, 4)) AS start FROM t2)
+        |SELECT doc_id, CAST(start // 4 AS INT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(8, n - start) AS INT) AS n_tok,
+        |  array_to_string(ws[start + 1 : start + 8], ' ') AS chunk_text
+        |FROM st WHERE start = 0 OR start - 4 + 8 < n
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- heuristic entity density (proper-noun load quality signal;
+    // ASCII byte-range capitalization test, never a regex class) -----
+    QDef("entity_density", (s, dir) =>
+      TextAnalysis.entityDensity(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |e AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(ws, (w, i) ->
+        |    unicode(w[1]) BETWEEN 65 AND 90
+        |    AND i > 1 AND NOT regexp_matches(ws[i - 1], '[.!?]$')))
+        |    AS INT) AS n_entity_like
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, n_entity_like,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE CAST(n_entity_like AS DOUBLE) / n_tokens END AS entity_density
+        |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ---- content-defined chunking (FastCDC at word granularity):
+    // boundaries move with content, position-tagged order-exact
+    // signatures, corpus-wide chunk dup counts ------------------------
+    QDef("cdc_chunks", (s, dir) =>
+      TextAnalysis.cdcChunks(Tables.load(s, dir, "documents"),
+          "text", "doc_id", mask = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT doc_id,
+        |    [{'pos': i - 1, 'w': ws[i]} for i in range(1, len(ws) + 1)] AS l
+        |  FROM tok),
+        |p AS (SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM (SELECT doc_id, unnest(l) AS u FROM p0)),
+        |m AS (SELECT doc_id, pos, w,
+        |    CASE WHEN ${duckPoly("w")} % 8 = 0 THEN 1 ELSE 0 END AS b FROM p),
+        |c AS (SELECT doc_id, pos, w,
+        |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS INT)
+        |      AS chunk_idx FROM m),
+        |st AS (SELECT doc_id, pos, w, chunk_idx,
+        |    min(pos) OVER (PARTITION BY doc_id, chunk_idx) AS start_pos FROM c),
+        |g AS (SELECT doc_id, chunk_idx,
+        |    CAST(min(start_pos) AS BIGINT) AS start_pos,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(${duckPoly("w || ':' || CAST(pos - start_pos AS VARCHAR)")}) AS BIGINT) AS chunk_sig
+        |  FROM st GROUP BY doc_id, chunk_idx),
+        |d AS (SELECT chunk_sig, n_words, CAST(count(*) AS BIGINT) AS n_dup_chunks
+        |  FROM g GROUP BY 1, 2)
+        |SELECT g.doc_id, g.chunk_idx, g.start_pos, g.n_words, g.chunk_sig,
+        |  d.n_dup_chunks
+        |FROM g JOIN d USING (chunk_sig, n_words)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- int8 scalar quantization of embeddings (the cheap end of
+    // the compression ladder beside PQ; exact affine-formula replay,
+    // dim=64 pinned by SchemaPinSpec) --------------------------------
+    QDef("embed_sq8", (s, dir) =>
+      Similarity.scalarQuantize8(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")))
+        .toDF("vec_id", "dim", "code")
+        .orderBy("vec_id", "dim"),
+      Some("""WITH p AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |d AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM p GROUP BY dim)
+        |SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((x - mn) / (mx - mn) * 256.0), 255.0) END
+        |    AS INT) AS code
+        |FROM p JOIN d USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin)),
+
+    // ---- cross-source shingle overlap matrix (corpus-level dedup
+    // planning; posting lists bounded by |sources|, output
+    // metadata-scale) -------------------------------------------------
+    QDef("source_overlap", (s, dir) =>
+      Dedup.sourceOverlapMatrix(Tables.load(s, dir, "documents"),
+          "text", "source", shingleN = 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (SELECT source,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT source AS src, unnest(list_distinct(
+        |    CASE WHEN len(ws) >= 3
+        |      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, len(ws) - 1)]
+        |      ELSE [] END)) AS g FROM tok),
+        |sh AS (SELECT DISTINCT src, g FROM sh0),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY src),
+        |pr AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, sa.n_sh AS na, sb.n_sh AS nb,
+        |  CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+        |FROM pr JOIN sz sa ON sa.src = pr.src_a
+        |  JOIN sz sb ON sb.src = pr.src_b
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- per-holdout-doc contamination fraction (eval-integrity
+    // report — the GPT-3 appendix-C overlap metric; linear
+    // first-posting join, nothing pairwise) ---------------------------
+    QDef("contamination_fraction", (s, dir) =>
+      graft.llm.Sampling.contaminationFraction(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test",
+          shingleN = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${duckPoly("text")} % 100 AS split_hash,
+        |    text FROM documents),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN split_hash < 80 THEN 'train'
+        |         WHEN split_hash < 90 THEN 'val' ELSE 'test' END AS split,
+        |    text FROM h),
+        |tok AS (SELECT doc_id, split,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM sp),
+        |sh0 AS (SELECT doc_id, split, unnest(list_distinct(
+        |    CASE WHEN len(ws) >= 2
+        |      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |      ELSE [] END)) AS g FROM tok),
+        |tr AS (SELECT DISTINCT g FROM sh0 WHERE split <> 'test'),
+        |ho AS (SELECT doc_id, g FROM sh0 WHERE split = 'test')
+        |SELECT ho.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_in_train,
+        |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*) AS contamination
+        |FROM ho LEFT JOIN tr ON ho.g = tr.g
+        |GROUP BY ho.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR importance weights (Xie et al. NeurIPS'23: target-vs-
+    // raw unigram log-ratio, add-1 smoothed, micro-quantized per term
+    // BEFORE the doc sum — the unigram_logprob discipline) ------------
+    QDef("dsir_weights", (s, dir) =>
+      graft.llm.Sampling.dsirWeights(Tables.load(s, dir, "documents"),
+          "text", "doc_id", targetPred = col("lang") === "en")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, is_t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2, 3),
+        |raw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY term),
+        |tgt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct
+        |  FROM tf WHERE is_t GROUP BY term),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS t_raw,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
+        |  (SELECT CAST(sum(tf) AS BIGINT) FROM tf WHERE is_t) AS t_tgt),
+        |pt AS (SELECT term, CAST(floor(ln(
+        |    CAST((coalesce(ct, 0) + 1) * (t_raw + v) AS DOUBLE)
+        |    / CAST((cr + 1) * (t_tgt + v) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS lw_micro
+        |  FROM raw LEFT JOIN tgt USING (term), tot),
+        |pd AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(f.tf * pt.lw_micro) AS BIGINT) AS dsir_micro_sum
+        |  FROM tf f JOIN pt USING (term) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(dsir_micro_sum, 0) AS dsir_micro_sum,
+        |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |    ELSE CAST(dsir_micro_sum AS DOUBLE) / n_tokens END
+        |    AS dsir_micro_per_tok
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -1372,4 +1372,87 @@ class LlmSpec extends SparkSpec {
       ("book", "de", 1L, 0L, 0L, 0L),
       ("web", "en", 2L, 10L, 6L, 3L * 693147L + 2L * 1098612L + 1791759L)))
   }
+
+  test("chunkFixedOverlap: stride walk, clamped tail, contained-window suppression") {
+    import spark.implicits._
+    // 10 tokens, window 8, stride 4: chunks at 0 (8 toks) and 4
+    // (6 toks); start 8 is suppressed (previous window reached the end)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y"), // single short chunk
+      (3L, "")     // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkFixedOverlap(docs, "text", "doc_id", 8, 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0L, 8, "a b c d e f g h"),
+      (1L, 1, 4L, 6, "e f g h i j"),
+      (2L, 0, 0L, 2, "x y")))
+  }
+
+  test("entityDensity: capitalized mid-sentence counts; sentence starts don't") {
+    import spark.implicits._
+    // "Paris" after '.' = sentence start (not counted); "Bob" counted;
+    // doc-initial "Alice" not counted.
+    val docs = Seq((1L, "Alice met Bob in town. Paris was far"),
+      (2L, "all lower case here")).toDF("doc_id", "text")
+    val got = TextAnalysis.entityDensity(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 8, 1), (2L, 4, 0)))
+  }
+
+  test("cdcChunks: boundary insertion re-chunks locally; identical chunks share signatures") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcChunks(docs, "text", "doc_id", mask = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // identical docs → identical chunking → every chunk has a twin
+    assert(got.nonEmpty && got.forall(_.getLong(5) == 2L),
+      s"expected every chunk duplicated across the twin docs: ${got.mkString(";")}")
+    // word positions are chunk-relative: the same words after a prefix
+    // shift hash to the same signatures once a boundary resyncs them
+    val sigs1 = got.filter(_.getLong(0) == 1L).map(_.getLong(4)).toSeq
+    val sigs2 = got.filter(_.getLong(0) == 2L).map(_.getLong(4)).toSeq
+    assert(sigs1 == sigs2)
+  }
+
+  test("scalarQuantize8: endpoints code to 0/255, constant dim codes to 0") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0f, 5.0f, 7.0f)), (2L, Seq(2.0f, 5.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize8(emb)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    // dim0 range [0,2]: 0→0, 2→255(clamped); dim1 constant → 0;
+    // dim2 range [3,7]: 7→255, 3→0
+    assert(got.toSeq == Seq((1L, Seq(0, 0, 255)), (2L, Seq(255, 0, 0))))
+  }
+
+  test("waterfill rejects budgetFrac outside (0, 1]") {
+    import spark.implicits._
+    val d = Seq(("a", 10L), ("b", 20L)).toDF("source", "n")
+    intercept[IllegalArgumentException] {
+      graft.llm.Sampling.waterfill(d, budgetFrac = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Sampling.waterfill(d, budgetFrac = 0.0)
+    }
+  }
+
+  test("contaminationFraction: holdout shingles found in train are counted per doc") {
+    import spark.implicits._
+    // force the split via bounds on a tiny modulus-free fixture is
+    // fiddly — instead run on real sf data and cross-check one
+    // invariant: contamination ∈ [0,1] and n_in_train <= n_shingles
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = graft.llm.Sampling.contaminationFraction(docs, "text", "doc_id",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }

@@ -66,6 +66,9 @@ class PlanAuditSpec extends SparkSpec {
       "1-row doc count (lift denominator)"),
     "domain_gini" -> ("Gini numerator on the per-domain aggregate " +
       "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"),
+    "dsir_weights" -> ("two broadcast 1-row crossJoins: the raw-corpus " +
+      "(total, vocab) aggregate and the target-corpus token total — the " +
+      "unigram_logprob LM-denominator pattern, twice"),
     "profile_table_approx" -> ("verdict harness: crossJoin of TWO broadcast " +
       "1-row aggregates (exact baseline × approx production row); the " +
       "production path is the approx aggregation alone — no Expand, " +
