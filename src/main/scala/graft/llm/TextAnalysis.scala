@@ -1258,38 +1258,6 @@ object TextAnalysis {
         (col("n_seen").cast("double") / col("n_shingles")).as("redundancy"))
   }
 
-  /** Fixed-size token chunking with overlap — the RAG/embedding
-    * preprocessing cut (LangChain-style recursive splitters reduce to
-    * this at the token level): windows of `window` tokens starting
-    * every `stride` tokens, trailing window clamped to the doc end,
-    * and a window whose PREDECESSOR already reached the end is not
-    * emitted (it would be fully contained). Docs shorter than one
-    * token produce no chunks.
-    *
-    * Scale shape: one tokenize + one bounded explode (≤ n/stride + 1
-    * starts per doc — output rows ≈ (window/stride)× input tokens,
-    * the overlap factor, linear and scan-partitioned; nothing
-    * shuffles at all — chunking is embarrassingly row-local).
-    */
-  def chunkFixedOverlap(df: DataFrame, textCol: String, idCol: String,
-      window: Int, stride: Int): DataFrame = {
-    require(window > 0 && stride > 0 && stride <= window,
-      s"need 0 < stride <= window, got window=$window stride=$stride")
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
-      .withColumn("n", size(col("ws")))
-      .filter(col("n") > 0)
-      .select(col("doc_id"), col("n"), col("ws"),
-        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
-      .filter(col("start") === 0 ||
-        (col("start") - stride + window) < col("n"))
-      .select(col("doc_id"),
-        (col("start") / stride).cast("int").as("chunk_idx"),
-        col("start").cast("long").as("start_tok"),
-        least(lit(window), col("n") - col("start")).cast("int").as("n_tok"),
-        array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
-          .as("chunk_text"))
-  }
-
   /** Heuristic named-entity density: capitalized tokens not at a
     * sentence start (doc-initial, or preceded by a .!?-terminated
     * token) per token — the cheap "proper-noun load" quality signal

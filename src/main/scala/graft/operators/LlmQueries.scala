@@ -2347,24 +2347,6 @@ object LlmQueries {
         |WHERE bit_count(xor(a.dh, b.dh)) <= 1
         |ORDER BY ia, ib""".stripMargin)),
 
-    // ---- fixed-size token chunking with overlap (RAG/embedding prep;
-    // row-local — no shuffle at all) ---------------------------------
-    QDef("chunk_fixed_overlap", (s, dir) =>
-      TextAnalysis.chunkFixedOverlap(Tables.load(s, dir, "documents"),
-          "text", "doc_id", window = 8, stride = 4)
-        .orderBy("doc_id", "chunk_idx"),
-      Some("""WITH tok AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM documents),
-        |t2 AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
-        |st AS (SELECT doc_id, ws, n, unnest(range(0, n, 4)) AS start FROM t2)
-        |SELECT doc_id, CAST(start // 4 AS INT) AS chunk_idx,
-        |  CAST(start AS BIGINT) AS start_tok,
-        |  CAST(least(8, n - start) AS INT) AS n_tok,
-        |  array_to_string(ws[start + 1 : start + 8], ' ') AS chunk_text
-        |FROM st WHERE start = 0 OR start - 4 + 8 < n
-        |ORDER BY doc_id, chunk_idx""".stripMargin)),
-
     // ---- heuristic entity density (proper-noun load quality signal;
     // ASCII byte-range capitalization test, never a regex class) -----
     QDef("entity_density", (s, dir) =>

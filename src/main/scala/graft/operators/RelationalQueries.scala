@@ -1549,6 +1549,35 @@ object RelationalQueries {
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- robust winsorization: clamp a measure to its per-group
+    // [p05, p95] band (the clipping companion to mad_outliers — fix
+    // the tail instead of flagging it; what a feature-cleaning stage
+    // does before aggregates that aren't robust). Exact percentiles
+    // (the agg_percentile interpolation contract) on the bounded
+    // per-type aggregate, broadcast back; clamp is two IEEE
+    // comparisons — hash-exact.
+    QDef("winsorize", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          greatest(col("lo"), least(col("hi"), col("value"))).as("v_winsor"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .cast("int").as("clipped"))
+        .orderBy("event_id")
+    },
+      Some("""WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  greatest(lo, least(hi, value)) AS v_winsor,
+        |  CAST(value < lo OR value > hi AS INT) AS clipped
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin)),
+
     // ---- 24-hour rolling reach: distinct users in the trailing 24h
     // at every active hour. Distinct counts can't ride a running
     // window (no mergeable running state), so the exact shape is the

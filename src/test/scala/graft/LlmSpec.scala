@@ -1373,25 +1373,6 @@ class LlmSpec extends SparkSpec {
       ("web", "en", 2L, 10L, 6L, 3L * 693147L + 2L * 1098612L + 1791759L)))
   }
 
-  test("chunkFixedOverlap: stride walk, clamped tail, contained-window suppression") {
-    import spark.implicits._
-    // 10 tokens, window 8, stride 4: chunks at 0 (8 toks) and 4
-    // (6 toks); start 8 is suppressed (previous window reached the end)
-    val docs = Seq(
-      (1L, "a b c d e f g h i j"),
-      (2L, "x y"), // single short chunk
-      (3L, "")     // no tokens → no chunks
-    ).toDF("doc_id", "text")
-    val got = TextAnalysis.chunkFixedOverlap(docs, "text", "doc_id", 8, 4)
-      .orderBy("doc_id", "chunk_idx")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getInt(3), r.getString(4)))
-    assert(got.toSeq == Seq(
-      (1L, 0, 0L, 8, "a b c d e f g h"),
-      (1L, 1, 4L, 6, "e f g h i j"),
-      (2L, 0, 0L, 2, "x y")))
-  }
-
   test("entityDensity: capitalized mid-sentence counts; sentence starts don't") {
     import spark.implicits._
     // "Paris" after '.' = sentence start (not counted); "Bob" counted;
