@@ -192,6 +192,54 @@ object Multimodal {
     }
   }
 
+  /** One row per ViT-style patch: channel sums over `patch`×`patch`
+    * pixel tiles. */
+  final case class ImagePatch(doc_id: Long, patch_row: Int, patch_col: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style patchify: cut each image into `patch`×`patch` pixel
+    * tiles (edge remainders cropped — the standard ViT resize-to-
+    * multiple convention, minus the resample this synthetic gate
+    * doesn't need) and emit integer channel sums per tile — the
+    * pooled-patch statistics a patch-embedding input pipeline
+    * computes before projection. Integer-exact by construction.
+    *
+    * Same mapPartitions shape as [[decodeImages]]: bounded per-record
+    * work, payload dropped after extraction, output ≈ (w·h/patch²)
+    * rows per image — a fixed small multiple of the image count,
+    * partition-local until the caller aggregates.
+    */
+  def imagePatches(spark: SparkSession, media: DataFrame,
+      patch: Int = 2): Dataset[ImagePatch] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        parsePpmHeader(r.payload) match {
+          case None => Iterator.empty
+          case Some((w, h, _, pos)) =>
+            for {
+              pr <- Iterator.range(0, h / patch)
+              pc <- Iterator.range(0, w / patch)
+            } yield {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var dy = 0
+              while (dy < patch) {
+                var dx = 0
+                while (dx < patch) {
+                  val p = pos + 3 * ((pr * patch + dy) * w + (pc * patch + dx))
+                  sr += r.payload(p) & 0xff
+                  sg += r.payload(p + 1) & 0xff
+                  sb += r.payload(p + 2) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              ImagePatch(r.doc_id, pr, pc, sr, sg, sb)
+            }
+        }
+      })
+  }
+
   /** Perceptual difference hash (dHash — Krawetz's gradient hash, the
     * standard cheap near-duplicate image fingerprint) of a P6 PPM:
     * nearest-neighbor sample the image onto an 8-row × 9-column luma

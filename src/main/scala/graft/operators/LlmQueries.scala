@@ -2477,6 +2477,31 @@ object LlmQueries {
         |FROM ho LEFT JOIN tr ON ho.g = tr.g
         |GROUP BY ho.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- ViT-style patchify: 2×2 pixel tiles with integer channel
+    // sums over the real PPM parse; the oracle replays every pixel
+    // from the synthetic formula WITHOUT parsing (the multimodal
+    // writer-vs-parser cross-check discipline) ------------------------
+    QDef("image_patches", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticPpmTable(Tables.load(s, dir, "documents"))
+      Multimodal.imagePatches(s, media, patch = 2).toDF()
+        .orderBy("doc_id", "patch_row", "patch_col")
+    }, Some {
+      def ch(c: Int): String =
+        (for (dy <- 0 to 1; dx <- 0 to 1) yield
+          s"(doc_id*31 + 7*(3*((2*pr+$dy)*w + 2*pc+$dx) + $c)) % 256")
+          .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         |  FROM documents),
+         |g AS (SELECT doc_id, w, h, unnest(range(0, h // 2)) AS pr FROM d),
+         |gc AS (SELECT doc_id, w, pr, unnest(range(0, w // 2)) AS pc FROM g)
+         |SELECT doc_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+         |  CAST(${ch(0)} AS BIGINT) AS sum_r,
+         |  CAST(${ch(1)} AS BIGINT) AS sum_g,
+         |  CAST(${ch(2)} AS BIGINT) AS sum_b
+         |FROM gc ORDER BY doc_id, patch_row, patch_col""".stripMargin
+    }),
+
     // ---- DSIR importance weights (Xie et al. NeurIPS'23: target-vs-
     // raw unigram log-ratio, add-1 smoothed, micro-quantized per term
     // BEFORE the doc sum — the unigram_logprob discipline) ------------

@@ -1549,6 +1549,54 @@ object RelationalQueries {
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- truncated EWMA smoothing: 8-lag exponential weights
+    // (α = 0.5 — every weight an exact power of two) per event type,
+    // normalized over the lags that EXIST so early rows smooth over
+    // their available history. The weighted sum is written as ONE
+    // fixed left-to-right addition chain mirrored textually in the
+    // oracle — IEEE-exact, no quantization needed. One per-key window
+    // (8 lags ride a single sort), never global.
+    QDef("ewma_smooth", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val wks = (0 to 7).map(k => 0.5 * math.pow(0.5, k))
+      val lags = (1 to 7).map(k => lag("value", k).over(w))
+      val num = lags.zip(wks.tail).foldLeft(lit(wks.head) * col("value")) {
+        case (acc, (l, wk)) => acc + coalesce(lit(wk) * l, lit(0.0))
+      }
+      val den = lags.zip(wks.tail).foldLeft(lit(wks.head)) {
+        case (acc, (l, wk)) => acc + when(l.isNotNull, lit(wk)).otherwise(lit(0.0))
+      }
+      ev.select(col("event_id"), col("event_type"), col("value"),
+        (num / den).as("ewma")).orderBy("event_id")
+    },
+      Some("""WITH e AS (SELECT event_id, event_type, value,
+        |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+        |  lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+        |  lag(value, 7) OVER w AS l7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_id, event_type, value,
+        |  (CAST(0.5 AS DOUBLE) * value
+        |   + coalesce(CAST(0.25 AS DOUBLE) * l1, 0.0)
+        |   + coalesce(CAST(0.125 AS DOUBLE) * l2, 0.0)
+        |   + coalesce(CAST(0.0625 AS DOUBLE) * l3, 0.0)
+        |   + coalesce(CAST(0.03125 AS DOUBLE) * l4, 0.0)
+        |   + coalesce(CAST(0.015625 AS DOUBLE) * l5, 0.0)
+        |   + coalesce(CAST(0.0078125 AS DOUBLE) * l6, 0.0)
+        |   + coalesce(CAST(0.00390625 AS DOUBLE) * l7, 0.0))
+        |  / (CAST(0.5 AS DOUBLE)
+        |   + CASE WHEN l1 IS NULL THEN 0.0 ELSE CAST(0.25 AS DOUBLE) END
+        |   + CASE WHEN l2 IS NULL THEN 0.0 ELSE CAST(0.125 AS DOUBLE) END
+        |   + CASE WHEN l3 IS NULL THEN 0.0 ELSE CAST(0.0625 AS DOUBLE) END
+        |   + CASE WHEN l4 IS NULL THEN 0.0 ELSE CAST(0.03125 AS DOUBLE) END
+        |   + CASE WHEN l5 IS NULL THEN 0.0 ELSE CAST(0.015625 AS DOUBLE) END
+        |   + CASE WHEN l6 IS NULL THEN 0.0 ELSE CAST(0.0078125 AS DOUBLE) END
+        |   + CASE WHEN l7 IS NULL THEN 0.0 ELSE CAST(0.00390625 AS DOUBLE) END)
+        |  AS ewma
+        |FROM e ORDER BY event_id""".stripMargin)),
+
     // ---- robust winsorization: clamp a measure to its per-group
     // [p05, p95] band (the clipping companion to mad_outliers — fix
     // the tail instead of flagging it; what a feature-cleaning stage
