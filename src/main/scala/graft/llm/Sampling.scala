@@ -281,8 +281,8 @@ object Sampling {
   /** Per-holdout-document contamination fraction — the eval-overlap
     * REPORT (GPT-3 appendix C's n-gram overlap metric, at shingle
     * granularity): after the content-hash split, what fraction of
-    * each holdout document's distinct shingles also occurs anywhere
-    * in train? [[decontaminatedSplit]] quarantines near-dup TRAIN
+    * each holdout document's distinct shingles also occurs in the
+    * TRAINING split (val is excluded — it is never trained on)? [[decontaminatedSplit]] quarantines near-dup TRAIN
     * docs; this measures the other direction — how compromised each
     * EVAL document already is — which is what an eval-integrity
     * report needs (a benchmark doc at 0.9 overlap can't be trusted
@@ -294,12 +294,15 @@ object Sampling {
     * nothing pairwise (no doc×doc enumeration at any point).
     */
   def contaminationFraction(df: DataFrame, textCol: String, idCol: String,
-      bounds: Seq[(String, Int)], holdout: String,
+      bounds: Seq[(String, Int)], holdout: String, trainSplit: String,
       shingleN: Int = 2, modulus: Int = 100): DataFrame = {
     val sp = splitByHash(df, textCol, bounds, modulus)
     val sh = sp.select(col(idCol).as("doc_id"), col("split"),
       explode(graft.llm.Dedup.shingles(col(textCol), shingleN)).as("g"))
-    val trainSet = sh.filter(col("split") =!= holdout)
+    // ONLY the actual training split counts as contamination (the
+    // val split is never trained on) — n_in_train means exactly what
+    // it says (ADVICE-class naming trap caught in round-8 self-review)
+    val trainSet = sh.filter(col("split") === trainSplit)
       .select("g").distinct().withColumn("in_train", lit(1L))
     sh.filter(col("split") === holdout)
       .join(trainSet, Seq("g"), "left")

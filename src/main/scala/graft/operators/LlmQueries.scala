@@ -2453,7 +2453,7 @@ object LlmQueries {
       graft.llm.Sampling.contaminationFraction(
           Tables.load(s, dir, "documents"), "text", "doc_id",
           Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test",
-          shingleN = 2)
+          trainSplit = "train", shingleN = 2)
         .orderBy("doc_id"),
       Some(s"""WITH h AS (SELECT doc_id, ${duckPoly("text")} % 100 AS split_hash,
         |    text FROM documents),
@@ -2467,7 +2467,7 @@ object LlmQueries {
         |    CASE WHEN len(ws) >= 2
         |      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
         |      ELSE [] END)) AS g FROM tok),
-        |tr AS (SELECT DISTINCT g FROM sh0 WHERE split <> 'test'),
+        |tr AS (SELECT DISTINCT g FROM sh0 WHERE split = 'train'),
         |ho AS (SELECT doc_id, g FROM sh0 WHERE split = 'test')
         |SELECT ho.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)

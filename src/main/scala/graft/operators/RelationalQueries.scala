@@ -48,6 +48,30 @@ object RelationalQueries {
 
   final case class QDef(name: String, fn: Q, sql: Option[String])
 
+  /** The exact trailing-24h reach (the bounded 24× hour-spread explode
+    * + one distinct aggregation), shared by the `rolling_distinct`
+    * gate and `rolling_distinct_hll`'s verdict baseline so the two
+    * definitions cannot drift apart (the ProfileSpecs discipline).
+    */
+  private def rollingReachExact(ev: DataFrame): DataFrame = {
+    val wh = ev.select(col("user_id"),
+      expr("(ts div 1000) div 3600000000").as("h"))
+    val hours = wh.select(col("h").as("hour")).distinct()
+    wh.select(col("user_id"),
+        explode(sequence(col("h"), col("h") + 23)).as("hour"))
+      .join(hours, "hour")
+      .groupBy("hour")
+      .agg(countDistinct("user_id").as("reach_24h"))
+  }
+
+  /** DuckDB CTE chain for [[rollingReachExact]] — shared by both
+    * rolling gates' oracles. */
+  private val RollingReachCtes =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+      |hrs AS (SELECT DISTINCT h AS hour FROM e),
+      |sp AS (SELECT user_id, unnest(range(h, h + 24)) AS hour FROM e)""".stripMargin
+
   /** The six orders columns profiled by `profile_table` and its gated
     * approx twin `profile_table_approx` — one shared list so the two
     * gates can't drift apart. Doubles go through DECIMAL and dates
@@ -1633,23 +1657,9 @@ object RelationalQueries {
     // partial+final on the (hour, user) key, never a global window.
     // The sketch path for 100 TB is per-hour HLL + 24-sketch union
     // (see sketch_hll_union — same machinery).
-    QDef("rolling_distinct", (s, dir) => {
-      val ev = t(s, dir, "events")
-      val withHour = ev.select(col("user_id"),
-        expr("(ts div 1000) div 3600000000").as("h"))
-      val hours = withHour.select(col("h").as("hour")).distinct()
-      withHour
-        .select(col("user_id"),
-          explode(sequence(col("h"), col("h") + 23)).as("hour"))
-        .join(hours, "hour") // only hours that actually occur
-        .groupBy("hour")
-        .agg(countDistinct("user_id").as("reach_24h"))
-        .orderBy("hour")
-    },
-      Some("""WITH e AS (SELECT user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
-        |hrs AS (SELECT DISTINCT h AS hour FROM e),
-        |sp AS (SELECT user_id, unnest(range(h, h + 24)) AS hour FROM e)
+    QDef("rolling_distinct", (s, dir) =>
+      rollingReachExact(t(s, dir, "events")).orderBy("hour"),
+      Some(s"""$RollingReachCtes
         |SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_24h
         |FROM sp JOIN hrs USING (hour)
         |GROUP BY hour ORDER BY hour""".stripMargin)),
@@ -1889,16 +1899,10 @@ object RelationalQueries {
     // → rsd ≈0.8%; 5% band ≈ 6σ, deterministic per fixed data.
     QDef("rolling_distinct_hll", (s, dir) => {
       val ev = t(s, dir, "events")
-      val wh = ev.select(col("user_id"),
-        expr("(ts div 1000) div 3600000000").as("h"))
-      val hours = wh.select(col("h").as("hour")).distinct()
-      val exact = wh
-        .select(col("user_id"),
-          explode(sequence(col("h"), col("h") + 23)).as("hour"))
-        .join(hours, "hour")
+      val exact = rollingReachExact(ev)
+      val hourly = ev
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"))
         .groupBy("hour")
-        .agg(countDistinct("user_id").as("reach_24h"))
-      val hourly = wh.groupBy(col("h").as("hour"))
         .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
       val w = Window.orderBy("hour").rangeBetween(-23, 0)
       val est = hourly
@@ -1911,10 +1915,7 @@ object RelationalQueries {
             .as("est_within_5pct"))
         .orderBy("hour")
     },
-      Some("""WITH e AS (SELECT user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
-        |hrs AS (SELECT DISTINCT h AS hour FROM e),
-        |sp AS (SELECT user_id, unnest(range(h, h + 24)) AS hour FROM e)
+      Some(s"""$RollingReachCtes
         |SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_24h,
         |  1 AS est_within_5pct
         |FROM sp JOIN hrs USING (hour)

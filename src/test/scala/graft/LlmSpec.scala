@@ -1430,7 +1430,8 @@ class LlmSpec extends SparkSpec {
     // invariant: contamination ∈ [0,1] and n_in_train <= n_shingles
     val docs = Tables.load(spark, sfDir, "documents")
     val rows = graft.llm.Sampling.contaminationFraction(docs, "text", "doc_id",
-      Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test")
+      Seq("train" -> 80, "val" -> 90, "test" -> 100), holdout = "test",
+      trainSplit = "train")
       .collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
