@@ -1423,6 +1423,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks property: chunks exactly partition every doc's token stream") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random word streams (incl. repeats, 1-char words, empty docs)
+    val wordGen = Gen.frequency(
+      5 -> Gen.choose('a', 'f').map(_.toString),
+      3 -> Gen.listOfN(3, Gen.choose('a', 'z')).map(_.mkString),
+      1 -> Gen.const("x"))
+    val docGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = (1 to 60).flatMap { i =>
+      docGen(Gen.Parameters.default.withSize(12), Seed(i.toLong))
+        .map(ws => (i.toLong, ws.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+    docs.foreach { case (id, text) =>
+      val nToks = text.split(" ").count(_.nonEmpty)
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_.getInt(1))
+      // partition: word counts sum to the doc's token count
+      assert(cs.map(_.getLong(3)).sum == nToks.toLong,
+        s"doc $id: chunk words ${cs.map(_.getLong(3)).sum} != $nToks")
+      // contiguity: chunk i starts where chunk i-1 ended, from 0
+      val starts = cs.map(_.getLong(2))
+      val lens = cs.map(_.getLong(3))
+      val expectedStarts = lens.scanLeft(0L)(_ + _).init
+      assert(starts.toSeq == expectedStarts.toSeq,
+        s"doc $id: starts ${starts.toSeq} != ${expectedStarts.toSeq}")
+      // chunk indexes are dense from 0
+      assert(cs.map(_.getInt(1)).toSeq == cs.indices.map(identity))
+    }
+  }
+
   test("contaminationFraction: holdout shingles found in train are counted per doc") {
     import spark.implicits._
     // force the split via bounds on a tiny modulus-free fixture is
