@@ -669,6 +669,32 @@ object Similarity {
         // null-free vectors) — max is the deterministic pick
         max(col("n")).as("n_vectors"))
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-`k` most-similar corpus vectors carrying a DIFFERENT label —
+    * the negatives a contrastive batch builder pairs with each anchor
+    * (random negatives stop teaching once classes separate; the
+    * near-boundary ones are the training signal). Brute-force exact
+    * here (the anchor set is the broadcast side); at 100 TB the
+    * candidate generation swaps to the ann_ivf/ann_lsh probe path
+    * unchanged — the label filter and per-anchor top-k window are
+    * identical downstream of either generator.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+        col("embedding").as("qv"), col("label").as("q_label"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+        col("embedding").as("cv"), col("label").as("n_label"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(q).join(c, col("q_label") =!= col("n_label"))
+      .select(col("q_vec_id"), col("q_label"), col("n_vec_id"),
+        col("n_label"), cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "q_label", "rank", "n_vec_id", "n_label", "cos")
+  }
+
   /** Int8 scalar quantization of an embedding column — the cheap end
     * of the compression ladder beside PQ (ivfpqTopK): per-dimension
     * affine code = ⌊(x − min_d)/(max_d − min_d)·256⌋ clamped to 255,

@@ -1258,6 +1258,34 @@ object TextAnalysis {
         (col("n_seen").cast("double") / col("n_shingles")).as("redundancy"))
   }
 
+  /** T5/UL2-style span-corruption prep (Raffel et al. JMLR'20 §3.1.4):
+    * mask contiguous token spans and emit the (input, target) pair a
+    * denoising objective trains on — input keeps unmasked tokens with
+    * one `<extra_id_K>` sentinel per span; target lists each sentinel
+    * followed by the tokens it hides. Deterministic stand-in for the
+    * paper's random corruption: span STARTS fire where
+    * poly(doc_id:pos) ≡ 0 (mod `startMod`, ≈1/startMod of positions)
+    * and each span runs 1..`lenSpread` tokens by a second hash —
+    * a pure function of (doc, position), so the pair is reproducible
+    * across runs/engines and the oracle replays it exactly.
+    *
+    * Shape: ONE native codegen'd pass per row
+    * ([[graft.functions.SpanCorrupt]] — the WinnowKeys discipline), no
+    * explode, no shuffle, scan speed at any corpus size. The
+    * equivalent index-aware-HOF Column form was A/B-measured at
+    * 15.4 s vs 0.4 s at sf0.1 (nested interpreted lambdas plus an
+    * O(n²) sentinel prefix count) and rejected.
+    */
+  def spanCorruption(df: DataFrame, textCol: String, idCol: String,
+      startMod: Int = 7, lenSpread: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.SpanCorrupt(col(idCol), col(textCol),
+          startMod, lenSpread).as("sc"))
+      .select(col("doc_id"), col("sc.n_tokens").as("n_tokens"),
+        col("sc.n_masked").as("n_masked"), col("sc.n_spans").as("n_spans"),
+        col("sc.input_text").as("input_text"),
+        col("sc.target_text").as("target_text"))
+
   /** Heuristic named-entity density: capitalized tokens not at a
     * sentence start (doc-initial, or preceded by a .!?-terminated
     * token) per token — the cheap "proper-noun load" quality signal

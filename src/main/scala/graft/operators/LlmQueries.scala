@@ -2477,6 +2477,79 @@ object LlmQueries {
         |FROM ho LEFT JOIN tr ON ho.g = tr.g
         |GROUP BY ho.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- T5/UL2 span-corruption prep (Raffel et al. JMLR'20):
+    // deterministic span masks (poly(doc:pos) start/length draws),
+    // <extra_id_K> sentinels, (input, target) denoising pair — all
+    // row-local array expressions, oracle replays every index --------
+    QDef("span_corruption", (s, dir) =>
+      TextAnalysis.spanCorruption(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |t AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
+        |a AS (SELECT doc_id, ws, n,
+        |  [CASE WHEN ${duckPoly("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 7 = 0
+        |    THEN 1 ELSE 0 END for i in range(1, n + 1)] AS starts,
+        |  [CAST(1 + ${duckPoly("'L' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 3 AS INT)
+        |   for i in range(1, n + 1)] AS lens
+        |  FROM t),
+        |m AS (SELECT doc_id, ws, n, starts, lens,
+        |  [CASE WHEN len(list_filter(range(greatest(i - 2, 1), i + 1),
+        |      j -> starts[j] = 1 AND i - 1 < (j - 1) + lens[j])) > 0
+        |    THEN 1 ELSE 0 END for i in range(1, n + 1)] AS masked FROM a),
+        |r AS (SELECT doc_id, ws, n, masked,
+        |  [CASE WHEN masked[i] = 1 AND (i = 1 OR masked[i - 1] = 0)
+        |    THEN 1 ELSE 0 END for i in range(1, n + 1)] AS rst FROM m),
+        |s2 AS (SELECT doc_id, ws, n, masked, rst,
+        |  [CAST(len(list_filter(range(1, i + 1), q -> rst[q] = 1)) - 1 AS INT)
+        |   for i in range(1, n + 1)] AS sent FROM r),
+        |f AS (SELECT doc_id,
+        |  CAST(list_sum(masked) AS INT) AS n_masked,
+        |  CAST(list_sum(rst) AS INT) AS n_spans,
+        |  array_to_string(list_filter(
+        |    [CASE WHEN masked[i] = 0 THEN ws[i]
+        |          WHEN rst[i] = 1 THEN '<extra_id_' || CAST(sent[i] AS VARCHAR) || '>'
+        |          ELSE NULL END for i in range(1, n + 1)],
+        |    x -> x IS NOT NULL), ' ') AS input_text,
+        |  array_to_string(list_filter(
+        |    [CASE WHEN masked[i] = 0 THEN NULL
+        |          WHEN rst[i] = 1 THEN '<extra_id_' || CAST(sent[i] AS VARCHAR) || '> ' || ws[i]
+        |          ELSE ws[i] END for i in range(1, n + 1)],
+        |    x -> x IS NOT NULL), ' ') AS target_text
+        |  FROM s2)
+        |SELECT d.doc_id, CAST(len($DuckToks) AS INT) AS n_tokens,
+        |  coalesce(f.n_masked, 0) AS n_masked,
+        |  coalesce(f.n_spans, 0) AS n_spans,
+        |  coalesce(f.input_text, '') AS input_text,
+        |  coalesce(f.target_text, '') AS target_text
+        |FROM documents d LEFT JOIN f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- hard-negative mining for contrastive training: per anchor,
+    // top-3 most-similar DIFFERENT-label vectors (the near-boundary
+    // negatives that actually carry training signal); exact
+    // brute-force with the ann family's fold-replay oracle ------------
+    QDef("hard_negatives", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.hardNegatives(qs, emb, k = 3)
+        .orderBy("q_vec_id", "rank")
+    },
+      Some("""WITH n AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+        |  c.vec_id AS n_vec_id, c.label AS n_label,
+        |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.label <> c.label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_vec_id
+        |    ORDER BY cos DESC, n_vec_id) AS INT) AS rank FROM p)
+        |SELECT q_vec_id, q_label, rank, n_vec_id, n_label, cos
+        |FROM r WHERE rank <= 3
+        |ORDER BY q_vec_id, rank""".stripMargin)),
+
     // ---- ViT-style patchify: 2×2 pixel tiles with integer channel
     // sums over the real PPM parse; the oracle replays every pixel
     // from the synthetic formula WITHOUT parsing (the multimodal

@@ -1457,6 +1457,50 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("spanCorruption: splicing targets back into the input reconstructs every document") {
+    // the denoising-pair CONTRACT: input keeps unmasked tokens with one
+    // sentinel per span; target holds exactly the hidden tokens behind
+    // matching sentinels — so splicing target spans into the input at
+    // their sentinels must reproduce the original token stream exactly.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val text = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.spanCorruption(docs, "text", "doc_id").collect()
+    assert(rows.nonEmpty)
+    var maskedTotal = 0L
+    rows.foreach { r =>
+      val (id, nTok, nMask, nSpans) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val inToks = r.getString(4).split(" ").filter(_.nonEmpty)
+      val tgToks = r.getString(5).split(" ").filter(_.nonEmpty)
+      def isSent(t: String) = t.startsWith("<extra_id_")
+      // sentinels dense 0..n_spans-1 and identical across both sides
+      val want = (0 until nSpans).map(k => s"<extra_id_$k>")
+      assert(inToks.filter(isSent).toSeq == want, s"doc $id input sentinels")
+      assert(tgToks.filter(isSent).toSeq == want, s"doc $id target sentinels")
+      // target spans keyed by sentinel
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      tgToks.foreach { t =>
+        if (isSent(t)) cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+        else spans(cur) = spans.getOrElse(cur, Vector.empty) :+ t
+      }
+      assert(spans.values.map(_.size).sum == nMask, s"doc $id masked count")
+      // splice and compare
+      val rebuilt = inToks.flatMap { t =>
+        if (isSent(t))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Vector(t)
+      }
+      val orig = text(id).split(" ").filter(_.nonEmpty)
+      assert(rebuilt.toSeq == orig.toSeq, s"doc $id reconstruction")
+      assert(orig.length == nTok)
+      maskedTotal += nMask
+    }
+    // the corruption actually fires (≈1/7 of positions start a span)
+    assert(maskedTotal > 0)
+  }
+
   test("contaminationFraction: holdout shingles found in train are counted per doc") {
     import spark.implicits._
     // force the split via bounds on a tiny modulus-free fixture is

@@ -66,6 +66,10 @@ class PlanAuditSpec extends SparkSpec {
       "1-row doc count (lift denominator)"),
     "domain_gini" -> ("Gini numerator on the per-domain aggregate " +
       "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"),
+    "hard_negatives" -> ("brute-force anchors × corpus under a label-" +
+      "inequality condition — the anchor set is the broadcast side " +
+      "(ann_topk_exact's shape); at scale the generator swaps to the " +
+      "ivf/lsh probe path, label filter and top-k window unchanged"),
     "dsir_weights" -> ("two broadcast 1-row crossJoins: the raw-corpus " +
       "(total, vocab) aggregate and the target-corpus token total — the " +
       "unigram_logprob LM-denominator pattern, twice"),
