@@ -1573,6 +1573,86 @@ object RelationalQueries {
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- interval×interval overlap join — the general two-sided
+    // interval join (Trino/kdb "overlaps", maintenance-window
+    // attribution) that a bare pair of inequality predicates plans as
+    // a nested loop. Sides are data-derived: 30-min-gap user SESSIONS
+    // (the sessionize fold emitted as intervals) × per-type BUSY
+    // PERIODS (hours with above-corpus-mean traffic, adjacent hours
+    // merged via the island trick). Engine shape: both sides explode
+    // over their covered hours — bounded fan-out (interval length in
+    // hours) — and pair on the hour EQUI-key, dedup, then one exact
+    // closed-interval overlap formula; the shuffle is keyed, never a
+    // nested loop. The oracle intentionally uses the direct
+    // inequality join (DuckDB's IEJoin) — algorithm-independent
+    // cross-check. Busy threshold is self-scaling (cnt·n_hours >
+    // total, integer-exact — no SF-sensitive constant).
+    QDef("interval_overlap_join", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val wU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val sess = ev
+        .withColumn("new_sess", when(lag(col("ts_us"), 1).over(wU).isNull
+          || col("ts_us") - lag(col("ts_us"), 1).over(wU) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("sid", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("s_start"), max("ts_us").as("s_end"))
+      val hourly = ev
+        .groupBy(col("event_type"), expr("ts_us div 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hourly.agg(sum("cnt").as("total"), count(lit(1)).as("n_hours"))
+      val wT = Window.partitionBy("event_type").orderBy("h")
+      val busy = hourly.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("n_hours") > col("total"))
+        .withColumn("island", col("h") - row_number().over(wT))
+        .groupBy("event_type", "island")
+        .agg(min("h").as("bh0"), max("h").as("bh1"))
+      val sessH = sess.select(col("user_id"), col("s_start"), col("s_end"),
+        explode(sequence(expr("s_start div 3600000000"),
+          expr("s_end div 3600000000"))).as("h"))
+      val busyH = busy.select(col("event_type"),
+        (col("bh0") * 3600000000L).as("b_start"),
+        ((col("bh1") + 1L) * 3600000000L - 1L).as("b_end"),
+        explode(sequence(col("bh0"), col("bh1"))).as("h"))
+      sessH.join(busyH, "h")
+        .select("user_id", "s_start", "s_end", "event_type", "b_start", "b_end")
+        .distinct()
+        .withColumn("overlap_us",
+          least(col("s_end"), col("b_end")) - greatest(col("s_start"), col("b_start")))
+        .orderBy("user_id", "s_start", "event_type", "b_start")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sfold AS (SELECT user_id, ts_us, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, min(ts_us) AS s_start, max(ts_us) AS s_end
+        |  FROM sfold GROUP BY user_id, sid),
+        |hr AS (SELECT event_type, ts_us // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_hours FROM hr),
+        |bh AS (SELECT event_type, h FROM hr, tot WHERE cnt * n_hours > total),
+        |isl AS (SELECT event_type, h, h - row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS island FROM bh),
+        |busy AS (SELECT event_type, min(h) AS bh0, max(h) AS bh1
+        |  FROM isl GROUP BY event_type, island)
+        |SELECT s.user_id, s.s_start, s.s_end, b.event_type,
+        |  bh0 * 3600000000 AS b_start,
+        |  (bh1 + 1) * 3600000000 - 1 AS b_end,
+        |  least(s.s_end, (bh1 + 1) * 3600000000 - 1)
+        |    - greatest(s.s_start, bh0 * 3600000000) AS overlap_us
+        |FROM sess s JOIN busy b
+        |  ON s.s_start <= (bh1 + 1) * 3600000000 - 1
+        | AND bh0 * 3600000000 <= s.s_end
+        |ORDER BY user_id, s_start, event_type, b_start""".stripMargin)),
+
     // ---- truncated EWMA smoothing: 8-lag exponential weights
     // (α = 0.5 — every weight an exact power of two) per event type,
     // normalized over the lags that EXIST so early rows smooth over

@@ -66,6 +66,9 @@ class PlanAuditSpec extends SparkSpec {
       "1-row doc count (lift denominator)"),
     "domain_gini" -> ("Gini numerator on the per-domain aggregate " +
       "(<=|domains| rows — metadata-scale global windows, the waterfill discipline)"),
+    "interval_overlap_join" -> ("crossJoin of the broadcast 1-row corpus " +
+      "hour-traffic totals (the busy-threshold denominator); the interval " +
+      "pairing itself is the hour-band EQUI-join, never a nested loop"),
     "hard_negatives" -> ("brute-force anchors × corpus under a label-" +
       "inequality condition — the anchor set is the broadcast side " +
       "(ann_topk_exact's shape); at scale the generator swaps to the " +
