@@ -26,23 +26,39 @@ object Similarity {
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Shared brute-force scorer behind [[bruteForceTopK]] and
+    * [[hardNegatives]]: broadcast query side × corpus under `pairCond`,
+    * exact cosine, per-query top-`k` (ties by neighbor id). One body so
+    * a tie-break/norm fix — or the documented swap to the ivf/lsh
+    * candidate generator — can never update one caller and miss the
+    * other (the rollingReachExact discipline).
+    */
+  private def bruteForcePairs(queries: DataFrame, corpus: DataFrame, k: Int,
+      qExtra: Seq[(String, String)], cExtra: Seq[(String, String)],
+      pairCond: Column): DataFrame = {
+    val q = queries.select((("vec_id" -> "q_vec_id") +: ("embedding" -> "qv") +:
+        qExtra).map { case (a, b) => col(a).as(b) }: _*)
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select((("vec_id" -> "n_vec_id") +: ("embedding" -> "cv") +:
+        cExtra).map { case (a, b) => col(a).as(b) }: _*)
+      .withColumn("cn", l2Norm(col("cv")))
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
+    broadcast(q).join(c, pairCond)
+      .select(col("q_vec_id") +: (qExtra.map(e => col(e._2)) ++
+        Seq(col("n_vec_id")) ++ cExtra.map(e => col(e._2)) :+
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cos")): _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every query against the whole corpus.
     * Correctness baseline / oracle; O(|Q|·|C|) — only sane when the
     * query side is small (broadcast it) or at test scale.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("qv"))
-      .withColumn("qn", l2Norm(col("qv")))
-    val c = corpus.select(col("vec_id").as("n_vec_id"), col("embedding").as("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
-    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
-    broadcast(q).join(c, col("q_vec_id") =!= col("n_vec_id"))
-      .select(col("q_vec_id"), col("n_vec_id"),
-        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForcePairs(queries, corpus, k, Nil, Nil,
+      col("q_vec_id") =!= col("n_vec_id"))
       .select("q_vec_id", "rank", "n_vec_id", "cos")
-  }
 
   /** IVF-style ANN, the 100 TB path: partition the corpus into cells
     * (here: deterministic centroids = exact per-label means, standing
@@ -679,21 +695,11 @@ object Similarity {
     * unchanged — the label filter and per-anchor top-k window are
     * identical downstream of either generator.
     */
-  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_vec_id"),
-        col("embedding").as("qv"), col("label").as("q_label"))
-      .withColumn("qn", l2Norm(col("qv")))
-    val c = corpus.select(col("vec_id").as("n_vec_id"),
-        col("embedding").as("cv"), col("label").as("n_label"))
-      .withColumn("cn", l2Norm(col("cv")))
-    val w = Window.partitionBy("q_vec_id").orderBy(col("cos").desc, col("n_vec_id"))
-    broadcast(q).join(c, col("q_label") =!= col("n_label"))
-      .select(col("q_vec_id"), col("q_label"), col("n_vec_id"),
-        col("n_label"), cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForcePairs(queries, corpus, k,
+      qExtra = Seq("label" -> "q_label"), cExtra = Seq("label" -> "n_label"),
+      pairCond = col("q_label") =!= col("n_label"))
       .select("q_vec_id", "q_label", "rank", "n_vec_id", "n_label", "cos")
-  }
 
   /** Int8 scalar quantization of an embedding column — the cheap end
     * of the compression ladder beside PQ (ivfpqTopK): per-dimension
