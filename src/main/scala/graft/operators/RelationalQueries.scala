@@ -1573,6 +1573,55 @@ object RelationalQueries {
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- linear multi-touch attribution: every view within 30 min
+    // before a purchase shares the credit equally (1/n_touches), with
+    // the last touch flagged — the marketing-attribution shape
+    // (first/last/linear all fall out of the same touch relation).
+    // Join is user-keyed equi + time band (the stream_stream_join
+    // relation in batch form — per-user state bounded by the band at
+    // any scale); both windows ride ONE purchase-keyed shuffle; the
+    // credit is one IEEE division; last-touch ties break on view_id.
+    QDef("attribution_linear", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("v_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_us"))
+      val w = Window.partitionBy("purchase_id")
+      val wOrd = Window.partitionBy("purchase_id")
+        .orderBy(col("v_us").desc, col("view_id").desc)
+      purchases.join(views, Seq("user_id"))
+        .filter(col("v_us") <= col("p_us")
+          && col("v_us") >= col("p_us") - 1800000000L)
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .withColumn("credit", lit(1.0) / col("n_touches"))
+        .withColumn("last_touch",
+          (row_number().over(wOrd) === 1).cast("int"))
+        .select("user_id", "purchase_id", "view_id", "n_touches",
+          "credit", "last_touch")
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""WITH v AS (SELECT user_id, event_id AS view_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT p.user_id, purchase_id, view_id, v_us, p_us
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v_us <= p_us AND v_us >= p_us - 1800000000),
+        |c AS (SELECT user_id, purchase_id, view_id,
+        |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |      AS n_touches,
+        |    CAST(row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY v_us DESC, view_id DESC) = 1 AS INT) AS last_touch
+        |  FROM t)
+        |SELECT user_id, purchase_id, view_id, n_touches,
+        |  CAST(1.0 AS DOUBLE) / n_touches AS credit, last_touch
+        |FROM c ORDER BY purchase_id, view_id""".stripMargin)),
+
     // ---- interval×interval overlap join — the general two-sided
     // interval join (Trino/kdb "overlaps", maintenance-window
     // attribution) that a bare pair of inequality predicates plans as
