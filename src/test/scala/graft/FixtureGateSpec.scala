@@ -133,4 +133,41 @@ class FixtureGateSpec extends SparkSpec {
     assert(q("multimodal_resize")(spark, dir).collect()
       .forall(_.getAs[Int]("ascii_ok") == 1))
   }
+
+  test("interval_overlap_join: hand fixture — islands, point sessions, exclusive hour boundary") {
+    // Hourly traffic: A@h0=10, A@h1=10, B@h1=1, B@h2=2 → total 23 over
+    // 4 active (type, hour) cells; busy = cnt·4 > 23 → only A@h0 and
+    // A@h1, which MERGE into one island [h0, h1] = [0, 7199999999] µs.
+    // Sessions: 20 single-event sessions inside the island (overlap 0 —
+    // closed-point semantics), one session crossing the island's end
+    // boundary (overlap clipped at b_end = 2h−1µs), and one session
+    // starting EXACTLY at 2h (hour 2 — must NOT pair: the boundary is
+    // exclusive because busy intervals close at end−1).
+    def sec(s: Long): Long = s * 1000000000L
+    var id = 0L
+    def ev(user: Long, tSec: Long, tpe: String): Row = {
+      id += 1
+      Row(id, sec(tSec), user, tpe, 1.0, "{}")
+    }
+    val rows =
+      (1 to 10).map(i => ev(i.toLong, i.toLong, "A")) ++ // h0 singletons
+      (11 to 20).map(i => ev(i.toLong, 3600L + i, "A")) ++ // h1 singletons
+      Seq(ev(300L, 6900L, "B"), ev(300L, 8100L, "B"), // one session h1→h2
+        ev(200L, 7200L, "B")) // point session at exactly 2h
+    val dir = writeEvents(rows)
+    val got = q("interval_overlap_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val bEnd = 7200000000L - 1
+    val expected =
+      ((1 to 10).map { i =>
+        (i.toLong, i * 1000000L, i * 1000000L, "A", 0L, bEnd, 0L) } ++
+       (11 to 20).map { i =>
+        (i.toLong, (3600L + i) * 1000000L, (3600L + i) * 1000000L,
+          "A", 0L, bEnd, 0L) } :+
+       (300L, 6900000000L, 8100000000L, "A", 0L, bEnd, bEnd - 6900000000L)
+      ).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
 }
