@@ -1573,6 +1573,48 @@ object RelationalQueries {
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin)),
 
+    // ---- top user-journey paths: the ordered event-type string per
+    // 30-min session ("view>view>purchase"), counted corpus-wide, top
+    // 20 — the funnel-EXPLORATION query (funnel_conversion checks one
+    // known path; this surfaces which paths exist). Path assembly uses
+    // the order-exact re-stitch discipline (sort structs BEFORE
+    // transform — collect_list alone is merge-order-nondeterministic);
+    // the top-20 is a TakeOrdered heap with a total (count DESC, path)
+    // order, never a global window.
+    QDef("session_paths", (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val wU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val sess = ev
+        .withColumn("new_sess", when(lag(col("ts_us"), 1).over(wU).isNull
+          || col("ts_us") - lag(col("ts_us"), 1).over(wU) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("sid", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "sid")
+        .agg(concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
+            " x -> x.event_type)")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sfold AS (SELECT user_id, ts_us, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sfold GROUP BY user_id, sid),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY path)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
     // ---- linear multi-touch attribution: every view within 30 min
     // before a purchase shares the credit equally (1/n_touches), with
     // the last touch flagged — the marketing-attribution shape
