@@ -1576,11 +1576,17 @@ object RelationalQueries {
     // ---- top user-journey paths: the ordered event-type string per
     // 30-min session ("view>view>purchase"), counted corpus-wide, top
     // 20 — the funnel-EXPLORATION query (funnel_conversion checks one
-    // known path; this surfaces which paths exist). Path assembly uses
-    // the order-exact re-stitch discipline (sort structs BEFORE
+    // known path; this surfaces which paths exist). Sessions are NOT
+    // bounded by the 30-min gap (a bot firing every <30 min keeps one
+    // session alive forever), so the path is CAPPED at the first
+    // PATH_CAP=20 events with a '...' truncation marker — the filter
+    // runs BEFORE the group fold, so no unbounded per-session array is
+    // ever materialized (the LSH bucket-cap precedent). Path assembly
+    // uses the order-exact re-stitch discipline (sort structs BEFORE
     // transform — collect_list alone is merge-order-nondeterministic);
-    // the top-20 is a TakeOrdered heap with a total (count DESC, path)
-    // order, never a global window.
+    // the per-session rank window shares the user-hash clustering (no
+    // extra shuffle); the top-20 is a TakeOrdered heap with a total
+    // (count DESC, path) order, never a global window.
     QDef("session_paths", (s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val wU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -1591,10 +1597,17 @@ object RelationalQueries {
         .withColumn("sid", sum("new_sess").over(
           Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sess.groupBy("user_id", "sid")
+      val cap = 20
+      val wS = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts_us"), col("event_id"))
+      sess.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= cap + 1)
+        .withColumn("tok", when(col("rk") === cap + 1, lit("..."))
+          .otherwise(col("event_type")))
+        .groupBy("user_id", "sid")
         .agg(concat_ws(">", expr(
-          "transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
-            " x -> x.event_type)")).as("path"))
+          "transform(array_sort(collect_list(struct(rk, tok))), x -> x.tok)"))
+          .as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path")).limit(20)
     },
@@ -1607,9 +1620,13 @@ object RelationalQueries {
         |sfold AS (SELECT user_id, ts_us, event_id, event_type,
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid FROM g),
-        |p AS (SELECT user_id, sid,
-        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
-        |  FROM sfold GROUP BY user_id, sid),
+        |r AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts_us, event_id) AS rk FROM sfold),
+        |p AS (SELECT user_id, sid, string_agg(
+        |    CASE WHEN rk = 21 THEN '...' ELSE event_type END, '>'
+        |    ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 21 GROUP BY user_id, sid),
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |  FROM p GROUP BY path)
         |SELECT path, n_sessions FROM c
@@ -1619,22 +1636,33 @@ object RelationalQueries {
     // before a purchase shares the credit equally (1/n_touches), with
     // the last touch flagged — the marketing-attribution shape
     // (first/last/linear all fall out of the same touch relation).
-    // Join is user-keyed equi + time band (the stream_stream_join
-    // relation in batch form — per-user state bounded by the band at
-    // any scale); both windows ride ONE purchase-keyed shuffle; the
-    // credit is one IEEE division; last-touch ties break on view_id.
+    // Join discipline (the interval_overlap_join hour-band idiom): the
+    // band length EQUALS the bucket width (30 min), so every purchase
+    // window covers EXACTLY the 2 buckets {p div B - 1, p div B} and
+    // every view sits in exactly 1 bucket — pairing on
+    // (user_id, bucket) emits each candidate at most once (no dedup)
+    // and bounds the pre-filter fan-out per key by one bucket's
+    // traffic, not the user's whole history (a bare user-keyed equi
+    // join is skew-quadratic: |V_u|·|P_u| candidates for a bot user
+    // BEFORE the band predicate rejects them). Both windows ride ONE
+    // purchase-keyed shuffle; the credit is one IEEE division;
+    // last-touch ties break on view_id. The oracle keeps the direct
+    // user-equi + band formulation — algorithm-independent.
     QDef("attribution_linear", (s, dir) => {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts_us").as("v_us"))
+        .withColumn("bkt", expr("v_us div 1800000000"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts_us").as("p_us"))
+        .withColumn("bkt", explode(array(
+          expr("p_us div 1800000000 - 1"), expr("p_us div 1800000000"))))
       val w = Window.partitionBy("purchase_id")
       val wOrd = Window.partitionBy("purchase_id")
         .orderBy(col("v_us").desc, col("view_id").desc)
-      purchases.join(views, Seq("user_id"))
+      purchases.join(views, Seq("user_id", "bkt"))
         .filter(col("v_us") <= col("p_us")
           && col("v_us") >= col("p_us") - 1800000000L)
         .withColumn("n_touches", count(lit(1)).over(w))

@@ -170,4 +170,59 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("session_paths: bot session (>20 events, all gaps <30 min) truncates at 20 with '...'") {
+    // VERDICT r8 item 2: sessions are NOT bounded by the 30-min gap, so
+    // the path must cap at the first 20 events + '...' marker. User 7
+    // fires 25 events 60 s apart (one session, alive throughout); user
+    // 8 has two views >30 min apart (two 1-event sessions) to pin that
+    // short sessions are untouched and counting still works.
+    def sec(s: Long): Long = s * 1000000000L
+    var id = 0L
+    def ev(user: Long, tSec: Long, tpe: String): Row = {
+      id += 1; Row(id, sec(tSec), user, tpe, 1.0, "{}")
+    }
+    val botTypes = (1 to 25).map(i => if (i == 3) "click" else "view")
+    val rows = botTypes.zipWithIndex.map { case (tp, i) =>
+      ev(7L, 60L * (i + 1), tp) } ++
+      Seq(ev(8L, 100L, "view"), ev(8L, 100L + 3600L, "view"))
+    val dir = writeEvents(rows)
+    val got = q("session_paths")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val botPath = botTypes.take(20).mkString(">") + ">..."
+    assert(got == Seq(("view", 2L), (botPath, 1L)))
+    assert(botPath.count(_ == '>') == 20) // 20 events + 1 marker
+  }
+
+  test("attribution_linear: band boundaries exact across the bucketed join") {
+    // The r9 de-skew pairs on (user_id, 30-min bucket) with the
+    // purchase exploded over its 2 covering buckets; this fixture pins
+    // that the OUTPUT band semantics are unchanged: closed at both
+    // ends [p-30min, p], views after the purchase or >30 min before
+    // are out, and the cross-bucket view (exactly at p-30min, previous
+    // bucket) still pairs. Purchase at 3600 s; views at 1799 (out),
+    // 1800 (boundary in, bucket 1), 2000 (in, bucket 1), 3600 (in,
+    // same instant, bucket 2 = last touch), 3601 (out).
+    def sec(s: Long): Long = s * 1000000000L
+    var id = 0L
+    def ev(user: Long, tSec: Long, tpe: String): Row = {
+      id += 1; Row(id, sec(tSec), user, tpe, 1.0, "{}")
+    }
+    val v1799 = ev(1L, 1799L, "view"); val v1800 = ev(1L, 1800L, "view")
+    val v2000 = ev(1L, 2000L, "view"); val v3600 = ev(1L, 3600L, "view")
+    val v3601 = ev(1L, 3601L, "view"); val p = ev(1L, 3600L, "purchase")
+    // user 2: a view with no purchase, and a purchase with no views in
+    // band — both must emit nothing (inner join).
+    val lonelyV = ev(2L, 100L, "view"); val lonelyP = ev(2L, 10000L, "purchase")
+    val dir = writeEvents(Seq(v1799, v1800, v2000, v3600, v3601, p,
+      lonelyV, lonelyP))
+    val got = q("attribution_linear")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    val pid = p.getLong(0)
+    val expected = Seq(v1800, v2000, v3600).map(_.getLong(0)).sorted.map {
+      vid => (1L, pid, vid, 3L, 1.0 / 3, if (vid == v3600.getLong(0)) 1 else 0)
+    }
+    assert(got == expected, s"got=${got.toList} expected=$expected")
+  }
 }
