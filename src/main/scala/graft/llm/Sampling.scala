@@ -324,11 +324,16 @@ object Sampling {
     * resample by these weights downstream (weightedSampleWithout
     * Replacement takes a weight column).
     *
-    * Determinism: the per-term log-ratio collapses to ONE ln of an
-    * integer-ratio — ln(((c_t+1)·(T_raw+V)) / ((c_r+1)·(T_tgt+V))) —
-    * quantized to micro units BEFORE the per-doc sum (the
-    * unigramLogProb rule: integer-exact, order-independent,
-    * libm-drift-proof). Counts stay BIGINT throughout.
+    * Determinism: the per-term log-ratio collapses to ONE ln of a
+    * ratio of products — ln(((c_t+1)·(T_raw+V)) / ((c_r+1)·(T_tgt+V)))
+    * — quantized to micro units BEFORE the per-doc sum (the
+    * unigramLogProb rule: order-independent, libm-drift-proof).
+    * Counts stay BIGINT up to each FACTOR, but every factor is cast
+    * to double BEFORE the multiply (ADVICE r8): a BIGINT product
+    * (c+1)·(T+V) overflows Long for corpora beyond ~3e9 tokens —
+    * Spark wraps silently where DuckDB errors, so the 100 TB path
+    * would silently diverge. Each factor is exact as a double up to
+    * 2^53 and the IEEE product rounds identically in both engines.
     *
     * Scale shape: one corpus scan builds (doc, term, tf); term counts
     * are two partial+final aggregations; corpus totals ride ONE
@@ -351,9 +356,10 @@ object Sampling {
       .crossJoin(broadcast(totals))
       .select(col("term"),
         floor(log(
-          ((coalesce(col("ct"), lit(0L)) + 1L) * (col("t_raw") + col("v")))
-            .cast("double")
-          / ((col("cr") + 1L) * (col("t_tgt") + col("v"))).cast("double"))
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+            * (col("t_raw") + col("v")).cast("double"))
+          / ((col("cr") + 1L).cast("double")
+            * (col("t_tgt") + col("v")).cast("double")))
           * lit(1000000.0)).cast("long").as("lw_micro"))
     val perDoc = tf.join(perTerm, "term")
       .groupBy("doc_id")

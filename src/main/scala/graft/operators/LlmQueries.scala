@@ -2594,9 +2594,9 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
         |  (SELECT CAST(sum(tf) AS BIGINT) FROM tf WHERE is_t) AS t_tgt),
         |pt AS (SELECT term, CAST(floor(ln(
-        |    CAST((coalesce(ct, 0) + 1) * (t_raw + v) AS DOUBLE)
-        |    / CAST((cr + 1) * (t_tgt + v) AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |    AS lw_micro
+        |    (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(t_raw + v AS DOUBLE))
+        |    / (CAST(cr + 1 AS DOUBLE) * CAST(t_tgt + v AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS lw_micro
         |  FROM raw LEFT JOIN tgt USING (term), tot),
         |pd AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
         |    CAST(sum(f.tf * pt.lw_micro) AS BIGINT) AS dsir_micro_sum
