@@ -1166,12 +1166,20 @@ object Dedup {
     * dumps, mirrors, re-hosted corpora) that decides WHERE to spend
     * dedup effort before any per-document pass runs.
     *
+    * EVERY pair of sources with a non-empty shingle set gets a row —
+    * pairs sharing zero shingles appear as (n_shared=0, jaccard=0.0)
+    * via an outer join against the src×src grid, so consumers can
+    * distinguish "no overlap" from "pair absent" (ADVICE r8). Sources
+    * whose every document is shorter than `shingleN` tokens have no
+    * shingle set at all and are excluded from the matrix entirely.
+    *
     * Scale shape: documents reduce to DISTINCT (source, shingle) rows
     * first — one shuffle, and the per-shingle posting list is bounded
     * by |sources| (not |docs|), so the shingle-key self-join fans out
     * at most |sources|²/2 per shingle and the output is ≤ |sources|²
     * rows — metadata-scale however big the corpus. Nothing pairwise
-    * at document granularity.
+    * at document granularity; the zero-fill grid is the broadcast
+    * ≤|sources|-row size frame crossed with itself.
     */
   def sourceOverlapMatrix(df: DataFrame, textCol: String, srcCol: String,
       shingleN: Int = 3): DataFrame = {
@@ -1184,10 +1192,13 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(sizes.select(col("src").as("src_a"), col("n_sh").as("na"))), "src_a")
-      .join(broadcast(sizes.select(col("src").as("src_b"), col("n_sh").as("nb"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_shared"),
+    val grid = sizes.select(col("src").as("src_a"), col("n_sh").as("na"))
+      .crossJoin(broadcast(
+        sizes.select(col("src").as("src_b"), col("n_sh").as("nb"))))
+      .filter(col("src_a") < col("src_b"))
+    val shared = grid.join(pairs, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+    shared.select(col("src_a"), col("src_b"), col("n_shared"),
         col("na"), col("nb"),
         (col("n_shared").cast("double")
           / (col("na") + col("nb") - col("n_shared"))).as("jaccard"))

@@ -304,14 +304,25 @@ object Sampling {
     // it says (ADVICE-class naming trap caught in round-8 self-review)
     val trainSet = sh.filter(col("split") === trainSplit)
       .select("g").distinct().withColumn("in_train", lit(1L))
-    sh.filter(col("split") === holdout)
+    val perDoc = sh.filter(col("split") === holdout)
       .join(trainSet, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("in_train"), lit(0L))).as("n_in_train"))
-      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
-        (col("n_in_train").cast("double") / col("n_shingles"))
-          .as("contamination"))
+    // An integrity report must cover EVERY holdout doc — one with
+    // fewer than shingleN tokens has an empty shingle set (explode
+    // drops it), so left-join the holdout doc-id list back and report
+    // it as (0, 0, 0.0) rather than silently omitting exactly the
+    // docs we cannot measure (ADVICE r8; the dsir_weights/doc_entropy
+    // all-documents convention).
+    sp.filter(col("split") === holdout)
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_in_train"), lit(0L)).as("n_in_train"),
+        coalesce(col("n_in_train").cast("double") / col("n_shingles"),
+          lit(0.0)).as("contamination"))
   }
 
   /** DSIR importance weights (Xie et al., "Data Selection for

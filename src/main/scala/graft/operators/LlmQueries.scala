@@ -229,6 +229,14 @@ object LlmQueries {
   private val MmrLam = 0.5
   private val MmrQueryMod = 50
 
+  /** The span_corruption gate's start-position modulus and span-length
+    * spread, shared between the engine call and the oracle (which also
+    * derives its look-back window as lenSpread − 1) so changing the
+    * parameters cannot silently desync them (ADVICE r8).
+    */
+  private val ScStartMod = 7
+  private val ScLenSpread = 3
+
   private def mmrSql(nCand: Int, k: Int, lam: Double,
       queryPred: String): String = {
     // lam enters as CAST(.. AS DOUBLE) literals (the bare-decimal
@@ -2439,11 +2447,15 @@ object LlmQueries {
         |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY src),
         |pr AS (SELECT a.src AS src_a, b.src AS src_b,
         |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
-        |SELECT src_a, src_b, n_shared, sa.n_sh AS na, sb.n_sh AS nb,
-        |  CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
-        |FROM pr JOIN sz sa ON sa.src = pr.src_a
-        |  JOIN sz sb ON sb.src = pr.src_b
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2),
+        |grid AS (SELECT sa.src AS src_a, sb.src AS src_b,
+        |    sa.n_sh AS na, sb.n_sh AS nb
+        |  FROM sz sa JOIN sz sb ON sa.src < sb.src)
+        |SELECT src_a, src_b,
+        |  coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared, na, nb,
+        |  CAST(coalesce(n_shared, 0) AS DOUBLE)
+        |    / (na + nb - coalesce(n_shared, 0)) AS jaccard
+        |FROM grid LEFT JOIN pr USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin)),
 
     // ---- per-holdout-doc contamination fraction (eval-integrity
@@ -2468,14 +2480,19 @@ object LlmQueries {
         |      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
         |      ELSE [] END)) AS g FROM tok),
         |tr AS (SELECT DISTINCT g FROM sh0 WHERE split = 'train'),
-        |ho AS (SELECT doc_id, g FROM sh0 WHERE split = 'test')
-        |SELECT ho.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |ho AS (SELECT doc_id, g FROM sh0 WHERE split = 'test'),
+        |agg AS (SELECT ho.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_in_train,
         |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
         |    / count(*) AS contamination
-        |FROM ho LEFT JOIN tr ON ho.g = tr.g
-        |GROUP BY ho.doc_id ORDER BY doc_id""".stripMargin)),
+        |FROM ho LEFT JOIN tr ON ho.g = tr.g GROUP BY ho.doc_id)
+        |SELECT sp.doc_id,
+        |  coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+        |  coalesce(n_in_train, CAST(0 AS BIGINT)) AS n_in_train,
+        |  coalesce(contamination, CAST(0 AS DOUBLE)) AS contamination
+        |FROM sp LEFT JOIN agg USING (doc_id) WHERE sp.split = 'test'
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- T5/UL2 span-corruption prep (Raffel et al. JMLR'20):
     // deterministic span masks (poly(doc:pos) start/length draws),
@@ -2483,18 +2500,19 @@ object LlmQueries {
     // row-local array expressions, oracle replays every index --------
     QDef("span_corruption", (s, dir) =>
       TextAnalysis.spanCorruption(Tables.load(s, dir, "documents"),
-          "text", "doc_id")
+          "text", "doc_id",
+          startMod = ScStartMod, lenSpread = ScLenSpread)
         .orderBy("doc_id"),
       Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
         |t AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
         |a AS (SELECT doc_id, ws, n,
-        |  [CASE WHEN ${duckPoly("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 7 = 0
+        |  [CASE WHEN ${duckPoly("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % $ScStartMod = 0
         |    THEN 1 ELSE 0 END for i in range(1, n + 1)] AS starts,
-        |  [CAST(1 + ${duckPoly("'L' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 3 AS INT)
+        |  [CAST(1 + ${duckPoly("'L' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % $ScLenSpread AS INT)
         |   for i in range(1, n + 1)] AS lens
         |  FROM t),
         |m AS (SELECT doc_id, ws, n, starts, lens,
-        |  [CASE WHEN len(list_filter(range(greatest(i - 2, 1), i + 1),
+        |  [CASE WHEN len(list_filter(range(greatest(i - ${ScLenSpread - 1}, 1), i + 1),
         |      j -> starts[j] = 1 AND i - 1 < (j - 1) + lens[j])) > 0
         |    THEN 1 ELSE 0 END for i in range(1, n + 1)] AS masked FROM a),
         |r AS (SELECT doc_id, ws, n, masked,

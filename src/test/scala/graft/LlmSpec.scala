@@ -1514,5 +1514,30 @@ class LlmSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // the report covers EVERY holdout document — including those with
+    // fewer than shingleN tokens, which surface as (0, 0, 0.0) rather
+    // than being dropped (ADVICE r8)
+    val nHoldout = graft.llm.Sampling.splitByHash(docs, "text",
+      Seq("train" -> 80, "val" -> 90, "test" -> 100), 100)
+      .filter(col("split") === "test").count()
+    assert(rows.length.toLong == nHoldout)
+  }
+
+  test("sourceOverlapMatrix: zero-overlap pairs get explicit n_shared=0 rows") {
+    import spark.implicits._
+    // a,b share the shingle "alpha beta gamma"; c shares nothing with
+    // either — all THREE pairs must appear, the c pairs as zero rows
+    val docs = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "alpha beta gamma epsilon"),
+      ("c", "zeta eta theta iota")).toDF("source", "text")
+    val m = Dedup.sourceOverlapMatrix(docs, "text", "source", shingleN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.size == 3)
+    assert(m(("a", "b")).getLong(2) == 1L)
+    for (p <- Seq(("a", "c"), ("b", "c"))) {
+      assert(m(p).getLong(2) == 0L)
+      assert(m(p).getDouble(5) == 0.0)
+    }
   }
 }

@@ -82,7 +82,11 @@ class PlanAuditSpec extends SparkSpec {
       "pinned in RelationalSpec"),
     "rolling_distinct_hll" -> ("24-sketch trailing union = global RANGE " +
       "window over the per-hour sketch aggregate (<=|hours| rows — " +
-      "metadata-scale, ~8760/year; the waterfill discipline)"))
+      "metadata-scale, ~8760/year; the waterfill discipline)"),
+    "source_overlap" -> ("zero-fill src×src grid = broadcast crossJoin of " +
+      "the per-source size aggregate with itself (<=|sources| rows each " +
+      "side — metadata-scale); the shingle pairing stays the EQUI-join " +
+      "on the shingle key"))
 
   test("no unlisted cartesian / BNLJ / unpartitioned window in any gate plan") {
     // Failure-isolated: a query that throws at analysis becomes its own
