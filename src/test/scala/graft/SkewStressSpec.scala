@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew stress fixtures for the user-keyed operators (VERDICT r8 #3).
+  *
+  * The gate corpus is uniform; the 100 TB failure mode nothing else
+  * exercises is a HOT KEY — one bot user emitting orders of magnitude
+  * more events than the median. Every test here drives the REAL gate
+  * function (the exact code path the driver runs) over a synthetic
+  * hot-key events table: one bot with 10^4 events at 60 s spacing —
+  * every gap < 30 min, so one never-ending session — plus 20 normal
+  * users with 20 events each. Asserted per operator:
+  *
+  *  - output correctness against a driver-side brute force computed
+  *    independently on the fixture (the fixture is small; the CLAIM
+  *    under test is that the skew-safe plan changes nothing), and
+  *  - bounded fan-out where the operator's scale story is a join
+  *    shape: the pre-filter candidate count of attribution_linear's
+  *    (user, 30-min bucket) pairing stays band-bounded while the
+  *    deliberately-quadratic user-only equi-join counterexample blows
+  *    up by >100x on the same data — demonstrating what the bucketed
+  *    discipline catches.
+  */
+class SkewStressSpec extends SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch NANOS — the engine's normalized domain
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val BotUser = 1000000L
+  private val BotN = 10000
+  private val BaseUs = 1700000000000000L
+  private val StepUs = 60000000L // 60 s — always under the 30-min gap
+  private val BandUs = 1800000000L // the operators' 30-min constant
+
+  // bot event i: purchase every 100th, view on even i, click otherwise
+  private def botType(i: Int): String =
+    if (i % 100 == 99) "purchase" else if (i % 2 == 0) "view" else "click"
+  private def normType(i: Int): String = Seq("view", "click", "purchase")(i % 3)
+
+  private case class Ev(id: Long, us: Long, u: Long, t: String)
+
+  private lazy val fixture: Seq[Ev] = {
+    val bot = (0 until BotN).map(i =>
+      Ev(i + 1L, BaseUs + i.toLong * StepUs, BotUser, botType(i)))
+    // normal users: 20 events at 10-min spacing (one session each),
+    // day-offset per user so nothing about the fixture depends on
+    // cross-user time alignment
+    val normals = for { u <- 1 to 20; i <- 0 until 20 } yield
+      Ev(100000L + u * 100L + i, BaseUs + u * 86400000000L + i * 600000000L,
+        u.toLong, normType(i))
+    bot ++ normals
+  }
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-skew").toString
+    val rows = fixture.map(e => Row(e.id, e.us * 1000L, e.u, e.t, 1.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), eventsSchema)
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def q(name: String) = SparkEntry.queries(name)
+
+  test("sessionize: the bot's sub-gap firehose stays ONE session") {
+    val got = q("sessionize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(BotUser) == ((1L, BotN.toLong)))
+    for (u <- 1 to 20) assert(got(u.toLong) == ((1L, 20L)))
+  }
+
+  test("session_paths: bot session truncates at 20 events with the '...' marker") {
+    val got = q("session_paths")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all 20 normal users share one exact 20-token path (no marker)
+    val normalPath = (0 until 20).map(normType).mkString(">")
+    assert(got(normalPath) == 20L)
+    // the bot's 10^4-event session surfaces as first-20 + marker — the
+    // cap is what keeps the path state bounded under a hot key
+    val botPath = (0 until 20).map(botType).mkString(">") + ">..."
+    assert(got(botPath) == 1L)
+    assert(got.keys.forall(p => p.split(">", -1).length <= 21))
+  }
+
+  test("attribution_linear: bucketed pairing matches the brute force exactly") {
+    val views = fixture.filter(_.t == "view")
+    val purchases = fixture.filter(_.t == "purchase")
+    val expected = purchases.flatMap { p =>
+      val touches = views.filter(v =>
+        v.u == p.u && v.us <= p.us && v.us >= p.us - BandUs)
+      if (touches.isEmpty) Nil
+      else {
+        val last = touches.maxBy(v => (v.us, v.id))
+        val n = touches.size.toLong
+        touches.map(v =>
+          (p.u, p.id, v.id, n, 1.0 / n, if (v == last) 1 else 0))
+      }
+    }.sortBy(r => (r._2, r._3))
+    val got = q("attribution_linear")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    assert(got.size == expected.size)
+    assert(got == expected)
+    // the hot key is actually exercised: every bot purchase has the
+    // full 15-view band (30 events back at 60 s spacing, even = view)
+    assert(expected.count(_._1 == BotUser) == 100 * 15)
+  }
+
+  test("attribution_linear: bucketed fan-out stays band-bounded; the user-only equi-join blows up >100x") {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+    // the gate's shape: views keyed by their single 30-min bucket,
+    // purchases exploded over the <=2 buckets their band covers —
+    // pre-filter candidates per purchase are bounded by two buckets'
+    // traffic, NOT the user's history
+    val bucketed = p.withColumn("bkt", explode(array(
+        expr("p_us div 1800000000 - 1"), expr("p_us div 1800000000"))))
+      .join(v.withColumn("bkt", expr("v_us div 1800000000")),
+        Seq("user_id", "bkt"))
+      .count()
+    // the deliberately-quadratic counterexample: a bare user-keyed
+    // equi-join pairs |V_u| x |P_u| per user BEFORE any band predicate
+    // can reject — the shape the r8 verdict flagged and the gate no
+    // longer uses
+    val naive = p.join(v, Seq("user_id")).count()
+    val nPurchases = fixture.count(_.t == "purchase").toLong
+    assert(bucketed <= 32L * nPurchases) // <=30 events / bucket-pair at 60 s spacing
+    assert(naive >= 100L * bucketed)     // bot alone: 100 purchases x 5000 views
+  }
+
+  test("event_transitions: hot-key counts match the brute force; probabilities sum to 1") {
+    val byUser = fixture.groupBy(_.u).view.mapValues(_.sortBy(e => (e.us, e.id)))
+    val expected = byUser.values.flatMap(es =>
+      es.zip(es.drop(1)).map { case (a, b) => (a.t, b.t) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = q("event_transitions")(spark, dir).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    val bySrc = rows.groupBy(_.getString(0))
+    for ((_, rs) <- bySrc) assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
+  test("funnel_conversion: bot completes the funnel at the expected instants") {
+    val got = q("funnel_conversion")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    // view at i=0, first click at i=1, first purchase (after the
+    // click) at i=99 — the 10^4-event tail changes nothing
+    assert(got(BotUser) == ((Some(BaseUs), Some(BaseUs + StepUs),
+      Some(BaseUs + 99L * StepUs), 3)))
+    // normal users: view i=0, click i=1, purchase i=2 at 10-min spacing
+    for (u <- 1 to 20) {
+      val b = BaseUs + u * 86400000000L
+      assert(got(u.toLong) == ((Some(b), Some(b + 600000000L),
+        Some(b + 1200000000L), 3)))
+    }
+  }
+}
