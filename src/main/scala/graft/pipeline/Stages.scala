@@ -155,6 +155,21 @@ object StageRegistry {
         p.getOrElse("threshold", "0.9").toDouble,
         p.getOrElse("blocks", "16").toInt))
     case "annTopK" => new AnnTopKCompute(spec)
+    // ---- multimodal (SURVEY §2.11 media family) as declarative
+    // stages — same code paths as the SparkEntry gates, so the
+    // pipeline DSL can compose media operators with the text/dedup
+    // stages above (the multimodal_pipeline_e2e flagship)
+    case "syntheticPpm" => new ExprCompute(spec, (df, _) =>
+      graft.llm.Multimodal.syntheticPpmTable(df))
+    case "imageDHash" => new ExprCompute(spec, (df, _) =>
+      graft.llm.Multimodal.imageDHashes(df.sparkSession, df).toDF())
+    case "imagePatches" => new ExprCompute(spec, (df, p) =>
+      graft.llm.Multimodal.imagePatches(df.sparkSession, df,
+        p.getOrElse("patch", "2").toInt).toDF())
+    case "hammingPairs" => new ExprCompute(spec, (df, p) =>
+      graft.llm.Dedup.hammingPairs(df, p.getOrElse("idCol", "doc_id"),
+        p.getOrElse("hashCol", "dhash"), p.getOrElse("bits", "64").toInt,
+        p.getOrElse("maxHamming", "1").toInt))
     // ---- streaming (SURVEY §2.9): streams are DataFrames, so every
     // compute above applies; these add the stream-only wiring.
     case "streamSource" => new StreamSource(spec)
