@@ -189,7 +189,20 @@ object StreamStages {
     * depend on the trailing watermark batch). Restores on exit.
     */
   def withGateConf[T](s: SparkSession, extra: (String, String)*)(body: => T): T = {
-    val conf = ("spark.sql.shuffle.partitions" -> "4") +: extra
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb switches every streaming gate
+    // to RocksDBStateStoreProvider (rocksdbjni ships in the Spark
+    // distribution) — one knob covering Verify, Bench and the specs, so
+    // the provider A/B runs the EXACT gate semantics. Default stays
+    // HDFS-backed: gate state is a few KB per partition, where the
+    // in-memory map wins (A/B numbers in PLANS.md "Streaming gates");
+    // RocksDB is the documented swap once per-partition state
+    // approaches executor memory (native off-heap storage, incremental
+    // changelog checkpointing instead of full snapshot rewrites).
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").collect {
+      case "rocksdb" => "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }.toSeq
+    val conf = ("spark.sql.shuffle.partitions" -> "4") +: (provider ++ extra)
     val prev = conf.map { case (k, _) => k -> s.conf.getOption(k) }
     conf.foreach { case (k, v) => s.conf.set(k, v) }
     try body
