@@ -564,7 +564,67 @@ object EngineQueries {
         |FROM keep JOIN p USING (doc_id) JOIN hsh USING (doc_id)
         |  JOIN ps USING (doc_id) JOIN q USING (doc_id)
         |WHERE q.quality_score >= 2
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // The streaming composition flagship: TWO chained stateful
+    // operators (within-watermark dedup → watermarked tumbling-window
+    // agg) declared and wired through the pipeline DSL —
+    // streamSource → streamDedup → windowAgg → streamSink — so the
+    // DAG executor drives a real multi-stateful Structured Streaming
+    // query, not just batch stages. The dedup stage is LOAD-BEARING:
+    // the harness writes every event TWICE, so if the stage were
+    // dropped (or dedup silently keyed wrong) every count would
+    // double and the hash would fail. Emission follows append-mode
+    // semantics: only windows whose end the final watermark
+    // (max event time − 1h) passed emit — the oracle reproduces that
+    // horizon in the µs domain over the DISTINCT event set (the
+    // stream_window_agg pattern). min/max over doubles are
+    // order-independent, so the agg row is hash-exact.
+    QDef("stream_pipeline_e2e", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-spipe")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+      ev.coalesce(4).write.mode("append").parquet(s"$base/in")
+      val schemaJson = s.read.parquet(s"$base/in").schema.json
+      val spec = PipelineSpec(Seq(
+        StageSpec("src", "streamSource", Map("format" -> "parquet",
+          "path" -> s"$base/in", "schema" -> schemaJson)),
+        StageSpec("dd", "streamDedup", Map("timeCol" -> "ets",
+          "watermark" -> "1 hour", "keys" -> "event_id")),
+        // watermark "" = inherit dd's watermark (chained stateful ops
+        // forbid redefining it downstream)
+        StageSpec("agg", "windowAgg", Map("timeCol" -> "ets",
+          "watermark" -> "", "window" -> "1 day",
+          "groupBy" -> "event_type",
+          "aggregates" -> ("count(*) AS n, min(value) AS vmin, "
+            + "max(value) AS vmax"))),
+        StageSpec("out", "streamSink", Map("queryName" -> "gate_spipe"))),
+        Seq(Connection("src", "dd"), Connection("dd", "agg"),
+          Connection("agg", "out")))
+      // append-mode agg downstream: emission depends on the trailing
+      // no-data batch — never SkipNoDataBatch here (withGateConf doc)
+      StreamStages.withGateConf(s) {
+        new Pipeline(spec).run(s, Map.empty)
+      }
+      s.table("gate_spipe")
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n"), col("vmin"), col("vmax"))
+        .orderBy("day_start", "event_type")
+    },
+      Some("""WITH e AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+        |         event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |horizon AS (SELECT max(ts_us) - 3600000000 AS wm FROM e)
+        |SELECT day_start, event_type, count(*) AS n,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM e
+        |WHERE epoch_us(day_start) + 86400000000 <= (SELECT wm FROM horizon)
+        |GROUP BY day_start, event_type
+        |ORDER BY day_start, event_type""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

@@ -52,8 +52,11 @@ object StreamStages {
       case None    => window(col(timeCol), windowDuration)
     }
     val keys = win +: groupBy.map(col)
-    df.withWatermark(timeCol, watermark)
-      .groupBy(keys: _*)
+    // watermark "" = inherit the one already defined upstream — with
+    // chained stateful operators (dedup → agg) Spark 4 forbids
+    // REDEFINING the watermark downstream of the first stateful op
+    val wm = if (watermark.isEmpty) df else df.withWatermark(timeCol, watermark)
+    wm.groupBy(keys: _*)
       .agg(expr(aggregates.head), aggregates.tail.map(expr): _*)
   }
 
