@@ -491,7 +491,18 @@ object EngineQueries {
       val spec = PipelineSpec(Seq(
         StageSpec("src", "parquet", Map("path" -> "${sf}/documents.parquet")),
         StageSpec("media", "syntheticPpm", Map.empty),
+        // the DAG fans out from media (dh + patch) and from dh (pairs
+        // + keep); Catalyst does not CSE shared subtrees, so without a
+        // lineage cut the payload generation executes 3x and the
+        // decode+hash 2x per run. Pin each ONCE. A/B at sf0.1 is a
+        // wash (old 1.10/0.99 s vs new 1.02/1.22 s — the SYNTHETIC
+        // payload is row-local arithmetic, so re-execution is nearly
+        // free); the cut is kept for the scale shape: with a real
+        // image decoder the re-executed stage IS the pipeline's cost,
+        // and 3x decode is the difference that matters at 100 TB.
+        StageSpec("mediaCk", "localCheckpoint", Map.empty),
         StageSpec("dh", "imageDHash", Map.empty),
+        StageSpec("dhCk", "localCheckpoint", Map.empty),
         StageSpec("pairs", "hammingPairs", Map("idCol" -> "doc_id",
           "hashCol" -> "dhash", "bits" -> "64", "maxHamming" -> "1")),
         StageSpec("drops", "select", Map("columns" -> "ib AS doc_id")),
@@ -510,10 +521,11 @@ object EngineQueries {
           ("doc_id, width, height, dhash, n_patches, patch_checksum, "
             + "quality_score"))),
         StageSpec("srt", "sort", Map("columns" -> "doc_id"))),
-        Seq("src" -> "media", "media" -> "dh", "dh" -> "pairs",
+        Seq("src" -> "media", "media" -> "mediaCk", "mediaCk" -> "dh",
+          "dh" -> "dhCk", "dhCk" -> "pairs",
           "pairs" -> "drops", "drops" -> "dropd",
-          "dh" -> "keep", "dropd" -> "keep",
-          "media" -> "patch", "patch" -> "pstat",
+          "dhCk" -> "keep", "dropd" -> "keep",
+          "mediaCk" -> "patch", "patch" -> "pstat",
           "src" -> "cap",
           "keep" -> "j1", "pstat" -> "j1",
           "j1" -> "j2", "cap" -> "j2",

@@ -94,6 +94,13 @@ object StageRegistry {
     case "except"    => new SetOpCompute(spec, _ except _)
     case "sql"       => new SqlCompute(spec)
     case "cache"     => new ExprCompute(spec, (df, _) => df.cache())
+    // eager lineage cut: materializes ONCE and replaces the subtree —
+    // the repo-wide alternative to cache() when a DAG fans out over an
+    // expensive compute stage (cached InMemoryTableScan reads are
+    // deserialized-row scans that break codegen; a checkpointed RDD
+    // scan is not — A/B precedent in PLANS.md: graph_pagerank,
+    // mmr_rerank, quality_buckets)
+    case "localCheckpoint" => new ExprCompute(spec, (df, _) => df.localCheckpoint())
     case "scalaCompute" => new DynamicCompute(spec)
     case "scalaProgram" => new DynamicProgram(spec)
     case "pysparkProgram" => new PySparkProgram(spec)

@@ -201,9 +201,15 @@ object StreamStages {
     // RocksDB is the documented swap once per-partition state
     // approaches executor memory (native off-heap storage, incremental
     // changelog checkpointing instead of full snapshot rewrites).
-    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").collect {
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map {
       case "rocksdb" => "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" => "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        // fail fast: a typo'd provider silently measuring the default
+        // would record bogus A/B numbers under the wrong label
+        s"SPARK_GRAFT_STATE_PROVIDER='$other' (expected rocksdb|hdfs)")
     }.toSeq
     val conf = ("spark.sql.shuffle.partitions" -> "4") +: (provider ++ extra)
     val prev = conf.map { case (k, _) => k -> s.conf.getOption(k) }

@@ -10,15 +10,23 @@ of both engines' internal hash functions — into a sampled sfDir whose
 other 9 tables are symlinks. The REAL gate queries and the REAL
 oracles then run UNMODIFIED on that dir:
 
+    # mod 4 (~1/4 of the docs) fits 5 of the 7 oracles in the bound:
     python3 tools/sampled_oracle.py                       # write the dir
     sbt -batch "runMain graft.Verify /tmp/graft_sampled_sf01 \
         /tmp/sampled_out dedup_minhash_lsh,dedup_ngram_jaccard,\
-        dedup_clusters,dedup_keep_representatives,dedup_containment,\
-        dedup_incremental_neardup,split_decontaminate"
+        dedup_containment,dedup_incremental_neardup,split_decontaminate"
     python3 tools/check.py /tmp/sampled_out /tmp/graft_sampled_sf01 120
+    # dedup_clusters / dedup_keep_representatives carry a recursive-CTE
+    # connected-components oracle on top of the all-pairs edge set —
+    # they need the smaller mod-8 subset (~650 docs) to fit:
+    python3 tools/sampled_oracle.py /root/testdata/sf0.1 \
+        /tmp/graft_sampled_sf01_m8 8
+    sbt -batch "runMain graft.Verify /tmp/graft_sampled_sf01_m8 \
+        /tmp/sampled_out_m8 dedup_clusters,dedup_keep_representatives"
+    python3 tools/check.py /tmp/sampled_out_m8 /tmp/graft_sampled_sf01_m8 120
 
-With mod 4 the subset keeps ~1/4 of the documents, cutting the
-all-pairs oracle cost ~16x — inside the bound — while every document
+With mod N the subset keeps ~1/N of the documents, cutting the
+all-pairs oracle cost ~N^2x — inside the bound — while every document
 is a true sf0.1 document. A hash-match here is a full independent-
 oracle verification of the engine's restricted output at bench scale
 (recorded per query in BASELINE.md's oracle-timeout register).
@@ -38,8 +46,12 @@ def main(src, dst, mod):
         if t == "documents":
             continue
         link = f"{dst}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{src}/{t}.parquet", link)
+        # lexists (not exists): a dangling symlink must be replaced,
+        # not crash; and a re-run with a DIFFERENT src must re-point
+        # every link instead of silently keeping a mixed-scale dir
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(f"{src}/{t}.parquet", link)
     con = duckdb.connect()
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{src}/documents.parquet') "
