@@ -334,6 +334,33 @@ class PipelineEngineSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.forall(_.getAs[Int]("rank") <= 3))
   }
 
+  test("localCheckpoint stage: identical rows, lineage actually cut") {
+    // the fan-out lineage-cut stage the multimodal flagship uses: the
+    // checkpointed run must be row-identical to the plain run, and the
+    // downstream plan must scan the materialized RDD instead of
+    // re-deriving the subtree (the whole point — Catalyst does not CSE
+    // shared DAG subtrees)
+    import graft.pipeline.{Connection, StageSpec}
+    def spec(ck: Boolean) = {
+      val stages = Seq(
+        StageSpec("src", "parquet", Map("path" -> s"$sfDir/lineitem.parquet")),
+        StageSpec("flt", "filter", Map("condition" -> "l_quantity >= 30"))) ++
+        (if (ck) Seq(StageSpec("ckpt", "localCheckpoint", Map.empty)) else Nil) ++
+        Seq(StageSpec("agg", "aggregate", Map("groupBy" -> "l_returnflag",
+          "aggregates" -> "count(*) AS n, sum(l_quantity) AS qty")))
+      val names = stages.map(_.name)
+      PipelineSpec(stages, names.zip(names.tail).map { case (a, b) => Connection(a, b) })
+    }
+    val plain = new Pipeline(spec(ck = false)).run(spark)("agg")
+    val cut = new Pipeline(spec(ck = true)).run(spark)("agg")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(key(cut) == key(plain) && key(cut).nonEmpty)
+    val plan = cut.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), s"lineage not cut:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"), s"source still in plan:\n$plan")
+  }
+
   test("splitExprs: string literals are opaque to paren/comma scanning") {
     import graft.pipeline.StageRegistry.splitExprs
     assert(splitExprs("concat(a, ',', b) as ab, c") ==

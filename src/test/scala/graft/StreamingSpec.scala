@@ -268,6 +268,55 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("stream_pipeline_e2e's dedup stage is load-bearing: dropping it doubles every count") {
+    // The gate's harness writes every event TWICE and chains
+    // streamDedup → windowAgg through the pipeline DSL. This pins the
+    // gate's central claim: with the dedup stage removed (agg defines
+    // its own watermark, everything else identical) every emitted
+    // window count is EXACTLY 2x and min/max are unchanged — i.e. the
+    // DAG really wires the stateful stage and the gate hash is
+    // sensitive to it.
+    import graft.pipeline.{Connection, Pipeline, PipelineSpec, StageSpec}
+    val base = Files.createTempDirectory("graft-stream-lb")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+    ev.coalesce(2).write.mode("overwrite").parquet(s"$base/in")
+    ev.coalesce(2).write.mode("append").parquet(s"$base/in")
+    val schemaJson = spark.read.parquet(s"$base/in").schema.json
+    def spec(withDedup: Boolean, sink: String) = {
+      val agg = StageSpec("agg", "windowAgg", Map("timeCol" -> "ets",
+        "watermark" -> (if (withDedup) "" else "1 hour"),
+        "window" -> "1 day", "groupBy" -> "event_type",
+        "aggregates" -> "count(*) AS n, min(value) AS vmin, max(value) AS vmax"))
+      val src = StageSpec("src", "streamSource", Map("format" -> "parquet",
+        "path" -> s"$base/in", "schema" -> schemaJson))
+      val out = StageSpec("out", "streamSink", Map("queryName" -> sink))
+      if (withDedup) PipelineSpec(Seq(src,
+        StageSpec("dd", "streamDedup", Map("timeCol" -> "ets",
+          "watermark" -> "1 hour", "keys" -> "event_id")), agg, out),
+        Seq(Connection("src", "dd"), Connection("dd", "agg"),
+          Connection("agg", "out")))
+      else PipelineSpec(Seq(src, agg, out),
+        Seq(Connection("src", "agg"), Connection("agg", "out")))
+    }
+    StreamStages.withGateConf(spark) {
+      new Pipeline(spec(withDedup = true, "lb_dd")).run(spark, Map.empty)
+      new Pipeline(spec(withDedup = false, "lb_raw")).run(spark, Map.empty)
+    }
+    def rows(t: String) = spark.table(t)
+      .select(col("window.start"), col("event_type"), col("n"),
+        col("vmin"), col("vmax"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val dd = rows("lb_dd"); val raw = rows("lb_raw")
+    assert(dd.nonEmpty && dd.keySet == raw.keySet)
+    for ((k, (n, vmin, vmax)) <- dd)
+      assert(raw(k) == ((2 * n, vmin, vmax)),
+        s"$k: dedup=($n,$vmin,$vmax) raw=${raw(k)}")
+  }
+
   test("streaming parquet sink with checkpoint") {
     val base = Files.createTempDirectory("graft-stream3")
     val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
