@@ -119,7 +119,7 @@ object EngineQueries {
         .write.mode("overwrite").parquet(streamDir.toString)
       val schema = s.read.parquet(streamDir.toString).schema
       val src = StreamStages.fileSource(s, "parquet", streamDir.toString, schema.json)
-      val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+      val agg = StreamStages.windowedAgg(src, "ets", watermark = Some("1 hour"),
         windowDuration = "1 day", slide = None,
         groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
       // append-mode agg: emission depends on the final watermark
@@ -605,10 +605,10 @@ object EngineQueries {
           "path" -> s"$base/in", "schema" -> schemaJson)),
         StageSpec("dd", "streamDedup", Map("timeCol" -> "ets",
           "watermark" -> "1 hour", "keys" -> "event_id")),
-        // watermark "" = inherit dd's watermark (chained stateful ops
-        // forbid redefining it downstream)
+        // no watermark key = inherit dd's watermark (chained stateful
+        // ops forbid redefining it downstream)
         StageSpec("agg", "windowAgg", Map("timeCol" -> "ets",
-          "watermark" -> "", "window" -> "1 day",
+          "window" -> "1 day",
           "groupBy" -> "event_type",
           "aggregates" -> ("count(*) AS n, min(value) AS vmin, "
             + "max(value) AS vmax"))),

@@ -145,6 +145,22 @@ object RelationalQueries {
       .drop("band", "off")
   }
 
+  /** session_paths' per-session path cap: first PathCap events + a
+    * '...' marker. Shared between the engine call and the oracle SQL
+    * (interpolated) so changing it cannot silently desync them — the
+    * span_corruption constants pattern.
+    */
+  private val PathCap = 20
+
+  /** attribution_linear's touch band AND its de-skew bucket width, in
+    * µs. The bucketed pairing is only exhaustive-and-exactly-once
+    * because bucket width == band length (every purchase window covers
+    * exactly the 2 buckets {p div B − 1, p div B}; every view sits in
+    * 1) — so all four engine sites and the oracle's band predicate
+    * MUST move together, hence one constant.
+    */
+  private val AttrBandUs = 1800000000L
+
   // ------------------------------------------------------------------
   val defs: Seq[QDef] = Seq(
 
@@ -1597,12 +1613,11 @@ object RelationalQueries {
         .withColumn("sid", sum("new_sess").over(
           Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val cap = 20
       val wS = Window.partitionBy("user_id", "sid")
         .orderBy(col("ts_us"), col("event_id"))
       sess.withColumn("rk", row_number().over(wS))
-        .filter(col("rk") <= cap + 1)
-        .withColumn("tok", when(col("rk") === cap + 1, lit("..."))
+        .filter(col("rk") <= PathCap + 1)
+        .withColumn("tok", when(col("rk") === PathCap + 1, lit("..."))
           .otherwise(col("event_type")))
         .groupBy("user_id", "sid")
         .agg(concat_ws(">", expr(
@@ -1611,7 +1626,7 @@ object RelationalQueries {
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path")).limit(20)
     },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |g AS (SELECT user_id, ts_us, event_id, event_type,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
@@ -1624,9 +1639,9 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY user_id, sid
         |      ORDER BY ts_us, event_id) AS rk FROM sfold),
         |p AS (SELECT user_id, sid, string_agg(
-        |    CASE WHEN rk = 21 THEN '...' ELSE event_type END, '>'
+        |    CASE WHEN rk = ${PathCap + 1} THEN '...' ELSE event_type END, '>'
         |    ORDER BY rk) AS path
-        |  FROM r WHERE rk <= 21 GROUP BY user_id, sid),
+        |  FROM r WHERE rk <= ${PathCap + 1} GROUP BY user_id, sid),
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |  FROM p GROUP BY path)
         |SELECT path, n_sessions FROM c
@@ -1653,18 +1668,18 @@ object RelationalQueries {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts_us").as("v_us"))
-        .withColumn("bkt", expr("v_us div 1800000000"))
+        .withColumn("bkt", expr(s"v_us div $AttrBandUs"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts_us").as("p_us"))
         .withColumn("bkt", explode(array(
-          expr("p_us div 1800000000 - 1"), expr("p_us div 1800000000"))))
+          expr(s"p_us div $AttrBandUs - 1"), expr(s"p_us div $AttrBandUs"))))
       val w = Window.partitionBy("purchase_id")
       val wOrd = Window.partitionBy("purchase_id")
         .orderBy(col("v_us").desc, col("view_id").desc)
       purchases.join(views, Seq("user_id", "bkt"))
         .filter(col("v_us") <= col("p_us")
-          && col("v_us") >= col("p_us") - 1800000000L)
+          && col("v_us") >= col("p_us") - AttrBandUs)
         .withColumn("n_touches", count(lit(1)).over(w))
         .withColumn("credit", lit(1.0) / col("n_touches"))
         .withColumn("last_touch",
@@ -1673,7 +1688,7 @@ object RelationalQueries {
           "credit", "last_touch")
         .orderBy("purchase_id", "view_id")
     },
-      Some("""WITH v AS (SELECT user_id, event_id AS view_id,
+      Some(s"""WITH v AS (SELECT user_id, event_id AS view_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
         |  FROM events WHERE event_type = 'view'),
         |p AS (SELECT user_id, event_id AS purchase_id,
@@ -1681,7 +1696,7 @@ object RelationalQueries {
         |  FROM events WHERE event_type = 'purchase'),
         |t AS (SELECT p.user_id, purchase_id, view_id, v_us, p_us
         |  FROM p JOIN v USING (user_id)
-        |  WHERE v_us <= p_us AND v_us >= p_us - 1800000000),
+        |  WHERE v_us <= p_us AND v_us >= p_us - $AttrBandUs),
         |c AS (SELECT user_id, purchase_id, view_id,
         |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
         |      AS n_touches,

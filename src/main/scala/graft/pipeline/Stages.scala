@@ -541,8 +541,11 @@ final class StreamSource(val spec: StageSpec) extends SourceStage {
 final class WindowAggCompute(val spec: StageSpec) extends ComputeStage {
   def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
     val p = spec.properties
+    // watermark omitted (or "") = inherit the upstream stage's
+    // watermark — chained stateful operators forbid redefining it
     graft.streaming.StreamStages.windowedAgg(inputs.head,
-      p("timeCol"), p("watermark"), p("window"), p.get("slide"),
+      p("timeCol"), p.get("watermark").filter(_.nonEmpty),
+      p("window"), p.get("slide"),
       p.getOrElse("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
       p("aggregates").split(",").map(_.trim).toSeq)
   }

@@ -44,7 +44,7 @@ object StreamStages {
     * for late data. `aggregates` are SQL expression strings, as in the
     * batch AggregateCompute stage.
     */
-  def windowedAgg(df: DataFrame, timeCol: String, watermark: String,
+  def windowedAgg(df: DataFrame, timeCol: String, watermark: Option[String],
       windowDuration: String, slide: Option[String],
       groupBy: Seq[String], aggregates: Seq[String]): DataFrame = {
     val win = slide match {
@@ -52,10 +52,10 @@ object StreamStages {
       case None    => window(col(timeCol), windowDuration)
     }
     val keys = win +: groupBy.map(col)
-    // watermark "" = inherit the one already defined upstream — with
+    // watermark None = inherit the one already defined upstream — with
     // chained stateful operators (dedup → agg) Spark 4 forbids
     // REDEFINING the watermark downstream of the first stateful op
-    val wm = if (watermark.isEmpty) df else df.withWatermark(timeCol, watermark)
+    val wm = watermark.fold(df)(df.withWatermark(timeCol, _))
     wm.groupBy(keys: _*)
       .agg(expr(aggregates.head), aggregates.tail.map(expr): _*)
   }

@@ -20,20 +20,10 @@ import org.apache.spark.sql.types._
   */
 class FixtureGateSpec extends SparkSpec {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch NANOS — the engine's normalized domain
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def writeEvents(rows: Seq[Row]): String = {
-    val dir = Files.createTempDirectory("graft-fixture").toString
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), eventsSchema)
-      .write.parquet(s"$dir/events.parquet")
-    dir
-  }
+  // schema + writer live in EventsFixture — ONE copy of the ts-domain
+  // contract across the fixture-writing suites
+  private def writeEvents(rows: Seq[Row]): String =
+    EventsFixture.write(spark, rows)
 
   private def q(name: String) = SparkEntry.queries(name)
 

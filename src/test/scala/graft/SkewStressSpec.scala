@@ -28,14 +28,6 @@ import org.apache.spark.sql.types._
   */
 class SkewStressSpec extends SparkSpec {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch NANOS — the engine's normalized domain
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val BotUser = 1000000L
   private val BotN = 10000
   private val BaseUs = 1700000000000000L
@@ -61,13 +53,9 @@ class SkewStressSpec extends SparkSpec {
     bot ++ normals
   }
 
-  private lazy val dir: String = {
-    val d = Files.createTempDirectory("graft-skew").toString
-    val rows = fixture.map(e => Row(e.id, e.us * 1000L, e.u, e.t, 1.0, "{}"))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), eventsSchema)
-      .write.parquet(s"$d/events.parquet")
-    d
-  }
+  private lazy val dir: String = EventsFixture.write(spark,
+    fixture.map(e => Row(e.id, e.us * 1000L, e.u, e.t, 1.0, "{}")),
+    partitions = 4, prefix = "graft-skew")
 
   private def q(name: String) = SparkEntry.queries(name)
 

@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
 
     val schema = spark.read.parquet(streamDir.toString).schema
     val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
-    val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+    val agg = StreamStages.windowedAgg(src, "ets", watermark = Some("1 hour"),
       windowDuration = "1 day", slide = None,
       groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
     StreamStages.runToMemory(agg, "win_agg", outputMode = "append")
@@ -72,7 +72,7 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
     val schema = spark.read.parquet(streamDir.toString).schema
     val src = StreamStages.fileSource(spark, "parquet", streamDir.toString, schema.json)
-    val agg = StreamStages.windowedAgg(src, "ets", watermark = "1 hour",
+    val agg = StreamStages.windowedAgg(src, "ets", watermark = Some("1 hour"),
       windowDuration = "2 days", slide = Some("1 day"),
       groupBy = Nil, aggregates = Seq("count(*) AS n"))
     StreamStages.runToMemory(agg, "slide_win")

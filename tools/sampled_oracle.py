@@ -41,6 +41,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def main(src, dst, mod):
+    # symlink targets are stored verbatim and resolved relative to the
+    # DST dir, not the invocation cwd — absolutize so a relative src
+    # cannot produce silently dangling links
+    src = os.path.abspath(src)
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         if t == "documents":
