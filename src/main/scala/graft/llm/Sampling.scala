@@ -385,4 +385,50 @@ object Sampling {
           .otherwise(col("dsir_micro_sum").cast("double") / col("n_tokens"))
           .as("dsir_micro_per_tok"))
   }
+
+  /** Preference-pair construction (the DPO / RLHF reward-data step,
+    * Rafailov et al. 2023): candidates grouped by prompt, the
+    * highest-scoring one becomes `chosen` and the lowest `rejected`,
+    * kept only when the score margin is decisive. Score here is the
+    * type-token ratio in exact micro units — any per-row integer
+    * quality score slots in unchanged.
+    *
+    * Determinism: argmax/argmin with doc-id tie-breaks ride ONE packed
+    * BIGINT per direction — `score_micro * 10^10 ± doc_id` — so the
+    * whole selection is a plain min/max aggregation (order-independent,
+    * hash-gateable; the budget_select/mmr_rerank tie-break rule).
+    * score_micro ≤ 10^6 keeps the packed key < 10^16, inside BIGINT;
+    * the 10^10 doc-id headroom is asserted so growth past it fails
+    * loudly rather than mis-pairing.
+    *
+    * Scale shape: scoring is row-local scan work; the only shuffle is
+    * the prompt-key aggregation with map-side partial min/max, and the
+    * output is one row per prompt — metadata scale. A hot prompt with
+    * millions of candidates still reduces to two partial aggregates
+    * per task; nothing per-pair is ever materialized.
+    */
+  def dpoPairs(df: DataFrame, textCol: String, idCol: String,
+      nPrompts: Int, minMarginMicro: Long = 1L): DataFrame = {
+    val P = 10000000000L // doc-id headroom under the packed score key
+    val ws = graft.llm.TextAnalysis.tokens(col(textCol))
+    val scored = df
+      .select((col(idCol) % nPrompts).as("prompt_id"), col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0 && col("doc_id") >= 0 && col("doc_id") < P)
+      .select(col("prompt_id"), col("doc_id"),
+        expr("(1000000 * n_distinct) div n_tokens").as("score_micro"))
+    val agg = scored.groupBy("prompt_id").agg(
+      count(lit(1)).as("n_candidates"),
+      max(col("score_micro") * P + (lit(P - 1) - col("doc_id"))).as("ck"),
+      min(col("score_micro") * P + col("doc_id")).as("rk"))
+    agg.filter(col("n_candidates") >= 2)
+      .select(col("prompt_id"), col("n_candidates"),
+        (lit(P - 1) - col("ck") % P).as("chosen_doc"),
+        (col("rk") % P).as("rejected_doc"),
+        expr(s"ck div ${P}L").as("chosen_score_micro"),
+        expr(s"rk div ${P}L").as("rejected_score_micro"),
+        expr(s"ck div ${P}L - rk div ${P}L").as("margin_micro"))
+      .filter(col("margin_micro") >= minMarginMicro)
+  }
 }

@@ -738,4 +738,58 @@ object Similarity {
             .cast("int"))
       }).as("codes"))
   }
+
+  /** Deterministic pseudo-classifier weights for [[calibrationBins]]:
+    * w_d = (((d·2654435761) mod 1000003) mod 2001 − 1000) / 1000 —
+    * integer ops then one division, so any engine reproduces the
+    * exact double bits from the same formula (the classifier_score
+    * hash-logit discipline, lifted to a dense weight vector).
+    */
+  def calibrationWeights(dim: Int): Seq[Double] =
+    (0 until dim).map(d => (((d * 2654435761L) % 1000003L) % 2001L - 1000L) / 1000.0)
+
+  /** Quality-classifier calibration audit (expected-calibration-error
+    * bins, Guo et al. ICML 2017): score every vector with a fixed
+    * linear probe, map the score to [0,1], bin into `bins` equal-width
+    * probability bins, and per bin report count, mean predicted
+    * probability, empirical positive fraction and their gap — the
+    * reliability-diagram table a data-quality pipeline uses to decide
+    * whether a filter model's scores can be thresholded as
+    * probabilities. `ece_contrib_micro` sums to corpus ECE × N × 10⁶.
+    *
+    * Determinism: the dot is the VectorDot sequential fold (oracle
+    * replays it bit-for-bit); the affine map and ×10⁶ floor quantize
+    * happen in one fixed IEEE order; every aggregate after that is
+    * BIGINT (integer division for the two means — exact in both
+    * engines).
+    *
+    * Scale shape: scoring is row-local scan work against a broadcast
+    * literal weight vector; the only shuffle is the `bins`-key
+    * aggregation with map-side combine and the output is `bins` rows —
+    * metadata scale at any corpus size.
+    */
+  def calibrationBins(emb: DataFrame, vecCol: String, labelCol: String,
+      weights: Seq[Double], posMin: Int, bins: Int = 10,
+      shift: Double = 2.0, scale: Double = 4.0): DataFrame = {
+    val w = array(weights.map(lit): _*)
+    val pred = least(greatest(
+      (dot(col(vecCol), w) + lit(shift)) / lit(scale), lit(0.0)), lit(1.0))
+    val width = 1000000L / bins
+    val scored = emb.select(
+      floor(pred * lit(1000000.0)).cast("long").as("pred_micro"),
+      (col(labelCol) >= posMin).cast("long").as("pos"))
+    scored
+      .select(least(expr(s"pred_micro div ${width}L"), lit(bins - 1L)).as("bin"),
+        col("pred_micro"), col("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("pred_micro").as("sum_pred_micro"),
+        sum("pos").as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("sum_pred_micro div n").as("mean_pred_micro"),
+        expr("(1000000 * n_pos) div n").as("frac_pos_micro"),
+        abs(expr("sum_pred_micro div n - (1000000 * n_pos) div n"))
+          .as("gap_micro"))
+      .withColumn("ece_contrib_micro", col("gap_micro") * col("n"))
+  }
 }

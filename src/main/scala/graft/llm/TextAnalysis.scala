@@ -1358,4 +1358,51 @@ object TextAnalysis {
         col("start_pos").cast("long").as("start_pos"), col("n_words"),
         col("chunk_sig"), col("n_dup_chunks"))
   }
+
+  /** Tokenizer-vocabulary coverage audit: fix the vocabulary to the
+    * `vocabSize` most frequent units in the corpus (frequency desc,
+    * unit asc — a total order), then report every document's
+    * out-of-vocabulary mass. The standard pre-training check that a
+    * candidate tokenizer's vocab actually covers the corpus (OOV rate
+    * by token instances and by distinct units). Units are ALL
+    * overlapping word `unitN`-grams (WordSpans — positional,
+    * non-distinct, so OOV mass counts every instance) — multi-word
+    * pieces, the shape BPE merges produce; 1 = plain words.
+    *
+    * Scale shape: one scan builds (doc, unit, tf) with map-side
+    * combine; corpus unit counts are a second partial+final agg whose
+    * output is the distinct-unit table; top-V selection is
+    * TakeOrdered (no global sort shuffle) and the V-row vocab
+    * broadcasts back to the postings — the corpus never reshuffles on
+    * content. Docs too short to emit a unit keep a zero row via the
+    * doc-list left join (the dsir_weights convention).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int, unitN: Int = 2): DataFrame = {
+    val units = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordSpans(col(textCol), unitN)).as("u"))
+    val tf = units.groupBy("doc_id", "u").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("u").agg(sum("tf").as("c_t"))
+      .orderBy(col("c_t").desc, col("u"))
+      .limit(vocabSize)
+      .select(col("u"), lit(1L).as("in_vocab"))
+    val perDoc = tf.join(broadcast(vocab), Seq("u"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_units"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"),
+        count(lit(1)).as("n_distinct_units"),
+        sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_oov_distinct"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_distinct_units"), lit(0L)).as("n_distinct_units"),
+        coalesce(col("n_oov_distinct"), lit(0L)).as("n_oov_distinct"),
+        when(coalesce(col("n_units"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000000 * n_oov) div n_units"))
+          .as("oov_micro"))
+  }
 }

@@ -19,6 +19,21 @@ object LlmQueries {
 
   /** DuckDB fragment: whitespace tokens of `text`, empties dropped. */
   private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** dpo_pairs: prompt-group modulus (≈5 candidates/prompt at the
+    * smallest SF — measured before pinning, the r8 rule). */
+  private val DpoNPrompts = 97
+  /** vocab_coverage: top-V bigram-unit vocabulary (corpus has ~916
+    * distinct bigrams → OOV spans ~8–76% across docs at V=400). */
+  private val VocabCovSize = 400
+  /** calibration_ece: labels are 0–9 uniform; `label ≥ 5` = positive. */
+  private val CalPosMin = 5
+  /** calibration_ece oracle: the SAME weight vector the engine call
+    * uses, rendered as a DOUBLE literal list (each literal CAST — the
+    * DuckDB bare-decimal DECIMAL trap). */
+  private val calWeightsSql: String =
+    graft.llm.Similarity.calibrationWeights(64)
+      .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
   /** DuckDB fragment shared with EngineQueries' e2e pipeline oracle. */
   /** DuckDB fragment: PolyHash replay over a string expression. */
   private[operators] def duckPoly(e: String): String =
@@ -2625,7 +2640,103 @@ object LlmQueries {
         |    ELSE CAST(dsir_micro_sum AS DOUBLE) / n_tokens END
         |    AS dsir_micro_per_tok
         |FROM documents d LEFT JOIN pd USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- DPO/RLHF preference-pair construction: per-prompt argmax/
+    // argmin by packed BIGINT score keys — one prompt-key agg, one
+    // row per prompt out, tie-breaks total-ordered (Rafailov et al.
+    // 2023 data prep; see Sampling.dpoPairs) -------------------------
+    QDef("dpo_pairs", (s, dir) =>
+      graft.llm.Sampling.dpoPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", nPrompts = DpoNPrompts)
+        .orderBy("prompt_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, doc_id % $DpoNPrompts AS prompt_id,
+        |    $DuckToks AS ws FROM documents),
+        |sc AS (SELECT prompt_id, doc_id,
+        |    (1000000 * len(list_distinct(ws))) // len(ws) AS score_micro
+        |  FROM tok WHERE len(ws) > 0),
+        |a AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(max(score_micro * 10000000000 + (9999999999 - doc_id))
+        |      AS BIGINT) AS ck,
+        |    CAST(min(score_micro * 10000000000 + doc_id) AS BIGINT) AS rk
+        |  FROM sc GROUP BY 1)
+        |SELECT prompt_id, n_candidates,
+        |  CAST(9999999999 - ck % 10000000000 AS BIGINT) AS chosen_doc,
+        |  CAST(rk % 10000000000 AS BIGINT) AS rejected_doc,
+        |  CAST(ck // 10000000000 AS BIGINT) AS chosen_score_micro,
+        |  CAST(rk // 10000000000 AS BIGINT) AS rejected_score_micro,
+        |  CAST(ck // 10000000000 - rk // 10000000000 AS BIGINT) AS margin_micro
+        |FROM a
+        |WHERE n_candidates >= 2 AND ck // 10000000000 - rk // 10000000000 >= 1
+        |ORDER BY prompt_id""".stripMargin)),
+
+    // ---- tokenizer-vocab coverage: top-V corpus units (word
+    // bigrams) become the vocabulary, per-doc OOV mass reported; the
+    // V-row vocab is TakeOrdered + broadcast, the corpus never
+    // shuffles on content (TextAnalysis.vocabCoverage) ---------------
+    QDef("vocab_coverage", (s, dir) =>
+      graft.llm.TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"),
+          "text", "doc_id", vocabSize = VocabCovSize)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(ws[i+1 : i+2], ' ')
+        |    for i in range(0, len(ws) - 1)]) AS u
+        |  FROM tok WHERE len(ws) >= 2),
+        |tf AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY 1, 2),
+        |c AS (SELECT u, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+        |v AS (SELECT u FROM (SELECT u, row_number()
+        |    OVER (ORDER BY c_t DESC, u) AS rn FROM c) WHERE rn <= $VocabCovSize),
+        |agg AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_units,
+        |    CAST(sum(CASE WHEN v.u IS NULL THEN tf.tf ELSE 0 END)
+        |      AS BIGINT) AS n_oov,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_units,
+        |    CAST(sum(CASE WHEN v.u IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_oov_distinct
+        |  FROM tf LEFT JOIN v ON tf.u = v.u GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_units, 0) AS n_units,
+        |  coalesce(n_oov, 0) AS n_oov,
+        |  coalesce(n_distinct_units, 0) AS n_distinct_units,
+        |  coalesce(n_oov_distinct, 0) AS n_oov_distinct,
+        |  CAST(CASE WHEN coalesce(n_units, 0) = 0 THEN 0
+        |    ELSE (1000000 * n_oov) // n_units END AS BIGINT) AS oov_micro
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- classifier-calibration bins (reliability diagram / ECE,
+    // Guo et al. ICML 2017): fixed linear probe over the embedding,
+    // ×10⁶ floor quantize, 10 equal-width probability bins — one
+    // bins-key agg, 10 rows out (Similarity.calibrationBins; weights
+    // and the oracle literal list come from the same
+    // calibrationWeights formula — the mmrSql shared-constant rule) --
+    QDef("calibration_ece", (s, dir) =>
+      graft.llm.Similarity.calibrationBins(Tables.load(s, dir, "embeddings"),
+          "embedding", "label",
+          weights = graft.llm.Similarity.calibrationWeights(64),
+          posMin = CalPosMin)
+        .orderBy("bin"),
+      Some(s"""WITH s AS (SELECT label,
+        |    least(greatest((list_reduce(list_transform(
+        |        list_zip(embedding, $calWeightsSql),
+        |        p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)
+        |      + CAST(2.0 AS DOUBLE)) / CAST(4.0 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS pred
+        |  FROM embeddings),
+        |q AS (SELECT CAST(floor(pred * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |      AS pred_micro,
+        |    CASE WHEN label >= $CalPosMin THEN 1 ELSE 0 END AS pos FROM s),
+        |b AS (SELECT least(pred_micro // 100000, 9) AS bin, pred_micro, pos
+        |  FROM q),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pred_micro) AS BIGINT) AS sp,
+        |    CAST(sum(pos) AS BIGINT) AS np
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, CAST(sp // n AS BIGINT) AS mean_pred_micro,
+        |  CAST((1000000 * np) // n AS BIGINT) AS frac_pos_micro,
+        |  CAST(abs(sp // n - (1000000 * np) // n) AS BIGINT) AS gap_micro,
+        |  CAST(abs(sp // n - (1000000 * np) // n) * n AS BIGINT)
+        |    AS ece_contrib_micro
+        |FROM a ORDER BY bin""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

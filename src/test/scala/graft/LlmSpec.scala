@@ -1523,6 +1523,74 @@ class LlmSpec extends SparkSpec {
     assert(rows.length.toLong == nHoldout)
   }
 
+  test("dpoPairs: packed-key argmax/argmin picks TTR extremes, ties to lowest doc_id") {
+    import spark.implicits._
+    // nPrompts=1 → one prompt group. TTR micro-scores: doc0 "a b c" =
+    // 1000000, doc1 "a a a a" = 250000, doc2 "a b a b" = 500000,
+    // doc3 "x y z" = 1000000 (ties doc0 → smaller doc_id is chosen)
+    val docs = Seq((0L, "a b c"), (1L, "a a a a"), (2L, "a b a b"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = graft.llm.Sampling.dpoPairs(docs, "text", "doc_id", nPrompts = 1)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((4L, 0L, 1L, 1000000L, 250000L, 750000L)))
+    // rejected side ties also break to the lowest doc_id
+    val tied = Seq((0L, "a a"), (1L, "b b"), (2L, "c d e"))
+      .toDF("doc_id", "text")
+    val r2 = graft.llm.Sampling.dpoPairs(tied, "text", "doc_id", nPrompts = 1)
+      .collect().head
+    assert((r2.getLong(2), r2.getLong(3)) == ((2L, 0L)))
+    // zero margin (all candidates equal) produces NO pair
+    val flat = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    assert(graft.llm.Sampling.dpoPairs(flat, "text", "doc_id", nPrompts = 1)
+      .count() == 0L)
+  }
+
+  test("vocabCoverage: top-V tie-break unit-asc; OOV counts instances; short docs zero") {
+    import spark.implicits._
+    // corpus bigram counts: "a b"=2, "b a"=2, "a c"=1; V=1 → the
+    // count tie breaks unit-ascending, so vocab = {"a b"}
+    val docs = Seq((0L, "a b a b"), (1L, "b a c"), (2L, "x"))
+      .toDF("doc_id", "text")
+    def rows(v: Int) = graft.llm.TextAnalysis
+      .vocabCoverage(docs, "text", "doc_id", vocabSize = v)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows(1).toSeq == Seq(
+      (0L, 3L, 1L, 2L, 1L, 333333L),   // "b a" OOV once of 3 spans
+      (1L, 2L, 2L, 2L, 2L, 1000000L),  // both spans OOV
+      (2L, 0L, 0L, 0L, 0L, 0L)))       // <2 tokens → explicit zero row
+    assert(rows(2).toSeq == Seq(       // V=2 admits "b a" as well
+      (0L, 3L, 0L, 2L, 0L, 0L),
+      (1L, 2L, 1L, 2L, 1L, 500000L),
+      (2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("calibrationBins: hand probe lands rows in exact bins with exact gaps") {
+    import spark.implicits._
+    // weights=[-1] → pred = clamp((2 - v)/4, 0, 1) for 1-dim vec [v]
+    val emb = Seq(
+      (Array(2.0), 0),   // pred 0.00 → bin 0, negative: gap 0
+      (Array(-2.0), 1),  // pred 1.00 → micro 1000000 clamps to bin 9
+      (Array(0.0), 1),   // pred 0.50 → bin 5 ┐ mean 500000, 1 of 2
+      (Array(0.0), 0),   //                   ┘ positive: gap 0
+      (Array(1.0), 1))   // pred 0.25 → bin 2, positive: gap 750000
+      .toDF("embedding", "label")
+    val got = graft.llm.Similarity.calibrationBins(emb, "embedding", "label",
+        weights = Seq(-1.0), posMin = 1)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L),
+      (2L, 1L, 250000L, 1000000L, 750000L, 750000L),
+      (5L, 2L, 500000L, 500000L, 0L, 0L),
+      (9L, 1L, 1000000L, 1000000L, 0L, 0L)))
+  }
+
   test("sourceOverlapMatrix: zero-overlap pairs get explicit n_shared=0 rows") {
     import spark.implicits._
     // a,b share the shingle "alpha beta gamma"; c shares nothing with
