@@ -1546,6 +1546,17 @@ class LlmSpec extends SparkSpec {
     val flat = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
     assert(graft.llm.Sampling.dpoPairs(flat, "text", "doc_id", nPrompts = 1)
       .count() == 0L)
+    // a doc_id past the packed-key headroom fails LOUDLY (never a
+    // silent drop that could mis-pair the rest of the prompt group)
+    val big = Seq((10000000000L, "a b c"), (1L, "a a"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.llm.Sampling.dpoPairs(big, "text", "doc_id", nPrompts = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("headroom")))
   }
 
   test("vocabCoverage: top-V tie-break unit-asc; OOV counts instances; short docs zero") {
