@@ -792,4 +792,137 @@ object Similarity {
           .as("gap_micro"))
       .withColumn("ece_contrib_micro", col("gap_micro") * col("n"))
   }
+
+  /** Per-rank nDCG discount in micro units — floor(10⁶ / log₂(r+1))
+    * for r = 1..k. Computed ONCE Scala-side and rendered as literals
+    * into BOTH the engine plan and the oracle SQL (the
+    * calibrationWeights shared-constant rule), so no cross-engine
+    * transcendental-function agreement is ever needed.
+    */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranked-retrieval evaluation metrics (nDCG@k, MRR, recall@k) for
+    * an embedding index: every `qMod`-th vector becomes a query, the
+    * retrieval under test is exact cosine top-k, and relevance is
+    * label agreement (the standard proxy-label protocol for judging a
+    * retrieval stack before trusting it to mine training pairs).
+    * Emits one row per query with integer-micro metrics.
+    *
+    * Determinism: ranking reuses [[bruteForceTopK]]'s fold-exact
+    * cosine with the (cos desc, id asc) total order; everything after
+    * the rank is BIGINT — DCG sums literal per-rank discounts
+    * ([[ndcgDiscountsMicro]]), IDCG indexes their prefix sums at
+    * min(n_rel, k), MRR/recall are integer divisions.
+    *
+    * Scale shape: the gate baseline is the broadcast-query × corpus
+    * brute-force scorer (the ann_topk_exact shape — swap in the
+    * ivf/lsh candidate generator at scale, metrics unchanged); the
+    * metric arithmetic itself runs on |Q|·k rows, and the per-label
+    * totals ride a broadcast ≤|labels|-row frame.
+    */
+  def retrievalMetrics(emb: DataFrame, qMod: Int, k: Int): DataFrame = {
+    val disc = ndcgDiscountsMicro(k)
+    val prefix = disc.scanLeft(0L)(_ + _).tail
+    val discCol = array(disc.map(lit): _*)
+    val prefCol = array(prefix.map(lit): _*)
+    val topk = bruteForcePairs(
+      emb.filter(pmod(col("vec_id"), lit(qMod.toLong)) === 0), emb, k,
+      Seq("label" -> "q_label"), Seq("label" -> "n_label"),
+      col("q_vec_id") =!= col("n_vec_id"))
+    val per = topk
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("long"))
+      .groupBy("q_vec_id", "q_label")
+      .agg(
+        sum(when(col("rel") === 1, element_at(discCol, col("rank")))
+          .otherwise(lit(0L))).as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("frr"),
+        sum(col("rel")).as("hits"))
+    val labCnt = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("nl"))
+    per.join(broadcast(labCnt), Seq("q_label"))
+      .withColumn("n_rel", col("nl") - 1)
+      .withColumn("idcg_micro", when(col("n_rel") <= 0, lit(0L))
+        .otherwise(element_at(prefCol,
+          least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .select(col("q_vec_id"), col("n_rel"), col("hits"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, lit(0L))
+          .otherwise(expr("(1000000 * dcg_micro) div idcg_micro"))
+          .as("ndcg_micro"),
+        when(col("frr").isNull, lit(0L))
+          .otherwise(expr("1000000 div frr")).as("mrr_micro"),
+        when(col("n_rel") <= 0, lit(0L))
+          .otherwise(expr("(1000000 * hits) div n_rel")).as("recall_micro"))
+  }
+
+  /** Embedding-space anisotropy / effective-dimension audit: per label
+    * group, the participation ratio tr(C)²/tr(C²) of the covariance
+    * matrix — d when variance spreads evenly over all d directions, 1
+    * when the space has collapsed onto one (the anisotropy pathology
+    * of Ethayarajh EMNLP 2019 / Gao et al. ICLR 2019 that silently
+    * breaks cosine-based dedup and ANN recall). The pipeline health
+    * check to run BEFORE trusting semdedup/dedup_embedding thresholds.
+    *
+    * Determinism: elements are ×10⁶ floor-quantized to BIGINT first,
+    * so every moment is an exact integer sum (DECIMAL(38,0) — the
+    * dsum discipline); the covariance numerator n·S_ij − S_i·S_j stays
+    * exact, is truncation-divided by n²·10⁶ via sign·(|x| div d)
+    * (floor-vs-trunc portable), and trace/Frobenius are then plain
+    * BIGINT sums. One double division at the very end.
+    *
+    * Scale shape: the corpus reduces in ONE pass to d² second-moment
+    * rows per label (posexplode of the per-row outer product with
+    * map-side combine — partial state is d²·|labels| hash-agg
+    * entries per task, d=64 → 4 K keys); everything after runs on
+    * metadata-scale frames (d²·|labels| rows) over broadcast joins.
+    * Output is |labels| rows. For d ≫ 64 swap the flattened outer
+    * product for a two-level subspace reduce; at d=64 (SchemaPinSpec)
+    * the flat form is scan-bound.
+    */
+  def embedAnisotropy(emb: DataFrame, vecCol: String, labelCol: String,
+      dim: Int = 64): DataFrame = {
+    val q = emb.select(col(labelCol).cast("long").as("label"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000000.0))).as("qs"))
+    val cnt = q.groupBy("label").agg(count(lit(1)).as("n"))
+    val m1 = q.select(col("label"), posexplode(col("qs")))
+      .toDF("label", "i", "qi")
+      .groupBy("label", "i")
+      .agg(sum(col("qi").cast("decimal(38,0)")).as("s1"))
+    val m2 = q.select(col("label"), posexplode(flatten(
+        transform(col("qs"), qi => transform(col("qs"), qj => qi * qj)))))
+      .toDF("label", "idx", "p")
+      .select(col("label"), expr(s"idx div $dim").as("i"),
+        pmod(col("idx"), lit(dim)).cast("long").as("j"), col("p"))
+      .groupBy("label", "i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
+    val cov = m2
+      .join(broadcast(cnt), Seq("label"))
+      .join(broadcast(m1.select(col("label"), col("i").cast("long").as("i"),
+        col("s1").as("s1_i"))), Seq("label", "i"))
+      .join(broadcast(m1.select(col("label"), col("i").cast("long").as("j"),
+        col("s1").as("s1_j"))), Seq("label", "j"))
+      .select(col("label"), col("i"), col("j"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("s2")
+          - col("s1_i") * col("s1_j")).as("cov_num"))
+    val sc = cov.select(col("label"), col("i"), col("j"), col("n"),
+      (when(col("cov_num") < 0, lit(-1L)).otherwise(lit(1L)) *
+        expr("abs(cov_num) div (CAST(n AS DECIMAL(38,0)) * n * 1000000)"))
+        .as("cs"))
+    sc.groupBy("label")
+      .agg(max("n").as("n"),
+        sum(when(col("i") === col("j"), col("cs")).otherwise(lit(0L)))
+          .as("tr_cov_micro"),
+        sum((col("cs") * col("cs")).cast("decimal(38,0)")).cast("long")
+          .as("fro_cov"))
+      .select(col("label"), col("n"), col("tr_cov_micro"), col("fro_cov"),
+        when(col("fro_cov") === 0, lit(0L))
+          .otherwise(floor(
+            (col("tr_cov_micro") * col("tr_cov_micro")).cast("double")
+              / col("fro_cov").cast("double") * lit(1000000.0))
+            .cast("long"))
+          .as("pr_micro"))
+  }
 }

@@ -1405,4 +1405,59 @@ object TextAnalysis {
           .otherwise(expr("(1000000 * n_oov) div n_units"))
           .as("oov_micro"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): split each
+    * document's token stream at two deterministic points into
+    * (prefix, middle, suffix) and re-serialize with sentinel tokens so
+    * an autoregressive model learns infilling — PSM order
+    * (prefix, suffix, middle) for even ids, SPM (suffix, prefix,
+    * middle) for odd, the paper's joint 50/50 mix. Applied to
+    * `fimRate10`/10 of documents (id-derived, the paper's fim_rate);
+    * the rest pass through unchanged with mode 'none'.
+    *
+    * Determinism: the two cut points are integer functions of the
+    * content hash — `h % (n+1)` and `(h div (n+1)) % (n+1)`, h the
+    * PolyHash both engines replay — so every draw is pure integer
+    * arithmetic; the output string is one array_join over an array
+    * built by concatenation (no format-string divergence surface).
+    *
+    * Scale shape: entirely ROW-LOCAL array expressions — no explode,
+    * no shuffle, scan speed (the span_corruption shape). At 100 TB
+    * this runs at parquet-scan throughput with nothing to tune.
+    */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      fimRate10: Int = 6): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("ws"),
+        graft.functions.PolyHash(col(textCol)).as("h"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("app",
+        col("n") >= 2 && pmod(col("doc_id"), lit(10L)) < fimRate10)
+      .withColumn("a", pmod(col("h"), col("n") + 1L))
+      .withColumn("b", pmod(expr("h div (n + 1)"), col("n") + 1L))
+      .withColumn("lo", least(col("a"), col("b")).cast("int"))
+      .withColumn("hi", greatest(col("a"), col("b")).cast("int"))
+    val prefix = slice(col("ws"), lit(1), col("lo"))
+    val middle = slice(col("ws"), col("lo") + 1, col("hi") - col("lo"))
+    val suffix =
+      slice(col("ws"), col("hi") + 1, col("n").cast("int") - col("hi"))
+    val psm = when(pmod(col("doc_id"), lit(2L)) === 0, true).otherwise(false)
+    base.select(col("doc_id"), col("n").as("n_tokens"),
+      when(!col("app"), lit("none"))
+        .when(psm, lit("psm")).otherwise(lit("spm")).as("fim_mode"),
+      when(col("app"), col("lo").cast("long")).otherwise(lit(0L))
+        .as("n_prefix"),
+      when(col("app"), (col("hi") - col("lo")).cast("long")).otherwise(lit(0L))
+        .as("n_middle"),
+      when(col("app"), col("n") - col("hi")).otherwise(lit(0L))
+        .as("n_suffix"),
+      array_join(
+        when(!col("app"), col("ws"))
+          .when(psm, concat(array(lit("<PRE>")), prefix,
+            array(lit("<SUF>")), suffix, array(lit("<MID>")), middle))
+          .otherwise(concat(array(lit("<SUF>")), suffix,
+            array(lit("<PRE>")), prefix, array(lit("<MID>")), middle)),
+        " ").as("fim_text"))
+  }
 }

@@ -23,6 +23,18 @@ object LlmQueries {
   /** dpo_pairs: prompt-group modulus (≈5 candidates/prompt at the
     * smallest SF — measured before pinning, the r8 rule). */
   private val DpoNPrompts = 97
+
+  /** retrieval_metrics: top-k depth and the query modulus (the ann
+    * gates' 1-in-50 sampling), plus the nDCG discount/prefix literal
+    * lists rendered from the SAME Scala formula the engine plan uses
+    * (ndcgDiscountsMicro — the calibrationWeights rule). */
+  private val RetrK = 10
+  private val RetrQMod = 50
+  private val retrDiscSql: String =
+    graft.llm.Similarity.ndcgDiscountsMicro(RetrK).mkString("[", ", ", "]")
+  private val retrPrefSql: String =
+    graft.llm.Similarity.ndcgDiscountsMicro(RetrK)
+      .scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
   /** vocab_coverage: top-V bigram-unit vocabulary (corpus has ~916
     * distinct bigrams → OOV spans ~8–76% across docs at V=400). */
   private val VocabCovSize = 400
@@ -2736,7 +2748,133 @@ object LlmQueries {
         |  CAST(abs(sp // n - (1000000 * np) // n) AS BIGINT) AS gap_micro,
         |  CAST(abs(sp // n - (1000000 * np) // n) * n AS BIGINT)
         |    AS ece_contrib_micro
-        |FROM a ORDER BY bin""".stripMargin))
+        |FROM a ORDER BY bin""".stripMargin)),
+
+    // ---- fill-in-the-middle transform (Bavarian et al. 2022): two
+    // content-hash cut points split each doc into prefix/middle/
+    // suffix, re-serialized PSM (even ids) / SPM (odd) with sentinel
+    // tokens, 60% fim rate — entirely row-local array expressions,
+    // scan speed (TextAnalysis.fimTransform) -------------------------
+    QDef("fim_transform", (s, dir) =>
+      graft.llm.TextAnalysis.fimTransform(Tables.load(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, text, $DuckToks AS ws FROM documents),
+        |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |    ${duckPoly("text")} AS h FROM tok),
+        |s AS (SELECT doc_id, ws, n,
+        |    (n >= 2 AND doc_id % 10 < 6) AS app,
+        |    h % (n + 1) AS a, (h // (n + 1)) % (n + 1) AS bb FROM b),
+        |c AS (SELECT doc_id, ws, n, app,
+        |    least(a, bb) AS lo, greatest(a, bb) AS hi FROM s)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN NOT app THEN 'none'
+        |       WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_mode,
+        |  CAST(CASE WHEN app THEN lo ELSE 0 END AS BIGINT) AS n_prefix,
+        |  CAST(CASE WHEN app THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+        |  CAST(CASE WHEN app THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix,
+        |  array_to_string(
+        |    CASE WHEN NOT app THEN ws
+        |         WHEN doc_id % 2 = 0 THEN ['<PRE>'] || ws[1 : lo]
+        |           || ['<SUF>'] || ws[hi + 1 : n]
+        |           || ['<MID>'] || ws[lo + 1 : hi]
+        |         ELSE ['<SUF>'] || ws[hi + 1 : n]
+        |           || ['<PRE>'] || ws[1 : lo]
+        |           || ['<MID>'] || ws[lo + 1 : hi] END, ' ') AS fim_text
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- embedding-space anisotropy / participation ratio
+    // (Ethayarajh '19): per-label covariance via ONE quantized
+    // second-moment pass (d² metadata rows), trace²/Frobenius at the
+    // end — the health check before trusting cosine thresholds
+    // (Similarity.embedAnisotropy) -----------------------------------
+    QDef("embed_anisotropy", (s, dir) =>
+      graft.llm.Similarity.embedAnisotropy(Tables.load(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH q AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label),
+        |m1 AS (SELECT label, i, sum(qs[i + 1]) AS s1
+        |  FROM q, range(0, 64) t(i) GROUP BY label, i),
+        |m2 AS (SELECT label, i, j, sum(qs[i + 1] * qs[j + 1]) AS s2
+        |  FROM q, range(0, 64) ti(i), range(0, 64) tj(j)
+        |  GROUP BY label, i, j),
+        |cov AS (SELECT m2.label, m2.i, m2.j, n,
+        |    CAST(n AS HUGEINT) * s2 - a.s1 * b.s1 AS cov_num
+        |  FROM m2 JOIN cnt USING (label)
+        |  JOIN m1 a ON a.label = m2.label AND a.i = m2.i
+        |  JOIN m1 b ON b.label = m2.label AND b.i = m2.j),
+        |sc AS (SELECT label, i, j, n,
+        |    CAST((CASE WHEN cov_num < 0 THEN -1 ELSE 1 END)
+        |      * (abs(cov_num) // (CAST(n AS HUGEINT) * n * 1000000))
+        |      AS BIGINT) AS cs
+        |  FROM cov),
+        |a2 AS (SELECT label, max(n) AS n,
+        |    CAST(sum(CASE WHEN i = j THEN cs ELSE 0 END) AS BIGINT)
+        |      AS tr_cov_micro,
+        |    CAST(sum(cs * cs) AS BIGINT) AS fro_cov
+        |  FROM sc GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n, tr_cov_micro, fro_cov,
+        |  CAST(CASE WHEN fro_cov = 0 THEN 0
+        |    ELSE floor(CAST(tr_cov_micro * tr_cov_micro AS DOUBLE)
+        |      / CAST(fro_cov AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
+        |  END AS BIGINT) AS pr_micro
+        |FROM a2 ORDER BY label""".stripMargin)),
+
+    // ---- ranked-retrieval eval metrics (nDCG@k / MRR / recall@k,
+    // label-agreement relevance): fold-exact cosine ranking, then
+    // ALL-BIGINT metric arithmetic over literal discount tables
+    // rendered from one Scala formula into both engines
+    // (Similarity.retrievalMetrics) ----------------------------------
+    QDef("retrieval_metrics", (s, dir) =>
+      graft.llm.Similarity.retrievalMetrics(Tables.load(s, dir, "embeddings"),
+          qMod = RetrQMod, k = RetrK)
+        .orderBy("q_vec_id"),
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+        |    c.vec_id AS n_vec_id, c.label AS n_label,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c
+        |    ON q.vec_id % $RetrQMod = 0 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT q_vec_id, q_label, n_vec_id, n_label,
+        |    CAST(row_number() OVER (PARTITION BY q_vec_id
+        |      ORDER BY cos DESC, n_vec_id) AS INT) AS rank
+        |  FROM p),
+        |t AS (SELECT * FROM r WHERE rank <= $RetrK),
+        |d AS (SELECT q_vec_id, q_label,
+        |    CAST(sum(CASE WHEN n_label = q_label
+        |      THEN list_extract($retrDiscSql, rank) ELSE 0 END) AS BIGINT)
+        |      AS dcg_micro,
+        |    min(CASE WHEN n_label = q_label THEN rank END) AS frr,
+        |    CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM t GROUP BY 1, 2),
+        |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+        |  FROM embeddings GROUP BY 1),
+        |e AS (SELECT q_vec_id, nl - 1 AS n_rel, hits, dcg_micro, frr,
+        |    CASE WHEN nl - 1 <= 0 THEN 0
+        |      ELSE list_extract($retrPrefSql,
+        |        CAST(least(nl - 1, $RetrK) AS INT)) END AS idcg
+        |  FROM d JOIN lc ON d.q_label = lc.label)
+        |SELECT q_vec_id, n_rel, hits, dcg_micro,
+        |  CAST(idcg AS BIGINT) AS idcg_micro,
+        |  CAST(CASE WHEN idcg = 0 THEN 0
+        |    ELSE (1000000 * dcg_micro) // idcg END AS BIGINT) AS ndcg_micro,
+        |  CAST(CASE WHEN frr IS NULL THEN 0
+        |    ELSE 1000000 // frr END AS BIGINT) AS mrr_micro,
+        |  CAST(CASE WHEN n_rel <= 0 THEN 0
+        |    ELSE (1000000 * hits) // n_rel END AS BIGINT) AS recall_micro
+        |FROM e ORDER BY q_vec_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = defs.map(d => d.name -> d.fn).toMap

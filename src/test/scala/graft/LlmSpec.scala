@@ -1619,4 +1619,81 @@ class LlmSpec extends SparkSpec {
       assert(m(p).getDouble(5) == 0.0)
     }
   }
+
+  test("fimTransform: sections splice back to the original tokens; PSM/SPM by id parity") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = graft.llm.TextAnalysis.fimTransform(docs, "text", "doc_id")
+      .collect()
+    val text = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    var applied = 0
+    rows.foreach { r =>
+      val (id, nTok, mode) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val (np, nm, ns) =
+        (r.getLong(3).toInt, r.getLong(4).toInt, r.getLong(5).toInt)
+      val toks = r.getString(6).split(" ").filter(_.nonEmpty).toVector
+      val orig = text(id).split(" ").filter(_.nonEmpty).toVector
+      if (mode == "none") assert(toks == orig, s"doc $id passthrough")
+      else {
+        applied += 1
+        assert(np + nm + ns == nTok.toInt, s"doc $id counts")
+        assert((id % 2 == 0) == (mode == "psm"), s"doc $id mode parity")
+        // sentinels sit exactly where the section counts place them
+        val (pre, suf, mid) = if (mode == "psm") {
+          assert(toks(0) == "<PRE>" && toks(1 + np) == "<SUF>" &&
+            toks(2 + np + ns) == "<MID>", s"doc $id sentinels")
+          (toks.slice(1, 1 + np), toks.slice(2 + np, 2 + np + ns),
+            toks.slice(3 + np + ns, 3 + np + ns + nm))
+        } else {
+          assert(toks(0) == "<SUF>" && toks(1 + ns) == "<PRE>" &&
+            toks(2 + ns + np) == "<MID>", s"doc $id sentinels")
+          (toks.slice(2 + ns, 2 + ns + np), toks.slice(1, 1 + ns),
+            toks.slice(3 + ns + np, 3 + ns + np + nm))
+        }
+        assert(pre ++ mid ++ suf == orig, s"doc $id reconstruction")
+      }
+    }
+    assert(applied > 0)
+  }
+
+  test("retrievalMetrics: hand ranking with cosine ties → exact DCG/MRR/recall; lone-label guard") {
+    import spark.implicits._
+    // all 1-D unit vectors → every cosine is 1.0, so rank = id order;
+    // query 0 (label 0) sees corpus 1,2,3,4,5,50 → top-3 = 1,2,3 with
+    // relevance 1,0,1; query 50 (label 9) has no same-label peer
+    val emb = Seq(
+      (0L, Array(1.0f), 0), (1L, Array(1.0f), 0), (2L, Array(1.0f), 1),
+      (3L, Array(1.0f), 0), (4L, Array(1.0f), 1), (5L, Array(1.0f), 1),
+      (50L, Array(1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity.retrievalMetrics(emb, qMod = 50, k = 3)
+      .orderBy("q_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // discounts(3) = [1000000, 630929, 500000]; dcg = ranks 1+3,
+    // idcg = prefix(min(n_rel=2, 3)) = 1630929, frr = 1, recall = 2/2
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1500000L, 1630929L,
+        1500000000000L / 1630929L, 1000000L, 1000000L),
+      (50L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("embedAnisotropy: isotropic 2-D cloud PR=2, collapsed PR=1, zero-variance guard") {
+    import spark.implicits._
+    val emb = Seq(
+      (Array(1.0f, 0.0f), 0), (Array(-1.0f, 0.0f), 0),
+      (Array(0.0f, 1.0f), 0), (Array(0.0f, -1.0f), 0),
+      (Array(1.0f, 0.0f), 1), (Array(-1.0f, 0.0f), 1),
+      (Array(0.5f, 0.0f), 2), (Array(0.5f, 0.0f), 2))
+      .toDF("embedding", "label")
+    val got = graft.llm.Similarity
+      .embedAnisotropy(emb, "embedding", "label", dim = 2)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 2000000L),   // variance even over both axes → PR 2
+      (1L, 2L, 1000000L),   // all variance on one axis → PR 1
+      (2L, 2L, 0L)))        // constant vectors: fro=0 guard row
+  }
 }

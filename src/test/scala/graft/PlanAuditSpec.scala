@@ -73,6 +73,10 @@ class PlanAuditSpec extends SparkSpec {
       "inequality condition — the anchor set is the broadcast side " +
       "(ann_topk_exact's shape); at scale the generator swaps to the " +
       "ivf/lsh probe path, label filter and top-k window unchanged"),
+    "retrieval_metrics" -> ("the retrieval under test IS ann_topk_exact's " +
+      "broadcast-query × corpus brute force (swap in the ivf/lsh candidate " +
+      "generator at scale, metrics unchanged); all metric arithmetic runs " +
+      "on |Q|·k rows plus a broadcast ≤|labels|-row total"),
     "dsir_weights" -> ("two broadcast 1-row crossJoins: the raw-corpus " +
       "(total, vocab) aggregate and the target-corpus token total — the " +
       "unigram_logprob LM-denominator pattern, twice"),
