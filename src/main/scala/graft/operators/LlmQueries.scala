@@ -30,6 +30,12 @@ object LlmQueries {
     * (ndcgDiscountsMicro — the calibrationWeights rule). */
   private val RetrK = 10
   private val RetrQMod = 50
+
+  /** fim_transform: documents FIM'd per 10 (Bavarian et al. use
+    * 50–90%; 6/10 sits in-range and leaves a passthrough population
+    * for the splice spec). Shared between the engine call and the
+    * oracle SQL (the mmrSql/span_corruption shared-constant rule). */
+  private val FimRate10 = 6
   private val retrDiscSql: String =
     graft.llm.Similarity.ndcgDiscountsMicro(RetrK).mkString("[", ", ", "]")
   private val retrPrefSql: String =
@@ -2757,13 +2763,13 @@ object LlmQueries {
     // scan speed (TextAnalysis.fimTransform) -------------------------
     QDef("fim_transform", (s, dir) =>
       graft.llm.TextAnalysis.fimTransform(Tables.load(s, dir, "documents"),
-          "text", "doc_id")
+          "text", "doc_id", fimRate10 = FimRate10)
         .orderBy("doc_id"),
       Some(s"""WITH tok AS (SELECT doc_id, text, $DuckToks AS ws FROM documents),
         |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
         |    ${duckPoly("text")} AS h FROM tok),
         |s AS (SELECT doc_id, ws, n,
-        |    (n >= 2 AND doc_id % 10 < 6) AS app,
+        |    (n >= 2 AND doc_id % 10 < $FimRate10) AS app,
         |    h % (n + 1) AS a, (h // (n + 1)) % (n + 1) AS bb FROM b),
         |c AS (SELECT doc_id, ws, n, app,
         |    least(a, bb) AS lo, greatest(a, bb) AS hi FROM s)

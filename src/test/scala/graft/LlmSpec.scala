@@ -1679,6 +1679,23 @@ class LlmSpec extends SparkSpec {
       (50L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("retrievalMetrics: metric invariants hold on the real embeddings table") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val nQueries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0).count()
+    val rows = graft.llm.Similarity.retrievalMetrics(emb, qMod = 50, k = 10)
+      .collect()
+    assert(rows.length == nQueries) // one row per query, none dropped
+    rows.foreach { r =>
+      val (nRel, hits, dcg, idcg) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (ndcg, mrr, recall) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(hits <= math.min(10L, nRel))
+      assert(dcg <= idcg) // binary gains: best placement bounds any
+      for (m <- Seq(ndcg, mrr, recall)) assert(m >= 0L && m <= 1000000L)
+      assert((mrr > 0) == (hits > 0))
+    }
+  }
+
   test("embedAnisotropy: isotropic 2-D cloud PR=2, collapsed PR=1, zero-variance guard") {
     import spark.implicits._
     val emb = Seq(

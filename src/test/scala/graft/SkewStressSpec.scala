@@ -155,4 +155,28 @@ class SkewStressSpec extends SparkSpec {
         Some(b + 1200000000L), 3)))
     }
   }
+
+  test("dpoPairs: a 10^4-candidate hot prompt reduces to one correct row") {
+    import spark.implicits._
+    // all ids ≡ 0 (mod 97) → ONE prompt group with 10^4 candidates;
+    // doc i has i%50+1 distinct of 100 tokens → TTR spread with heavy
+    // score ties, so the id tie-breaks are load-bearing too
+    val n = 10000
+    def text(i: Int): String =
+      (0 until 100).map(j => s"t${j % (i % 50 + 1)}").mkString(" ")
+    val docs = (0 until n).map(i => (i.toLong * 97L, text(i)))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Sampling.dpoPairs(docs, "text", "doc_id",
+      nPrompts = 97).collect()
+    assert(got.length == 1) // the hot prompt is still ONE output row
+    val r = got.head
+    // driver-side brute force on the same formula
+    val scored = (0 until n).map(i =>
+      (i.toLong * 97L, 1000000L * (i % 50 + 1) / 100L))
+    val best = scored.maxBy { case (id, s) => (s, -id) }
+    val worst = scored.minBy { case (id, s) => (s, id) }
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((n.toLong, best._1, worst._1, best._2, worst._2, best._2 - worst._2)))
+  }
 }
