@@ -412,17 +412,19 @@ object Sampling {
     val P = 10000000000L // doc-id headroom under the packed score key
     val ws = graft.llm.TextAnalysis.tokens(col(textCol))
     val scored = df
-      .select((col(idCol) % nPrompts).as("prompt_id"),
-        // out-of-headroom ids FAIL the job rather than silently
-        // dropping or mis-pairing (the docstring's loud-failure claim)
-        when(col(idCol) >= 0 && col(idCol) < P, col(idCol))
-          .otherwise(raise_error(concat(
-            lit("dpoPairs: doc_id outside packed-key headroom [0, 1e10): "),
-            col(idCol).cast("string")))).as("doc_id"),
+      .select((col(idCol) % nPrompts).as("prompt_id"), col(idCol).as("doc_id"),
         size(ws).cast("long").as("n_tokens"),
         size(array_distinct(ws)).cast("long").as("n_distinct"))
       .filter(col("n_tokens") > 0)
-      .select(col("prompt_id"), col("doc_id"),
+      // out-of-headroom ids FAIL the job rather than silently dropping
+      // or mis-pairing (the docstring's loud-failure claim) — guarded
+      // AFTER the token filter, so only ids that would actually enter
+      // the packed keys can trip it (a zero-token doc never pairs)
+      .select(col("prompt_id"),
+        when(col("doc_id") >= 0 && col("doc_id") < P, col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("dpoPairs: doc_id outside packed-key headroom [0, 1e10): "),
+            col("doc_id").cast("string")))).as("doc_id"),
         expr("(1000000 * n_distinct) div n_tokens").as("score_micro"))
     val agg = scored.groupBy("prompt_id").agg(
       count(lit(1)).as("n_candidates"),

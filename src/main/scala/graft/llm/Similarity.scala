@@ -803,6 +803,13 @@ object Similarity {
     (1 to k).map(r =>
       math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
 
+  /** Prefix sums of [[ndcgDiscountsMicro]] — the IDCG table (index m
+    * = best possible DCG with m relevant docs). ONE derivation shared
+    * by the engine plan and the oracle-SQL renderer, so the two IDCG
+    * tables can never drift apart. */
+  def ndcgPrefixMicro(k: Int): Seq[Long] =
+    ndcgDiscountsMicro(k).scanLeft(0L)(_ + _).tail
+
   /** Ranked-retrieval evaluation metrics (nDCG@k, MRR, recall@k) for
     * an embedding index: every `qMod`-th vector becomes a query, the
     * retrieval under test is exact cosine top-k, and relevance is
@@ -823,10 +830,8 @@ object Similarity {
     * totals ride a broadcast ≤|labels|-row frame.
     */
   def retrievalMetrics(emb: DataFrame, qMod: Int, k: Int): DataFrame = {
-    val disc = ndcgDiscountsMicro(k)
-    val prefix = disc.scanLeft(0L)(_ + _).tail
-    val discCol = array(disc.map(lit): _*)
-    val prefCol = array(prefix.map(lit): _*)
+    val discCol = array(ndcgDiscountsMicro(k).map(lit): _*)
+    val prefCol = array(ndcgPrefixMicro(k).map(lit): _*)
     val topk = bruteForcePairs(
       emb.filter(pmod(col("vec_id"), lit(qMod.toLong)) === 0), emb, k,
       Seq("label" -> "q_label"), Seq("label" -> "n_label"),
@@ -886,18 +891,33 @@ object Similarity {
     val q = emb.select(col(labelCol).cast("long").as("label"),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1000000.0))).as("qs"))
-    val cnt = q.groupBy("label").agg(count(lit(1)).as("n"))
-    val m1 = q.select(col("label"), posexplode(col("qs")))
-      .toDF("label", "i", "qi")
-      .groupBy("label", "i")
-      .agg(sum(col("qi").cast("decimal(38,0)")).as("s1"))
-    val m2 = q.select(col("label"), posexplode(flatten(
-        transform(col("qs"), qi => transform(col("qs"), qj => qi * qj)))))
-      .toDF("label", "idx", "p")
+    // ONE corpus pass: each row contributes its flattened d² outer
+    // product PLUS its d raw components through a single posexplode;
+    // the (label, idx)-key aggregation with map-side combine reduces
+    // everything to (d²+d)·|labels| metadata rows, localCheckpoint'd
+    // so the three readers below never re-run the scan (Catalyst does
+    // not CSE shared subtrees). The long qi·qj products bound the
+    // value domain to |x| ≲ 3·10³ (q·q < 2⁶³) — far above any
+    // normalized embedding — and past it BOTH engines fail loudly
+    // (ANSI multiply overflow here, BIGINT overflow in the oracle).
+    val d2 = dim * dim
+    val moments = q.select(col("label"), posexplode(concat(
+        flatten(transform(col("qs"),
+          qi => transform(col("qs"), qj => qi * qj))),
+        col("qs"))))
+      .toDF("label", "idx", "v")
+      .groupBy("label", "idx")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cnt = moments.filter(col("idx") === d2)
+      .select(col("label"), col("cnt").as("n"))
+    val m1 = moments.filter(col("idx") >= d2)
+      .select(col("label"), (col("idx") - d2).cast("long").as("i"),
+        col("s").as("s1"))
+    val m2 = moments.filter(col("idx") < d2)
       .select(col("label"), expr(s"idx div $dim").as("i"),
-        pmod(col("idx"), lit(dim)).cast("long").as("j"), col("p"))
-      .groupBy("label", "i", "j")
-      .agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
+        pmod(col("idx"), lit(dim)).cast("long").as("j"), col("s").as("s2"))
     val cov = m2
       .join(broadcast(cnt), Seq("label"))
       .join(broadcast(m1.select(col("label"), col("i").cast("long").as("i"),
@@ -915,12 +935,16 @@ object Similarity {
       .agg(max("n").as("n"),
         sum(when(col("i") === col("j"), col("cs")).otherwise(lit(0L)))
           .as("tr_cov_micro"),
-        sum((col("cs") * col("cs")).cast("decimal(38,0)")).cast("long")
+        // factor-cast BEFORE the square (these frames are
+        // metadata-scale, so decimal cost is irrelevant); the final
+        // long output is bounded by the documented value domain
+        sum(col("cs").cast("decimal(38,0)") * col("cs")).cast("long")
           .as("fro_cov"))
       .select(col("label"), col("n"), col("tr_cov_micro"), col("fro_cov"),
         when(col("fro_cov") === 0, lit(0L))
           .otherwise(floor(
-            (col("tr_cov_micro") * col("tr_cov_micro")).cast("double")
+            col("tr_cov_micro").cast("double")
+              * col("tr_cov_micro").cast("double")
               / col("fro_cov").cast("double") * lit(1000000.0))
             .cast("long"))
           .as("pr_micro"))

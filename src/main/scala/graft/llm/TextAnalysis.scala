@@ -1432,8 +1432,10 @@ object TextAnalysis {
         tokens(col(textCol)).as("ws"),
         graft.functions.PolyHash(col(textCol)).as("h"))
       .withColumn("n", size(col("ws")).cast("long"))
+      // % (not pmod): Spark's Remainder shares DuckDB's truncation
+      // sign rule, so the oracle predicate agrees even for negative ids
       .withColumn("app",
-        col("n") >= 2 && pmod(col("doc_id"), lit(10L)) < fimRate10)
+        col("n") >= 2 && col("doc_id") % 10L < fimRate10)
       .withColumn("a", pmod(col("h"), col("n") + 1L))
       .withColumn("b", pmod(expr("h div (n + 1)"), col("n") + 1L))
       .withColumn("lo", least(col("a"), col("b")).cast("int"))
@@ -1442,7 +1444,7 @@ object TextAnalysis {
     val middle = slice(col("ws"), col("lo") + 1, col("hi") - col("lo"))
     val suffix =
       slice(col("ws"), col("hi") + 1, col("n").cast("int") - col("hi"))
-    val psm = when(pmod(col("doc_id"), lit(2L)) === 0, true).otherwise(false)
+    val psm = col("doc_id") % 2L === 0
     base.select(col("doc_id"), col("n").as("n_tokens"),
       when(!col("app"), lit("none"))
         .when(psm, lit("psm")).otherwise(lit("spm")).as("fim_mode"),

@@ -39,8 +39,7 @@ object LlmQueries {
   private val retrDiscSql: String =
     graft.llm.Similarity.ndcgDiscountsMicro(RetrK).mkString("[", ", ", "]")
   private val retrPrefSql: String =
-    graft.llm.Similarity.ndcgDiscountsMicro(RetrK)
-      .scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
+    graft.llm.Similarity.ndcgPrefixMicro(RetrK).mkString("[", ", ", "]")
   /** vocab_coverage: top-V bigram-unit vocabulary (corpus has ~916
     * distinct bigrams → OOV spans ~8–76% across docs at V=400). */
   private val VocabCovSize = 400
@@ -2822,11 +2821,12 @@ object LlmQueries {
         |a2 AS (SELECT label, max(n) AS n,
         |    CAST(sum(CASE WHEN i = j THEN cs ELSE 0 END) AS BIGINT)
         |      AS tr_cov_micro,
-        |    CAST(sum(cs * cs) AS BIGINT) AS fro_cov
+        |    CAST(sum(CAST(cs AS HUGEINT) * cs) AS BIGINT) AS fro_cov
         |  FROM sc GROUP BY label)
         |SELECT CAST(label AS BIGINT) AS label, n, tr_cov_micro, fro_cov,
         |  CAST(CASE WHEN fro_cov = 0 THEN 0
-        |    ELSE floor(CAST(tr_cov_micro * tr_cov_micro AS DOUBLE)
+        |    ELSE floor(CAST(tr_cov_micro AS DOUBLE)
+        |      * CAST(tr_cov_micro AS DOUBLE)
         |      / CAST(fro_cov AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
         |  END AS BIGINT) AS pr_micro
         |FROM a2 ORDER BY label""".stripMargin)),

@@ -1557,6 +1557,13 @@ class LlmSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("headroom")))
+    // a ZERO-TOKEN doc with a bad id never enters the packed keys, so
+    // it must NOT trip the guard (the guard sits after the token
+    // filter, mirroring the oracle's WHERE len(ws) > 0)
+    val zeroTok = Seq((10000000000L, ""), (1L, "a a"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Sampling.dpoPairs(zeroTok, "text", "doc_id",
+      nPrompts = 1).count() == 1L)
   }
 
   test("vocabCoverage: top-V tie-break unit-asc; OOV counts instances; short docs zero") {
