@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** One-pass quantized moment vector of an embedding: ×10⁶
+  * floor-quantize each component to BIGINT, then emit the flattened
+  * UPPER TRIANGLE (row-major, i ≤ j) of the d×d outer product
+  * FOLLOWED by the d raw quantized components — an array of
+  * d(d+1)/2 + d longs whose posexplode feeds the single (label, idx)
+  * covariance aggregation of
+  * [[graft.llm.Similarity.embedAnisotropy]]. The lower triangle is
+  * redundant by exact symmetry (q_i·q_j = q_j·q_i term-for-term, so
+  * the aggregated S_ij and every derived covariance are bit-equal) —
+  * emitting half the entries halves the explode+aggregate volume,
+  * and the consumer doubles off-diagonal Frobenius terms.
+  *
+  * Native for the usual reason (the WinnowKeys/WordSpans precedent):
+  * the equivalent `concat(flatten(transform(qs, qi -> transform(qs,
+  * qj -> qi*qj))), qs)` chain evaluates d² interpreted lambda calls
+  * per row — measured 5.7 s at sf0.1 vs scan speed here. Products use
+  * multiplyExact so overflow past the documented |x| ≲ 3·10³ value
+  * domain fails LOUDLY, matching Spark's ANSI multiply and the
+  * oracle's BIGINT overflow.
+  */
+case class OuterMoments(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "outer_moments"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(input: Any): Any =
+    OuterMoments.compute(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = OuterMoments.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $helper.compute($c, $elemIsFloat);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OuterMoments =
+    copy(child = newChild)
+}
+
+object OuterMoments {
+
+  /** Quantize, then [q_i·q_j for i ≤ j, row-major] ++ [q_i].
+    * Null element ⇒ null result (the VectorDot convention).
+    */
+  def compute(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      q(i) = math.floor(x * 1000000.0).toLong
+      i += 1
+    }
+    val tri = n * (n + 1) / 2
+    val out = new Array[Long](tri + n)
+    var p = 0
+    i = 0
+    while (i < n) {
+      val qi = q(i)
+      var j = i
+      while (j < n) {
+        out(p) = Math.multiplyExact(qi, q(j))
+        p += 1
+        j += 1
+      }
+      out(tri + i) = qi
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def apply(v: Column): Column =
+    bridge.column(OuterMoments(bridge.expression(v)))
+}
