@@ -1406,6 +1406,58 @@ object TextAnalysis {
           .as("oov_micro"))
   }
 
+  /** Corpus drift between two snapshots as a population-stability
+    * index (PSI = Σ (p−q)·ln(p/q), the standard model-monitoring
+    * drift score): per group, documents bucket by token-count band
+    * and the two snapshots' bucket distributions are compared with
+    * add-1 smoothing over the union of observed buckets. PSI ≈ 0 —
+    * same distribution; > 0.2 by convention — retrain-worthy shift.
+    * The pre-training-refresh health check corpus_diff (what changed)
+    * doesn't give: HOW MUCH the shape moved.
+    *
+    * Determinism: counts are exact BIGINT; each bucket needs exactly
+    * ONE ln of a ratio of factor-cast doubles, floor-quantized to
+    * micro units immediately (the unigram_logprob/dsir discipline —
+    * quantization absorbs libm ULP drift), and the per-bucket
+    * contribution is floor((p−q)·ln_micro) — integers from there on.
+    *
+    * Scale shape: two bounded-key counts (group × ≤maxBucket+1
+    * buckets), one full-outer merge on that metadata-scale grid, per-
+    * group totals broadcast back. Corpus text never shuffles; output
+    * is |groups| rows.
+    */
+  def corpusDriftPsi(ref: DataFrame, cur: DataFrame, textCol: String,
+      groupCol: String, bucketWidth: Int = 10, maxBucket: Int = 9): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .select(col(groupCol).as("grp"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .select(col("grp"),
+        expr(s"least(n_tok div $bucketWidth, ${maxBucket}L)").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as(out))
+    val j = counts(ref, "a").join(counts(cur, "b"),
+        Seq("grp", "bucket"), "full_outer")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val totals = j.groupBy("grp").agg(sum("a").as("ta"), sum("b").as("tb"),
+      count(lit(1)).as("k"))
+    val pn = (col("a") + 1).cast("double")
+    val qn = (col("b") + 1).cast("double")
+    val pd = (col("ta") + col("k")).cast("double")
+    val qd = (col("tb") + col("k")).cast("double")
+    val lnMicro = floor(log((pn * qd) / (qn * pd)) * lit(1000000.0))
+      .cast("long")
+    j.join(broadcast(totals), Seq("grp"))
+      .select(col("grp"), col("ta"), col("tb"), col("k"),
+        floor((pn / pd - qn / qd) * lnMicro.cast("double")).cast("long")
+          .as("contrib_micro"))
+      .groupBy("grp")
+      .agg(max("ta").as("n_ref"), max("tb").as("n_cur"),
+        max("k").as("n_buckets"), sum("contrib_micro").as("psi_micro"))
+      .select(col("grp").as(groupCol), col("n_ref"), col("n_cur"),
+        col("n_buckets"), col("psi_micro"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): split each
     * document's token stream at two deterministic points into

@@ -31,6 +31,11 @@ object LlmQueries {
   private val RetrK = 10
   private val RetrQMod = 50
 
+  /** corpus_drift_psi: token-count bucket width / cap (10-99-token
+    * docs at every SF → 9 occupied bands, measured before pinning). */
+  private val PsiBucketWidth = 10
+  private val PsiMaxBucket = 9
+
   /** fim_transform: documents FIM'd per 10 (Bavarian et al. use
     * 50–90%; 6/10 sits in-range and leaves a passthrough population
     * for the splice spec). Shared between the engine call and the
@@ -2830,6 +2835,50 @@ object LlmQueries {
         |      / CAST(fro_cov AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
         |  END AS BIGINT) AS pr_micro
         |FROM a2 ORDER BY label""".stripMargin)),
+
+    // ---- corpus drift as a population-stability index (PSI): two
+    // snapshot halves (doc_id parity), token-band bucket
+    // distributions per source, add-1 smoothing over observed
+    // buckets; one quantized ln per (source, bucket), integers after
+    // (TextAnalysis.corpusDriftPsi) ----------------------------------
+    QDef("corpus_drift_psi", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.llm.TextAnalysis.corpusDriftPsi(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "source",
+          bucketWidth = PsiBucketWidth, maxBucket = PsiMaxBucket)
+        .orderBy("source")
+    },
+      Some(s"""WITH tok AS (SELECT source AS grp, doc_id,
+        |    least(CAST(len($DuckToks) AS BIGINT) // $PsiBucketWidth,
+        |      $PsiMaxBucket) AS bucket
+        |  FROM documents),
+        |a AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS a
+        |  FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS b
+        |  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(a.grp, b.grp) AS grp,
+        |    coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(a.a, 0) AS a, coalesce(b.b, 0) AS b
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.grp = b.grp AND a.bucket = b.bucket),
+        |t AS (SELECT grp, CAST(sum(a) AS BIGINT) AS ta,
+        |    CAST(sum(b) AS BIGINT) AS tb,
+        |    CAST(count(*) AS BIGINT) AS k FROM j GROUP BY 1),
+        |c AS (SELECT j.grp, ta, tb, k,
+        |    CAST(floor((CAST(a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+        |        - CAST(b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+        |      * CAST(CAST(floor(ln(
+        |          (CAST(a + 1 AS DOUBLE) * CAST(tb + k AS DOUBLE))
+        |          / (CAST(b + 1 AS DOUBLE) * CAST(ta + k AS DOUBLE)))
+        |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS DOUBLE))
+        |      AS BIGINT) AS contrib
+        |  FROM j JOIN t ON j.grp = t.grp)
+        |SELECT grp AS source, max(ta) AS n_ref, max(tb) AS n_cur,
+        |  max(k) AS n_buckets,
+        |  CAST(sum(contrib) AS BIGINT) AS psi_micro
+        |FROM c GROUP BY grp ORDER BY source""".stripMargin)),
 
     // ---- ranked-retrieval eval metrics (nDCG@k / MRR / recall@k,
     // label-agreement relevance): fold-exact cosine ranking, then

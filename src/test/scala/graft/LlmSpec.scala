@@ -1664,6 +1664,33 @@ class LlmSpec extends SparkSpec {
     assert(applied > 0)
   }
 
+  test("corpusDriftPsi: identical snapshots score exactly 0; a full band shift is positive and formula-exact") {
+    import spark.implicits._
+    def text(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val ref = Seq(("same", text(15)), ("shift", text(15)))
+      .toDF("src", "text")
+    val cur = Seq(("same", text(15)), ("shift", text(95)))
+      .toDF("src", "text")
+    val got = graft.llm.TextAnalysis
+      .corpusDriftPsi(ref, cur, "text", "src")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // replay of the pinned contribution formula for the shifted source
+    // (buckets {1, 9} observed, one doc per half)
+    def contrib(a: Long, b: Long, ta: Long, tb: Long, k: Long): Long = {
+      val pn = (a + 1).toDouble; val qn = (b + 1).toDouble
+      val pd = (ta + k).toDouble; val qd = (tb + k).toDouble
+      val lnM = math.floor(math.log((pn * qd) / (qn * pd)) * 1000000.0)
+      math.floor((pn / pd - qn / qd) * lnM).toLong
+    }
+    val expShift = contrib(1, 0, 1, 1, 2) + contrib(0, 1, 1, 1, 2)
+    assert(expShift > 400000L) // a total band swap is a LARGE psi
+    assert(got.toSeq == Seq(
+      ("same", 1L, 1L, 1L, 0L),          // p == q in every bucket → 0
+      ("shift", 1L, 1L, 2L, expShift)))
+  }
+
   test("retrievalMetrics: hand ranking with cosine ties → exact DCG/MRR/recall; lone-label guard") {
     import spark.implicits._
     // all 1-D unit vectors → every cosine is 1.0, so rank = id order;
