@@ -1434,11 +1434,16 @@ object TextAnalysis {
       .select(col("grp"),
         expr(s"least(n_tok div $bucketWidth, ${maxBucket}L)").as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as(out))
+    // the grid is ≤|groups|·(maxBucket+1) rows — localCheckpoint it so
+    // its two readers (totals, contributions) don't re-run the corpus
+    // counts (Catalyst does not CSE shared subtrees: without the cut
+    // the plan scans each snapshot twice)
     val j = counts(ref, "a").join(counts(cur, "b"),
         Seq("grp", "bucket"), "full_outer")
       .select(col("grp"), col("bucket"),
         coalesce(col("a"), lit(0L)).as("a"),
         coalesce(col("b"), lit(0L)).as("b"))
+      .localCheckpoint()
     val totals = j.groupBy("grp").agg(sum("a").as("ta"), sum("b").as("tb"),
       count(lit(1)).as("k"))
     val pn = (col("a") + 1).cast("double")
