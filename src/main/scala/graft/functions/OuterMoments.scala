@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** One-pass quantized moment vector of an embedding: ×10⁶
   * floor-quantize each component to BIGINT, then emit the flattened
@@ -31,9 +32,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class OuterMoments(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "outer_moments"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"outer_moments expects array<float> or array<double>, got ${other.sql}")
+  }
 
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -43,10 +49,8 @@ case class OuterMoments(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = OuterMoments.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = $helper.compute($c, $elemIsFloat);
-       |${ev.isNull} = ${ev.value} == null;
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.compute($c, $elemIsFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): OuterMoments =
@@ -56,14 +60,18 @@ case class OuterMoments(child: Expression) extends UnaryExpression {
 object OuterMoments {
 
   /** Quantize, then [q_i·q_j for i ≤ j, row-major] ++ [q_i].
-    * Null element ⇒ null result (the VectorDot convention).
+    * A null element FAILS LOUDLY — silently dropping or nulling the
+    * row would desync the consumer's group count from an oracle that
+    * still counts it (embedAnisotropy's null contract).
     */
   def compute(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"outer_moments: null vector component at index $i")
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       q(i) = math.floor(x * 1000000.0).toLong
       i += 1

@@ -877,14 +877,19 @@ object Similarity {
     * (floor-vs-trunc portable), and trace/Frobenius are then plain
     * BIGINT sums. One double division at the very end.
     *
-    * Scale shape: the corpus reduces in ONE pass to d² second-moment
-    * rows per label (posexplode of the per-row outer product with
-    * map-side combine — partial state is d²·|labels| hash-agg
-    * entries per task, d=64 → 4 K keys); everything after runs on
-    * metadata-scale frames (d²·|labels| rows) over broadcast joins.
-    * Output is |labels| rows. For d ≫ 64 swap the flattened outer
-    * product for a two-level subspace reduce; at d=64 (SchemaPinSpec)
-    * the flat form is scan-bound.
+    * Scale shape: the corpus reduces in ONE pass to d(d+1)/2 + d
+    * moment rows per label (posexplode of the native OuterMoments
+    * upper-triangle vector with map-side combine — partial state is
+    * ~(d²/2)·|labels| hash-agg entries per task, d=64 → ~2.1 K keys);
+    * everything after runs on metadata-scale frames over broadcast
+    * joins. Output is |labels| rows. For d ≫ 64 swap the triangle
+    * emission for a two-level subspace reduce; at d=64
+    * (SchemaPinSpec) this form is scan-bound.
+    *
+    * Null contract: a null vector or null component fails the job
+    * loudly (never silently excluded — a dropped row would diverge
+    * from the oracle's count without signal); the embeddings table
+    * pins non-null vectors.
     */
   def embedAnisotropy(emb: DataFrame, vecCol: String, labelCol: String,
       dim: Int = 64): DataFrame = {
@@ -904,7 +909,13 @@ object Similarity {
     // oracle).
     val tri = dim * (dim + 1) / 2
     val moments = emb.select(col(labelCol).cast("long").as("label"),
-        posexplode(graft.functions.OuterMoments(col(vecCol))))
+        posexplode(graft.functions.OuterMoments(
+          // a null VECTOR fails loudly here; a null COMPONENT fails
+          // inside the expression — a silently dropped row would
+          // desync n from the oracle's count(*)
+          when(col(vecCol).isNotNull, col(vecCol))
+            .otherwise(raise_error(lit(
+              "embedAnisotropy: null embedding vector"))))))
       .toDF("label", "idx", "v")
       .groupBy("label", "idx")
       .agg(sum(col("v").cast("decimal(38,0)")).as("s"),

@@ -1746,5 +1746,14 @@ class LlmSpec extends SparkSpec {
       (0L, 4L, 2000000L),   // variance even over both axes → PR 2
       (1L, 2L, 1000000L),   // all variance on one axis → PR 1
       (2L, 2L, 0L)))        // constant vectors: fro=0 guard row
+    // null vectors and null components fail LOUDLY — a silently
+    // dropped row would desync n from the oracle's count(*)
+    val withNullVec = Seq((Some(Array(1.0f, 0.0f)), 0), (None, 0))
+      .toDF("embedding", "label")
+    assertThrows[Exception] {
+      graft.llm.Similarity
+        .embedAnisotropy(withNullVec, "embedding", "label", dim = 2)
+        .collect()
+    }
   }
 }
