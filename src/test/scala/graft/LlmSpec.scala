@@ -1662,6 +1662,18 @@ class LlmSpec extends SparkSpec {
       }
     }
     assert(applied > 0)
+    // edge token counts the corpus (10-99 tokens) never exercises:
+    // n=0/1 always pass through (even under an applying id), n=2 is
+    // the minimal applicable doc and still splices
+    import spark.implicits._
+    val tiny = Seq((0L, ""), (10L, "a"), (20L, "a b"))
+      .toDF("doc_id", "text")
+    val t = graft.llm.TextAnalysis.fimTransform(tiny, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(6)))
+    assert(t(0) == ((0L, 0L, "none", "")))
+    assert(t(1) == ((10L, 1L, "none", "a")))
+    assert(t(2)._3 == "psm" && t(2)._4.split(" ").count(_.nonEmpty) == 5)
   }
 
   test("corpusDriftPsi: identical snapshots score exactly 0; a full band shift is positive and formula-exact") {
