@@ -409,6 +409,12 @@ object Sampling {
     */
   def dpoPairs(df: DataFrame, textCol: String, idCol: String,
       nPrompts: Int, minMarginMicro: Long = 1L): DataFrame = {
+    // margin 0 would emit a degenerate pair for a fully score-tied
+    // prompt group: BOTH tie-breaks select the lowest doc_id, so
+    // chosen_doc == rejected_doc — require a decisive margin
+    require(minMarginMicro >= 1L,
+      s"dpoPairs: minMarginMicro must be >= 1 (a 0 margin pairs a " +
+        s"score-tied doc with itself), got $minMarginMicro")
     val P = 10000000000L // doc-id headroom under the packed score key
     val ws = graft.llm.TextAnalysis.tokens(col(textCol))
     val scored = df

@@ -771,6 +771,11 @@ object Similarity {
   def calibrationBins(emb: DataFrame, vecCol: String, labelCol: String,
       weights: Seq[Double], posMin: Int, bins: Int = 10,
       shift: Double = 2.0, scale: Double = 4.0): DataFrame = {
+    // bins must divide the 10⁶ micro grid: width = 10⁶/bins truncates,
+    // and for a non-divisor (3, 7, …) the residual mass would pile
+    // into the clamped last bin — the bins would not be equal-width
+    require(bins >= 1 && 1000000L % bins == 0,
+      s"calibrationBins: bins must divide 10^6 for equal-width bins, got $bins")
     val w = array(weights.map(lit): _*)
     val pred = least(greatest(
       (dot(col(vecCol), w) + lit(shift)) / lit(scale), lit(0.0)), lit(1.0))
@@ -961,7 +966,17 @@ object Similarity {
         // output is bounded by the documented value domain
         sum(col("cs").cast("decimal(38,0)") * col("cs")
           * when(col("i") === col("j"), lit(1)).otherwise(lit(2)))
-          .cast("long").as("fro_cov"))
+          .as("fro_dec"))
+      // guarded decimal→long: past the documented |x| ≲ 3·10³ domain
+      // the sum exceeds BIGINT, and a bare cast in a NON-ANSI session
+      // returns null silently while the oracle's HUGEINT→BIGINT cast
+      // fails loudly — guard so both engines fail loudly regardless of
+      // the session's ANSI setting (the multiplyExact discipline)
+      .select(col("label"), col("n"), col("tr_cov_micro"),
+        when(abs(col("fro_dec")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("embedAnisotropy: fro_cov exceeds BIGINT — " +
+            "input outside the documented value domain")))
+          .otherwise(col("fro_dec").cast("long")).as("fro_cov"))
       .select(col("label"), col("n"), col("tr_cov_micro"), col("fro_cov"),
         when(col("fro_cov") === 0, lit(0L))
           .otherwise(floor(

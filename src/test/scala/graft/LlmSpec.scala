@@ -1768,4 +1768,45 @@ class LlmSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("embedAnisotropy: fro_cov past BIGINT fails loudly, ANSI on or off") {
+    import spark.implicits._
+    // |x| = 3000 sits at the edge of the documented domain: the q·q
+    // products (9·10¹⁸) still fit BIGINT so OuterMoments passes, but
+    // the cs² Frobenius sum (~10²⁶) exceeds Long.MaxValue — the
+    // guarded cast must raise, never return a silent null pr_micro
+    val hot = Seq(
+      (Array(3000.0f, 3000.0f), 0), (Array(-3000.0f, -3000.0f), 0))
+      .toDF("embedding", "label")
+    val ex = intercept[Exception] {
+      graft.llm.Similarity
+        .embedAnisotropy(hot, "embedding", "label", dim = 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("BIGINT") || m.contains("multiplyExact") ||
+        m.contains("overflow") || m.contains("Overflow")))
+  }
+
+  test("guard requires: dpoPairs margin >= 1, calibrationBins divisor bins") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "c")).toDF("doc_id", "text")
+    // margin 0 would pair a fully score-tied doc with itself
+    assertThrows[IllegalArgumentException] {
+      graft.llm.Sampling.dpoPairs(docs, "text", "doc_id", nPrompts = 1,
+        minMarginMicro = 0L)
+    }
+    val emb = Seq((Array(0.0), 0)).toDF("embedding", "label")
+    // bins=7 doesn't divide 10^6 — truncated width would make the
+    // clamped last bin wider than the rest
+    assertThrows[IllegalArgumentException] {
+      graft.llm.Similarity.calibrationBins(emb, "embedding", "label",
+        weights = Seq(-1.0), posMin = 1, bins = 7)
+    }
+    // a divisor that is NOT 10 stays legal (8 divides 10^6)
+    assert(graft.llm.Similarity.calibrationBins(emb, "embedding", "label",
+      weights = Seq(-1.0), posMin = 1, bins = 8).count() == 1L)
+  }
 }
