@@ -19,6 +19,18 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // (broadcast threshold, analyzer flags) must not race concurrent
 // streaming/analysis in other suites
 Test / parallelExecution := false
+// ClusterDynamicSpec boots local-cluster[2,1,1024] (real separate
+// executor JVMs). Its workers resolve SPARK_HOME for executor work
+// dirs and the launcher classpath — point it at a repo-local skeleton
+// (jars symlinked to /opt/spark/jars, created by the spec) so nothing
+// is ever written into the read-only /opt/spark distribution.
+Test / envVars ++= Map(
+  "SPARK_HOME" ->
+    (baseDirectory.value / "target" / "spark-home").getAbsolutePath,
+  // the launcher's executor-command builder derives the Scala version
+  // from SPARK_HOME build dirs unless told — the skeleton has none
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
