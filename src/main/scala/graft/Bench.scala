@@ -74,6 +74,34 @@ object Bench {
     }
     // Locale.ROOT: a comma-decimal default locale would emit broken JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // Machine-readable host-contention index (VERDICT r9 #5): the
+    // median current/reference ratio over a PINNED sentinel set of ten
+    // trivial, never-optimized queries. Reference values are these
+    // queries' seconds in the committed round-9 BENCH_ENGINE_LAST.json
+    // driver window (itself adjudicated a uniform ~1.13x-contended
+    // window — the point is a FIXED reference, not an ideal one):
+    // noise_index ~= 1.0 means this window ran under the same host
+    // conditions as that reference; >1 means slower (external
+    // contention), so cross-round total comparisons can divide by it
+    // instead of re-deriving the window narrative each round. The
+    // sentinels span scan/filter, hash agg, broadcast join, regex,
+    // date math, sketch-union and a gap-fill window — none touched by
+    // optimization work since round 6, so a code regression in real
+    // operators does NOT move the index.
+    val noiseSentinels: Seq[(String, Double)] = Seq(
+      "q1_agg" -> 1.266, "join_inner" -> 0.999, "case_when" -> 0.298,
+      "date_funcs" -> 0.518, "string_funcs" -> 0.337, "agg_stats" -> 0.804,
+      "regex_extract" -> 0.571, "resample_gapfill" -> 0.681,
+      "sketch_hll_union" -> 0.584, "math_funcs" -> 0.937)
+    val resultMap = results.toMap
+    val noiseRatios = noiseSentinels.flatMap { case (n, ref) =>
+      resultMap.get(n).filter(_ > 0).map(_ / ref)
+    }.sorted
+    val noiseIndex =
+      if (noiseRatios.isEmpty) -1.0 // filtered run without sentinels
+      else if (noiseRatios.size % 2 == 1) noiseRatios(noiseRatios.size / 2)
+      else (noiseRatios(noiseRatios.size / 2 - 1)
+        + noiseRatios(noiseRatios.size / 2)) / 2.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -84,7 +112,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""n_measured":${results.count(_._2 >= 0)},"n_failed":${failedQs.size},""" +
-        s""""failed":[${failedQs.mkString(",")}],"sf":"$sfDir"}"""
+        s""""failed":[${failedQs.mkString(",")}],""" +
+        s""""noise_index":${fmt(noiseIndex)},"noise_n":${noiseRatios.size},""" +
+        s""""sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the
     // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus a
     // file sink as a parse-proof channel. The file ALWAYS lands (default
