@@ -887,9 +887,12 @@ object Similarity {
     * upper-triangle vector with map-side combine — partial state is
     * ~(d²/2)·|labels| hash-agg entries per task, d=64 → ~2.1 K keys);
     * everything after runs on metadata-scale frames over broadcast
-    * joins. Output is |labels| rows. For d ≫ 64 swap the triangle
-    * emission for a two-level subspace reduce; at d=64
-    * (SchemaPinSpec) this form is scan-bound.
+    * joins. Output is |labels| rows. This single-level form is
+    * correct at ANY d; the two-level subspace-reduce swap becomes
+    * worthwhile only when d²·|labels| partial-agg keys outgrow the
+    * executor hash-agg budget (~d ≥ 1024 at 10 labels — decision
+    * record in PLANS.md). At d=64 (SchemaPinSpec) this form is
+    * scan-bound.
     *
     * Null contract: a null vector or null component fails the job
     * loudly (never silently excluded — a dropped row would diverge
