@@ -201,6 +201,36 @@ class ClusterDynamicSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline DSL scalaCompute stage runs on the cluster (DAG executor's shipping path)") {
+    // the reference's production shape: a declared pipeline whose
+    // dynamic stage is compiled and shipped BY THE DAG EXECUTOR
+    // (Stages.DynamicCompute → compileCached → shipTo), not by test
+    // code calling the compiler directly — proven here across the
+    // process boundary with the wordcount golden. The udf forces a
+    // runtime-compiled lambda class into the executor classloaders.
+    import graft.pipeline.{Connection, Pipeline, PipelineSpec, StageSpec}
+    val in = Files.createTempDirectory("graft-cluster-pipe").resolve("in")
+    lines.coalesce(2).write.parquet(in.toString)
+    val code =
+      """def transform(df: DataFrame): DataFrame = {
+        |  val tag = udf((w: String) => w + ":" + (ProcessHandle.current().pid() > 0))
+        |  df.select(explode(split(col("body"), "\\s+")).as("word"))
+        |    .withColumn("tagged", tag(col("word")))
+        |    .filter(col("tagged").endsWith(":true"))
+        |    .groupBy("word").count().withColumnRenamed("count", "n")
+        |}
+        |""".stripMargin
+    val spec = PipelineSpec(Seq(
+      StageSpec("src", "parquet", Map("path" -> in.toString)),
+      StageSpec("wc", "scalaCompute", Map("scalaCode" -> code)),
+      StageSpec("srt", "sort", Map("columns" -> "n DESC, word"))),
+      Seq(Connection("src", "wc"), Connection("wc", "srt")))
+    val got = new Pipeline(spec).run(spark)("srt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val golden = Map("Line" -> 10L) ++ (0 until 10).map(i => i.toString -> 1L)
+    assert(got == golden)
+  }
+
   test("bare-RDD closure ships through the addJar channel cross-JVM") {
     // shipTo's SECOND channel: Spark 4 runs bare-RDD jobs under the
     // non-isolated classloader that sees sparkContext.addJar jars but
