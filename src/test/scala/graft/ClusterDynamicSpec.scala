@@ -231,6 +231,34 @@ class ClusterDynamicSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == golden)
   }
 
+  test("stateful streaming op runs with executor-side state stores cross-JVM") {
+    // the streaming family's cross-JVM proof: within-watermark dedup
+    // keeps its dedup state in per-partition state stores INSIDE the
+    // executor processes (local[*] never exercises that boundary).
+    // The harness writes every row twice; any state loss across the
+    // two executor JVMs would double counts and fail the exact
+    // row-set assertion.
+    import graft.streaming.StreamStages
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-cluster-stream")
+    val ev = (0L until 500L)
+      .map(i => (i, new java.sql.Timestamp(1704067200000L + i * 60000L)))
+      .toDF("event_id", "ets")
+    ev.coalesce(2).write.mode("overwrite").parquet(s"$base/in")
+    ev.coalesce(2).write.mode("append").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val src = StreamStages.fileSource(spark, "parquet", s"$base/in", schema.json)
+    val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
+      Seq("event_id"))
+    StreamStages.withGateConf(spark, StreamStages.SkipNoDataBatch) {
+      StreamStages.runToMemory(deduped, "cluster_sdedup")
+    }
+    val got = spark.table("cluster_sdedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 500L))
+  }
+
   test("bare-RDD closure ships through the addJar channel cross-JVM") {
     // shipTo's SECOND channel: Spark 4 runs bare-RDD jobs under the
     // non-isolated classloader that sees sparkContext.addJar jars but
