@@ -420,8 +420,18 @@ object Similarity {
     val codeCols = fits.zipWithIndex.map { case (cents, s) =>
       assignExpr(cents, slice(col("nv"), s * subDim + 1, subDim)).as(s"code$s")
     }
+    // lineage cut so the scan really does read ONLY (cell, id, codes):
+    // left lazy, the per-row assignExpr trees (nSub·codeK VectorDots
+    // with literal codewords) collapse INTO the fused scan/window
+    // stage downstream and get re-evaluated per JOIN-OUTPUT row —
+    // measured at 10× sf0.1-equivalent (N=20k, 2.4M candidate rows):
+    // 99 s for the scan stage vs 3.0 s with codes materialized
+    // (ScaleAnn ivfpq_stages bisect, r10). The cut is N rows × nSub
+    // small ints — the compressed table IS the thing PQ exists to
+    // materialize.
     val codes = normed.select(
       col("vec_id").as("n_vec_id") +: col("label").as("cell") +: codeCols: _*)
+      .localCheckpoint()
 
     // coarse probe list (exact per-cell centroid means, as ivfTopK)
     val comps = (0 until dim).map { i =>
