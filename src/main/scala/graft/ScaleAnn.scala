@@ -51,6 +51,9 @@ object ScaleAnn {
       // probe/ADC/rerank) — isolates which half carries the growth
       "pq_codes" -> (() => Similarity.pqCodes(emb, nSub = 4, k = 8,
         iters = 1)),
+      // init-only fit (no Lloyd iteration): isolates the iteration cost
+      "pq_codes0" -> (() => Similarity.pqCodes(emb, nSub = 4, k = 8,
+        iters = 0)),
       "embed_neardup_exact" -> (() =>
         Dedup.embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.4)),
       "embed_neardup_lsh" -> (() =>

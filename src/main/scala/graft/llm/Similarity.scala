@@ -261,9 +261,18 @@ object Similarity {
     require(cents.nonEmpty, "k-means needs a non-empty corpus")
 
     for (_ <- 1 to iters) {
-      val stats = v
-        .select(assignExpr(cents, col("v")).as("cluster"),
-          posexplode(col("v")))
+      // pin the assignment BEFORE the position explode: left lazy, the
+      // optimizer projects the k-way assignExpr tree ABOVE the
+      // Generate and re-evaluates it per POSITION row — dim× the
+      // assignment work (the ivfpq codes-frame lesson; measured on the
+      // multi form: one iteration 17.5 s → ~1 s at 10×
+      // sf0.1-equivalent, BASELINE r10). The pinned frame is
+      // N × (cluster, vector) — one small job per iteration.
+      val assigned = v
+        .select(assignExpr(cents, col("v")).as("cluster"), col("v"))
+        .localCheckpoint()
+      val stats = assigned
+        .select(col("cluster"), posexplode(col("v")))
         .groupBy("cluster", "pos")
         .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
           count(lit(1)).as("n"))
@@ -311,8 +320,14 @@ object Similarity {
       val clusterCol = (0 until nSub).foldLeft(lit(-1)) { (acc, s) =>
         when(col("s") === s, assignExpr(cents(s), col("sub"))).otherwise(acc)
       }
-      val stats = subRows
-        .select(col("s"), clusterCol.as("cluster"), posexplode(col("sub")))
+      // same pin as kMeansFit: without it the nSub-way nested
+      // assignment tree re-evaluates per POSITION row (subDim×
+      // amplification — the measured 17.5 s of a 19 s pq_codes run)
+      val assigned = subRows
+        .select(col("s"), clusterCol.as("cluster"), col("sub"))
+        .localCheckpoint()
+      val stats = assigned
+        .select(col("s"), col("cluster"), posexplode(col("sub")))
         .groupBy("s", "cluster", "pos")
         .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
           count(lit(1)).as("n"))
