@@ -31,6 +31,34 @@ Test / envVars ++= Map(
   // from SPARK_HOME build dirs unless told — the skeleton has none
   "SPARK_SCALA_VERSION" -> "2.13",
 )
+// graft.ClusterVerify (the cluster-parity sweep) boots the same
+// local-cluster master from `runMain` — same repo-local SPARK_HOME.
+// Harmless for the local[*] mains (Bench/Verify): local mode never
+// launches workers, and the skeleton is a valid mini-distribution
+// (RELEASE + conf/ + the real jars) for anything that does resolve it.
+run / envVars ++= Map(
+  "SPARK_HOME" ->
+    (baseDirectory.value / "target" / "spark-home").getAbsolutePath,
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
+// Materialize the skeleton from the BUILD, before any forked test JVM
+// starts (ADVICE r10: the env var above used to point every suite at a
+// dir only ClusterDynamicSpec created, with a machine-specific jars
+// path hardcoded in test code). The jars symlink targets unmanagedBase
+// — the same mount the classpath itself comes from. Runtime code paths
+// (graft.ClusterEnv) keep an idempotent classpath-derived fallback for
+// JVMs not launched through sbt.
+Test / testOptions += {
+  val home = (baseDirectory.value / "target" / "spark-home")
+  val jarsSource = unmanagedBase.value
+  Tests.Setup { () =>
+    IO.createDirectory(home / "conf")
+    IO.touch(home / "RELEASE")
+    val link = (home / "jars").toPath
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, jarsSource.toPath)
+  }
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

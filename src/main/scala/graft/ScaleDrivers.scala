@@ -30,8 +30,11 @@ import graft.llm.{Dedup, TextAnalysis}
 object ScaleDrivers {
 
   private def pairSum(postings: DataFrame, keyCol: String): Long =
+    // coalesce: sum over an EMPTY postings frame (a slice whose docs
+    // all fall under the shingle width) is NULL, not 0 (ADVICE r10)
     postings.groupBy(keyCol).agg(count(lit(1)).as("df"))
-      .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+      .head().getLong(0)
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -20,6 +20,31 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
+  /** Scoped localCheckpoint: materialize `df`, hand the checkpointed
+    * frame to `body`, then FREE its storage blocks once `body` is done
+    * (ADVICE r10 — the Lloyd loops otherwise accumulate one orphaned
+    * checkpoint per iteration for the life of the session).
+    *
+    * Library-caller contract for EVERY localCheckpoint in this file:
+    * it is EAGER (a job runs at call time, not at the first action)
+    * and NON-RELIABLE (blocks live in executor storage — losing an
+    * executor, e.g. under dynamic allocation, loses the lineage and
+    * fails downstream jobs; on clusters that need resilience, swap in
+    * `spark.sparkContext.setCheckpointDir` + `df.checkpoint()`). The
+    * iterative fits accept both: each iteration's frame is consumed
+    * within the iteration, and a lost block simply fails the fit
+    * loudly rather than corrupting it.
+    */
+  private def withScopedCheckpoint[T](df: DataFrame)(body: DataFrame => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    try body(cp)
+    finally sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   /** L2 norm, same fold. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -268,15 +293,16 @@ object Similarity {
       // multi form: one iteration 17.5 s → ~1 s at 10×
       // sf0.1-equivalent, BASELINE r10). The pinned frame is
       // N × (cluster, vector) — one small job per iteration.
-      val assigned = v
-        .select(assignExpr(cents, col("v")).as("cluster"), col("v"))
-        .localCheckpoint()
-      val stats = assigned
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
+      val stats = withScopedCheckpoint(
+        v.select(assignExpr(cents, col("v")).as("cluster"), col("v"))) {
+        assigned =>
+          assigned
+            .select(col("cluster"), posexplode(col("v")))
+            .groupBy("cluster", "pos")
+            .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
+              count(lit(1)).as("n"))
+            .collect()
+      }
       val byCluster = stats.groupBy(_.getInt(0))
       cents = cents.indices.map { j =>
         byCluster.get(j) match {
@@ -323,15 +349,16 @@ object Similarity {
       // same pin as kMeansFit: without it the nSub-way nested
       // assignment tree re-evaluates per POSITION row (subDim×
       // amplification — the measured 17.5 s of a 19 s pq_codes run)
-      val assigned = subRows
-        .select(col("s"), clusterCol.as("cluster"), col("sub"))
-        .localCheckpoint()
-      val stats = assigned
-        .select(col("s"), col("cluster"), posexplode(col("sub")))
-        .groupBy("s", "cluster", "pos")
-        .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
-          count(lit(1)).as("n"))
-        .collect()
+      val stats = withScopedCheckpoint(
+        subRows.select(col("s"), clusterCol.as("cluster"), col("sub"))) {
+        assigned =>
+          assigned
+            .select(col("s"), col("cluster"), posexplode(col("sub")))
+            .groupBy("s", "cluster", "pos")
+            .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
+              count(lit(1)).as("n"))
+            .collect()
+      }
       cents = (0 until nSub).map { s =>
         val byCluster = stats.filter(_.getInt(0) == s).groupBy(_.getInt(1))
         cents(s).indices.map { j =>
@@ -539,6 +566,11 @@ object Similarity {
     }
     var all = argmax(cands.withColumn("score", lit(lam) * col("rel")))
       .withColumn("mmr_rank", lit(1))
+    // same storage discipline as the Lloyd fits (ADVICE r10): each
+    // iteration's checkpoint is freed once the next one — which read
+    // it — has materialized; only `cands` and the final `all` survive.
+    val scCtx = cands.sparkSession.sparkContext
+    var prevIds: scala.collection.Set[Int] = Set.empty
     for (t <- 2 to k) {
       val pickedV = all.select(col("q_vec_id"), col("n_vec_id").as("p_id"))
         .join(vecs.select(col("n_vec_id").as("p_id"), col("cv").as("pv"),
@@ -554,7 +586,11 @@ object Similarity {
         .withColumn("mmr_rank", lit(t))
       // |Q|·t rows — checkpointing keeps step t+1 from re-running
       // steps 1..t (each step reads `all` twice)
+      val beforeIds = scCtx.getPersistentRDDs.keySet
       all = all.union(nxt).localCheckpoint()
+      prevIds.foreach(id =>
+        scCtx.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = scCtx.getPersistentRDDs.keySet -- beforeIds
     }
     all.select("q_vec_id", "mmr_rank", "n_vec_id", "score")
   }
@@ -1000,10 +1036,18 @@ object Similarity {
       // returns null silently while the oracle's HUGEINT→BIGINT cast
       // fails loudly — guard so both engines fail loudly regardless of
       // the session's ANSI setting (the multiplyExact discipline)
+      // null-first: far enough past the domain the DECIMAL(38,0) sum
+      // itself overflows and a non-ANSI session yields NULL — which
+      // would sail through the magnitude check below and silently
+      // null fro_cov (ADVICE r10). Decimal overflow must fail loudly
+      // too.
       .select(col("label"), col("n"), col("tr_cov_micro"),
-        when(abs(col("fro_dec")) > lit(Long.MaxValue).cast("decimal(38,0)"),
-          raise_error(lit("embedAnisotropy: fro_cov exceeds BIGINT — " +
+        when(col("fro_dec").isNull,
+          raise_error(lit("embedAnisotropy: fro_cov decimal overflow — " +
             "input outside the documented value domain")))
+          .when(abs(col("fro_dec")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+            raise_error(lit("embedAnisotropy: fro_cov exceeds BIGINT — " +
+              "input outside the documented value domain")))
           .otherwise(col("fro_dec").cast("long")).as("fro_cov"))
       .select(col("label"), col("n"), col("tr_cov_micro"), col("fro_cov"),
         when(col("fro_cov") === 0, lit(0L))

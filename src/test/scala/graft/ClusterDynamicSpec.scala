@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -38,25 +38,11 @@ class ClusterDynamicSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val driverPid = ProcessHandle.current().pid()
   private var spark: SparkSession = _
 
-  /** build.sbt points the forked test JVM's SPARK_HOME at
-    * target/spark-home so worker/executor scratch dirs land inside the
-    * repo; materialize the skeleton (jars symlink + the RELEASE marker
-    * the launcher's distribution check looks for) on first use.
-    */
-  private def ensureSparkHomeSkeleton(): Unit = {
-    val home = Paths.get(sys.env.getOrElse("SPARK_HOME", ""))
-    if (home.toString.endsWith("target/spark-home")) {
-      Files.createDirectories(home.resolve("conf"))
-      val release = home.resolve("RELEASE")
-      if (!Files.exists(release)) Files.createFile(release)
-      val jars = home.resolve("jars")
-      if (!Files.exists(jars))
-        Files.createSymbolicLink(jars, Paths.get("/opt/spark/jars"))
-    }
-  }
-
   override def beforeAll(): Unit = {
-    ensureSparkHomeSkeleton()
+    // build.sbt's Tests.Setup materializes the SPARK_HOME skeleton
+    // before any forked test JVM starts; this is the idempotent
+    // classpath-derived fallback for JVMs not launched through sbt.
+    ClusterEnv.ensureSparkHomeSkeleton()
     // one SparkContext per JVM: stop the suites' shared local[4]
     // context (later suites' getOrCreate rebuilds it — getOrCreate
     // discards sessions whose context is stopped)
