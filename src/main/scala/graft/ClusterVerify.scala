@@ -108,6 +108,21 @@ object ClusterVerify {
     }
   }
 
+  /** Gates that CANNOT run with executors in separate JVMs, with the
+    * reason in writing (they still run in phase A). The first sweep is
+    * itself the evidence for the one entry: the task failed with
+    * "Table/View 'CUST_GATE' does not exist" ON THE EXECUTOR — proof
+    * the JDBC scan executes executor-side, which is exactly why a
+    * driver-JVM-private database cannot back it.
+    */
+  val clusterExcluded: Map[String, String] = Map(
+    "source_jdbc_roundtrip" ->
+      ("embedded in-memory Derby lives in the driver JVM only (no derbynet " +
+        "jar in the distribution, and embedded Derby is single-booter by " +
+        "design); executor processes cannot see it. On a real cluster the " +
+        "JDBC URL targets a network database server reachable from every " +
+        "executor — the operator is cluster-native, the test fixture is not."))
+
   // JSON string escape (the Verify.jq discipline)
   private def jq(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -142,16 +157,28 @@ object ClusterVerify {
     // executor classpath (= a cluster's app assembly / --jars);
     // runtime-compiled gate code still ships via addArtifact/addJar.
     System.err.println(s"[cluster-verify] phase B: $clusterMaster")
+    // absolutize every classpath entry: executor JVMs launch in their
+    // own work dir, so a relative entry (e.g. target/scala-2.13/classes
+    // from a bare `java -cp` launch) silently drops the library from
+    // the executor classpath — the canonical SerializedLambda /
+    // DefaultSerializationProxy ClassCastException on every task whose
+    // plan closes over a library class
+    val execCp = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparatorChar)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
     val cluster = withSession(_.master(clusterMaster)
       .appName("graft-cluster-verify-cluster")
-      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.executor.extraClassPath", execCp)
       .config("spark.executor.extraJavaOptions",
         org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
-      .config("spark.sql.shuffle.partitions", "8"))(sweep(_, sfDir, names))
+      .config("spark.sql.shuffle.partitions", "8"))(
+      sweep(_, sfDir, names.filterNot(clusterExcluded.contains)))
 
-    val rows = names.map { n =>
+    val compared = names.filterNot(clusterExcluded.contains)
+    val rows = compared.map { n =>
       val l = local(n); val c = cluster(n)
       val matches = (l.sig, c.sig) match {
         case (Some(a), Some(b)) =>
@@ -177,9 +204,13 @@ object ClusterVerify {
     val failedCluster = rows.filter(_._4.sig.isEmpty).map(_._1)
     val failedLocal = rows.filter(_._3.sig.isEmpty).map(_._1)
 
+    val excludedJson = clusterExcluded
+      .filter { case (n, _) => names.contains(n) }
+      .map { case (n, why) => s"${jq(n)}: ${jq(why)}" }.mkString(", ")
     val json =
       s"""{"sf_dir": ${jq(sfDir)}, "cluster_master": ${jq(clusterMaster)},
-         |"total": ${names.size}, "match": $nMatch,
+         |"total": ${compared.size}, "match": $nMatch,
+         |"excluded": {$excludedJson},
          |"mismatch": [${mismatched.map(jq).mkString(", ")}],
          |"failed_local": [${failedLocal.map(jq).mkString(", ")}],
          |"failed_cluster": [${failedCluster.map(jq).mkString(", ")}],
@@ -190,7 +221,8 @@ object ClusterVerify {
          |}}
          |""".stripMargin
     Files.writeString(Paths.get(outPath), json)
-    System.err.println(s"[cluster-verify] $nMatch/${names.size} match — $outPath")
-    if (nMatch != names.size) sys.exit(1)
+    System.err.println(s"[cluster-verify] $nMatch/${compared.size} match " +
+      s"(${names.size - compared.size} excluded with reasons) — $outPath")
+    if (nMatch != compared.size) sys.exit(1)
   }
 }

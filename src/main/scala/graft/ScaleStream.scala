@@ -1,0 +1,186 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamStages
+
+/** Streaming-state scale curves (VERDICT r10 task 4): replay the
+  * `events` table of a ScaleGen slice through the three stateful
+  * streaming gates — within-watermark dedup, windowed agg, custom
+  * sessionization — and record wall time AND state-store size, so the
+  * "state is bounded by the watermark horizon / active keys / open
+  * windows" claims in StreamStages' docs become measured numbers
+  * across 1×→10×→50× of the sf0.1 event volume.
+  *
+  * State metrics come from the StreamingQueryProgress stateOperators
+  * section (numRowsTotal, memoryUsedBytes): the max across the run's
+  * micro-batches — the peak the store actually held. The RocksDB A/B
+  * rides the same `SPARK_GRAFT_STATE_PROVIDER` env knob every gate
+  * run honors (StreamStages.withGateConf), so provider numbers are
+  * measured on the exact gate semantics.
+  *
+  * Usage: ScaleStream <sliceDir> [gateCsv]
+  * Prints one JSON line per gate:
+  *   {"gate":…,"events":N,"secs":…,"out_rows":…,
+  *    "state_rows_max":…,"state_bytes_max":…,"provider":"hdfs|rocksdb"}
+  */
+object ScaleStream {
+
+  final case class Run(gate: String, events: Long, secs: Double,
+      outRows: Long, stateRowsMax: Long, stateBytesMax: Long)
+
+  private def stateMax(q: StreamingQuery): (Long, Long) = {
+    val ps = q.recentProgress
+    if (ps == null || ps.isEmpty) (0L, 0L)
+    else {
+      val rows = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsTotal)).foldLeft(0L)(math.max)
+      val bytes = ps.map(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.memoryUsedBytes).sum).foldLeft(0L)(math.max)
+      (rows, bytes)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(',').map(_.trim).toSet) else None
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = Tables.load(spark, dir, "events")
+    val nEvents = events.count()
+
+    def measure(gate: String)(body: () => (StreamingQuery, DataFrame)): Run = {
+      val t0 = System.nanoTime()
+      val (q, out) = body()
+      val outRows = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (sr, sb) = stateMax(q)
+      Run(gate, nEvents, secs, outRows, sr, sb)
+    }
+
+    // --- the three gate bodies, verbatim shapes from EngineQueries ---
+
+    def dedup() = measure("stream_dedup") { () =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sdedup")
+      val ev = events.select(col("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
+      ev.coalesce(4).write.mode("append").parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      val src = StreamStages.fileSource(spark, "parquet", s"$base/in", schema.json)
+      val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
+        Seq("event_id"))
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ets")).as("ts_us"))
+      val q = StreamStages.withGateConf(spark, StreamStages.SkipNoDataBatch) {
+        StreamStages.runToMemory(deduped, "scale_sdedup")
+      }
+      (q, spark.table("scale_sdedup"))
+    }
+
+    /** The eviction proof: the single-AvailableNow-batch replay above
+      * necessarily peaks at |keys in slice| (the watermark only
+      * advances AFTER the one data batch), so its curve measures
+      * worst-case state, not the operator's bound. Here the same
+      * doubled stream is range-partitioned by event time into 16 files
+      * replayed one per micro-batch — the watermark advances between
+      * batches and the store must EVICT: peak state ≈ one batch's keys
+      * + the 1-hour horizon tail, far below |keys|. This is the
+      * measured form of the "state is watermark-horizon × rate, not
+      * stream length" claim (StreamStages.dedupWithinWatermark doc).
+      * Duplicates ride in the same time-range file so eviction can
+      * never un-dedup them (within-watermark semantics only guarantee
+      * the horizon).
+      */
+    def dedupPaced() = measure("stream_dedup_paced") { () =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sdedupp")
+      val ev = events.select(col("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.union(ev).repartitionByRange(16, col("ets"))
+        .sortWithinPartitions("ets")
+        .write.mode("overwrite").parquet(s"$base/in")
+      // FileStreamSource orders batches by file MODIFICATION TIME, and
+      // the 16 parallel write tasks finish in arbitrary order — left
+      // alone, later batches can carry OLDER ranges and the stateful
+      // operator drops them as late. Stamp strictly increasing mtimes
+      // in range (= part-file name) order so replay order is time
+      // order, as a real ingestion directory's arrival order would be.
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/in"))
+        .iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          p.toFile.setLastModified(1704067200000L + i * 60000L)
+        }
+      val schema = spark.read.parquet(s"$base/in").schema
+      val src = StreamStages.fileSource(spark, "parquet", s"$base/in",
+        schema.json, maxFilesPerTrigger = Some(1))
+      val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
+        Seq("event_id"))
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ets")).as("ts_us"))
+      val q = StreamStages.withGateConf(spark, StreamStages.SkipNoDataBatch) {
+        StreamStages.runToMemory(deduped, "scale_sdedup_paced")
+      }
+      (q, spark.table("scale_sdedup_paced"))
+    }
+
+    def windowAgg() = measure("stream_window_agg") { () =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-swin")
+      events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .select("ets", "event_type")
+        .coalesce(4).write.mode("overwrite").parquet(base.toString)
+      val schema = spark.read.parquet(base.toString).schema
+      val src = StreamStages.fileSource(spark, "parquet", base.toString, schema.json)
+      val agg = StreamStages.windowedAgg(src, "ets", watermark = Some("1 hour"),
+        windowDuration = "1 day", slide = None,
+        groupBy = Seq("event_type"), aggregates = Seq("count(*) AS n"))
+      val q = StreamStages.withGateConf(spark) {
+        StreamStages.runToMemory(agg, "scale_swin")
+      }
+      (q, spark.table("scale_swin"))
+    }
+
+    def sessionize() = measure("stream_sessionize") { () =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-ssess")
+      events.select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
+        .coalesce(4).write.mode("overwrite").parquet(base.toString)
+      val schema = spark.read.parquet(base.toString).schema
+      val src = StreamStages.fileSource(spark, "parquet", base.toString, schema.json)
+      val sess = StreamStages.statefulSessions(src, "user_id", "ets",
+        watermark = "1 hour", gapUs = 1800000000L)
+      val q = StreamStages.withGateConf(spark) {
+        StreamStages.runToMemory(sess, "scale_ssess")
+      }
+      (q, spark.table("scale_ssess"))
+    }
+
+    val gates = Seq("stream_dedup" -> (dedup _),
+      "stream_dedup_paced" -> (dedupPaced _),
+      "stream_window_agg" -> (windowAgg _),
+      "stream_sessionize" -> (sessionize _))
+    gates.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (_, g) =>
+        val r = g()
+        println(s"""{"gate": "${r.gate}", "events": ${r.events}, """ +
+          f""""secs": ${r.secs}%.2f, "out_rows": ${r.outRows}, """ +
+          s""""state_rows_max": ${r.stateRowsMax}, """ +
+          s""""state_bytes_max": ${r.stateBytesMax}, """ +
+          s""""provider": "$provider"}""")
+      }
+    spark.stop()
+  }
+}

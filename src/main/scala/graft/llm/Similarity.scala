@@ -648,8 +648,14 @@ object Similarity {
   def quantizeInt8(corpus: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val scale = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    // scale is computed in its OWN select below the explode: written in
+    // the same select as posexplode, the analyzer places the O(dim)
+    // array_max fold in the Project ABOVE the Generate and re-evaluates
+    // it per POSITION row — O(dim²) per vector (the kMeansFit disease,
+    // caught by SitingAuditSpec's above-generate check).
     corpus.select(col(idCol).as("vec_id"), scale.as("scale"),
-        posexplode(col(vecCol)))
+        col(vecCol).as("v"))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")))
       .select(col("vec_id"), col("pos"), col("scale"),
         when(col("scale") === 0d, 0)
           .otherwise((col("col").cast("double") / col("scale") * 127.0)
