@@ -245,6 +245,28 @@ class ClusterDynamicSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (0L until 500L))
   }
 
+  test("closure-heavy gates from the inventory execute on real executor JVMs") {
+    // CI guard for the round-11 cluster-parity property: the full
+    // signature compare lives in graft.ClusterVerify (one-shot
+    // artifact, CLUSTER_VERIFY.json); this keeps the closure-
+    // serialization half from ROTTING between rounds by running a
+    // deliberately diverse slice of the inventory on this suite's real
+    // two-executor cluster. Chosen per closure family: mapPartitions
+    // decoder (multimodal_decode), typed Dataset lambdas (typed_map),
+    // driver union-find broadcast-back (dedup_clusters), broadcast
+    // literal dictionary (dict_tag), native codegen expressions inside
+    // shuffles (dedup_minhash_lsh), interpreted HOF lambdas
+    // (text_quality), runtime-compiled pipeline (dynamic_wordcount).
+    // The relative-classpath regression this guards against failed
+    // with ClassCastException on exactly these shapes (r11 sweep 1).
+    val picks = Seq("multimodal_decode", "typed_map", "dedup_clusters",
+      "dict_tag", "dedup_minhash_lsh", "text_quality", "dynamic_wordcount")
+    picks.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows on the cluster")
+    }
+  }
+
   test("bare-RDD closure ships through the addJar channel cross-JVM") {
     // shipTo's SECOND channel: Spark 4 runs bare-RDD jobs under the
     // non-isolated classloader that sees sparkContext.addJar jars but
