@@ -94,6 +94,29 @@ class SitingAuditSpec extends SparkSpec {
       }
   }.flatten
 
+  /** (c): Expand replicates every input row once per projection set
+    * (cube/rollup/grouping-sets/count-distinct rewrites) and its
+    * projections re-evaluate per REPLICA — an expensive expression in
+    * them (or fused directly below with no barrier) pays the
+    * replication factor, same disease as above-Generate.
+    */
+  private def underExpand(plan: SparkPlan): Seq[String] = plan.collect {
+    case ex: org.apache.spark.sql.execution.ExpandExec =>
+      val inProj = ex.projections.flatten.filter(isExpensive)
+        .map(e => s"in-expand[${describe(e)}]")
+      def walk(q: SparkPlan): Seq[String] =
+        if (isBarrier(q)) Nil
+        else {
+          val here = q match {
+            case p: ProjectExec => p.projectList.filter(isExpensive)
+              .map(e => s"below-expand[${describe(e)}]")
+            case _ => Nil
+          }
+          here ++ q.children.flatMap(walk)
+        }
+      inProj ++ ex.children.flatMap(walk)
+  }.flatten
+
   /** (b): expensive projection on a join input, no barrier between.
     * Join KEYS are exempt — codegen evaluates key variables eagerly
     * before the probe, so a key expression runs once per input row no
@@ -176,7 +199,8 @@ class SitingAuditSpec extends SparkSpec {
             broken += name -> e.getMessage.linesIterator.take(1).mkString
             None
           case scala.util.Success(plan) =>
-            val hits = (aboveGenerate(plan) ++ belowJoin(plan)).distinct
+            val hits = (aboveGenerate(plan) ++ belowJoin(plan) ++
+              underExpand(plan)).distinct
             if (hits.isEmpty) None else Some(name -> hits)
         }
     }.toMap
