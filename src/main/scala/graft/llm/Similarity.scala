@@ -20,30 +20,20 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
-  /** Scoped localCheckpoint: materialize `df`, hand the checkpointed
-    * frame to `body`, then FREE its storage blocks once `body` is done
-    * (ADVICE r10 — the Lloyd loops otherwise accumulate one orphaned
-    * checkpoint per iteration for the life of the session).
-    *
-    * Library-caller contract for EVERY localCheckpoint in this file:
-    * it is EAGER (a job runs at call time, not at the first action)
-    * and NON-RELIABLE (blocks live in executor storage — losing an
-    * executor, e.g. under dynamic allocation, loses the lineage and
-    * fails downstream jobs; on clusters that need resilience, swap in
-    * `spark.sparkContext.setCheckpointDir` + `df.checkpoint()`). The
-    * iterative fits accept both: each iteration's frame is consumed
-    * within the iteration, and a lost block simply fails the fit
-    * loudly rather than corrupting it.
+  /** Library-caller contract for EVERY localCheckpoint in this file
+    * (pqCodes' normalized-corpus and codes frames, mmrRerank's
+    * candidate table and accumulator — the genuinely MULTI-READER
+    * frames; the Lloyd loops themselves are checkpoint-free since r11,
+    * see kMeansFit): a localCheckpoint is EAGER (a job runs at call
+    * time, not at the first action) and NON-RELIABLE (blocks live in
+    * executor storage — losing an executor, e.g. under dynamic
+    * allocation, loses the lineage and fails downstream jobs; on
+    * clusters that need resilience, swap in
+    * `spark.sparkContext.setCheckpointDir` + `df.checkpoint()`).
+    * A lost block fails the operator loudly, never corrupts it.
+    * mmrRerank frees each superseded checkpoint as soon as its
+    * successor has materialized (ADVICE r10).
     */
-  private def withScopedCheckpoint[T](df: DataFrame)(body: DataFrame => T): T = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val cp = df.localCheckpoint()
-    try body(cp)
-    finally sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) rdd.unpersist(blocking = false)
-    }
-  }
 
   /** L2 norm, same fold. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
@@ -286,23 +276,26 @@ object Similarity {
     require(cents.nonEmpty, "k-means needs a non-empty corpus")
 
     for (_ <- 1 to iters) {
-      // pin the assignment BEFORE the position explode: left lazy, the
-      // optimizer projects the k-way assignExpr tree ABOVE the
+      // the assignment gets its OWN select below the posexplode select:
+      // written in the SAME select as the generator, the analyzer
+      // places the k-way assignExpr tree in the Project ABOVE the
       // Generate and re-evaluates it per POSITION row — dim× the
-      // assignment work (the ivfpq codes-frame lesson; measured on the
-      // multi form: one iteration 17.5 s → ~1 s at 10×
-      // sf0.1-equivalent, BASELINE r10). The pinned frame is
-      // N × (cluster, vector) — one small job per iteration.
-      val stats = withScopedCheckpoint(
-        v.select(assignExpr(cents, col("v")).as("cluster"), col("v"))) {
-        assigned =>
-          assigned
-            .select(col("cluster"), posexplode(col("v")))
-            .groupBy("cluster", "pos")
-            .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
-              count(lit(1)).as("n"))
-            .collect()
-      }
+      // assignment work (the r10 disease: one iteration 17.5 s vs ~1 s
+      // at 10× sf0.1-equivalent on the multi form, BASELINE r10). A
+      // separate select STAYS below (CollapseProject does not merge
+      // through Generate) — re-verified in r11 by plan inspection
+      // (quantizeInt8) and timing (lazy iteration 2.45 s vs 2.72 s
+      // checkpointed at 10×), so the loop needs NO materialization:
+      // one fused scan→assign→explode→agg job per iteration, fully
+      // lazy and lineage-flat (centroids are per-iteration literals —
+      // nothing accumulates across iterations).
+      val stats = v
+        .select(assignExpr(cents, col("v")).as("cluster"), col("v"))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast(DecimalType(28, 10))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
       val byCluster = stats.groupBy(_.getInt(0))
       cents = cents.indices.map { j =>
         byCluster.get(j) match {
@@ -346,19 +339,18 @@ object Similarity {
       val clusterCol = (0 until nSub).foldLeft(lit(-1)) { (acc, s) =>
         when(col("s") === s, assignExpr(cents(s), col("sub"))).otherwise(acc)
       }
-      // same pin as kMeansFit: without it the nSub-way nested
-      // assignment tree re-evaluates per POSITION row (subDim×
-      // amplification — the measured 17.5 s of a 19 s pq_codes run)
-      val stats = withScopedCheckpoint(
-        subRows.select(col("s"), clusterCol.as("cluster"), col("sub"))) {
-        assigned =>
-          assigned
-            .select(col("s"), col("cluster"), posexplode(col("sub")))
-            .groupBy("s", "cluster", "pos")
-            .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
-              count(lit(1)).as("n"))
-            .collect()
-      }
+      // same siting rule as kMeansFit: the nSub-way nested assignment
+      // tree lives in its own select below the posexplode select, so
+      // it evaluates once per (row, subspace) — never per POSITION row
+      // (the measured 17.5 s of a 19 s pq_codes run when it sat in the
+      // generator's select). Lazy on purpose; see kMeansFit.
+      val stats = subRows
+        .select(col("s"), clusterCol.as("cluster"), col("sub"))
+        .select(col("s"), col("cluster"), posexplode(col("sub")))
+        .groupBy("s", "cluster", "pos")
+        .agg(sum(col("col").cast(DecimalType(28, 10))).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
       cents = (0 until nSub).map { s =>
         val byCluster = stats.filter(_.getInt(0) == s).groupBy(_.getInt(1))
         cents(s).indices.map { j =>
