@@ -55,8 +55,17 @@ Test / testOptions += {
     IO.createDirectory(home / "conf")
     IO.touch(home / "RELEASE")
     val link = (home / "jars").toPath
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, jarsSource.toPath)
+    val target = jarsSource.toPath
+    // NOFOLLOW (ADVICE r11): plain exists() FOLLOWS the link, so a
+    // stale dangling symlink reads as absent and createSymbolicLink
+    // throws FileAlreadyExists; a stale-but-resolvable one would be
+    // silently kept pointing at the wrong jars. Re-point on mismatch.
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
   }
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

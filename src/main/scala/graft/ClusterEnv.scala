@@ -44,8 +44,16 @@ object ClusterEnv {
       try Files.createFile(home.resolve("RELEASE"))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       val jars = home.resolve("jars")
-      if (!Files.exists(jars))
-        try Files.createSymbolicLink(jars, sparkJarsDir())
+      val target = sparkJarsDir()
+      // NOFOLLOW (ADVICE r11): exists() follows the link, so a stale
+      // dangling symlink reads as absent (create then throws) and a
+      // stale-but-resolvable one silently keeps the wrong jars.
+      if (Files.isSymbolicLink(jars) &&
+          Files.readSymbolicLink(jars) != target)
+        try Files.delete(jars)
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      if (!Files.exists(jars, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        try Files.createSymbolicLink(jars, target)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
   }

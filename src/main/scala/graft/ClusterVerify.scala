@@ -134,6 +134,12 @@ object ClusterVerify {
     case c => c.toString
   } + "\""
 
+  // Locale-independent decimal rendering: the f-interpolator formats
+  // with the JVM default locale, and a decimal-comma locale (de_DE)
+  // would make the artifact invalid JSON (ADVICE r11).
+  private def num(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outPath = if (args.length > 1) args(1) else "CLUSTER_VERIFY.json"
@@ -189,10 +195,10 @@ object ClusterVerify {
       def sigJson(o: Outcome): String = o.sig match {
         case Some(s) =>
           s"""{"rows": ${s.rows}, "xor": ${s.xor}, "sum": ${jq(s.sum)}, """ +
-            s""""secs": ${f"${o.secs}%.2f"}, "retried": ${o.retried}}"""
+            s""""secs": ${num(o.secs, 2)}, "retried": ${o.retried}}"""
         case None =>
           s"""{"err": ${jq(o.err.getOrElse("?"))}, """ +
-            s""""secs": ${f"${o.secs}%.2f"}, "retried": ${o.retried}}"""
+            s""""secs": ${num(o.secs, 2)}, "retried": ${o.retried}}"""
       }
       (n, matches, l, c,
         s"${jq(n)}: {\"match\": $matches, \"local\": ${sigJson(l)}, " +
@@ -214,8 +220,8 @@ object ClusterVerify {
          |"mismatch": [${mismatched.map(jq).mkString(", ")}],
          |"failed_local": [${failedLocal.map(jq).mkString(", ")}],
          |"failed_cluster": [${failedCluster.map(jq).mkString(", ")}],
-         |"local_secs": ${f"${local.values.map(_.secs).sum}%.1f"},
-         |"cluster_secs": ${f"${cluster.values.map(_.secs).sum}%.1f"},
+         |"local_secs": ${num(local.values.map(_.secs).sum, 1)},
+         |"cluster_secs": ${num(cluster.values.map(_.secs).sum, 1)},
          |"queries": {
          |${rows.map(_._5).mkString(",\n")}
          |}}

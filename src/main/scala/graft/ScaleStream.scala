@@ -118,12 +118,20 @@ object ScaleStream {
       // operator drops them as late. Stamp strictly increasing mtimes
       // in range (= part-file name) order so replay order is time
       // order, as a real ingestion directory's arrival order would be.
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/in"))
-        .iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-"))
+      // Files.setLastModifiedTime THROWS where File.setLastModified
+      // fails silently (ADVICE r11) — a silent stamping failure would
+      // scramble replay order and quietly invalidate the published
+      // eviction-proof numbers instead of failing this run loudly.
+      val dirList = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/in"))
+      val parts =
+        try dirList.iterator().asScala.toSeq
+        finally dirList.close()
+      parts.filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString)
         .zipWithIndex.foreach { case (p, i) =>
-          p.toFile.setLastModified(1704067200000L + i * 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1704067200000L + i * 60000L))
         }
       val schema = spark.read.parquet(s"$base/in").schema
       val src = StreamStages.fileSource(spark, "parquet", s"$base/in",
@@ -175,8 +183,11 @@ object ScaleStream {
     gates.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (_, g) =>
         val r = g()
+        // Locale.ROOT: the f-interpolator would render a decimal
+        // comma under e.g. de_DE and break the JSON line (ADVICE r11)
         println(s"""{"gate": "${r.gate}", "events": ${r.events}, """ +
-          f""""secs": ${r.secs}%.2f, "out_rows": ${r.outRows}, """ +
+          s""""secs": ${String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(r.secs))}, "out_rows": ${r.outRows}, """ +
           s""""state_rows_max": ${r.stateRowsMax}, """ +
           s""""state_bytes_max": ${r.stateBytesMax}, """ +
           s""""provider": "$provider"}""")

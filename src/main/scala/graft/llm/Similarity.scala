@@ -22,18 +22,30 @@ object Similarity {
 
   /** Library-caller contract for EVERY localCheckpoint in this file
     * (pqCodes' normalized-corpus and codes frames, mmrRerank's
-    * candidate table and accumulator — the genuinely MULTI-READER
-    * frames; the Lloyd loops themselves are checkpoint-free since r11,
-    * see kMeansFit): a localCheckpoint is EAGER (a job runs at call
-    * time, not at the first action) and NON-RELIABLE (blocks live in
-    * executor storage — losing an executor, e.g. under dynamic
-    * allocation, loses the lineage and fails downstream jobs; on
-    * clusters that need resilience, swap in
+    * candidate table and accumulator, embedAnisotropy's moments grid —
+    * the genuinely MULTI-READER frames; the Lloyd loops themselves are
+    * checkpoint-free since r11, see kMeansFit): a localCheckpoint is
+    * EAGER (a job runs at call time, not at the first action) and
+    * NON-RELIABLE (blocks live in executor storage — losing an
+    * executor, e.g. under dynamic allocation, loses the lineage and
+    * fails downstream jobs; on clusters that need resilience, swap in
     * `spark.sparkContext.setCheckpointDir` + `df.checkpoint()`).
     * A lost block fails the operator loudly, never corrupts it.
     * mmrRerank frees each superseded checkpoint as soon as its
     * successor has materialized (ADVICE r10).
     */
+
+  /** The checkpoint RDD backing a just-localCheckpoint'd frame (its
+    * LogicalRDD leaf). Freeing THIS handle is safe under concurrent
+    * use of the SparkContext — unlike a getPersistentRDDs set-diff
+    * around the checkpoint call, which would swallow any RDD another
+    * thread persisted in the window and truncate that victim's
+    * lineage unrecoverably (ADVICE r11).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** L2 norm, same fold. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
@@ -561,8 +573,11 @@ object Similarity {
     // same storage discipline as the Lloyd fits (ADVICE r10): each
     // iteration's checkpoint is freed once the next one — which read
     // it — has materialized; only `cands` and the final `all` survive.
-    val scCtx = cands.sparkSession.sparkContext
-    var prevIds: scala.collection.Set[Int] = Set.empty
+    // The freed storage is the superseded frame's OWN checkpoint RDD
+    // (its LogicalRDD leaf), never a context-global persistent-RDD
+    // set-diff — a diff window would swallow any RDD a concurrent
+    // query persisted and truncate that victim's lineage (ADVICE r11).
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     for (t <- 2 to k) {
       val pickedV = all.select(col("q_vec_id"), col("n_vec_id").as("p_id"))
         .join(vecs.select(col("n_vec_id").as("p_id"), col("cv").as("pv"),
@@ -578,11 +593,9 @@ object Similarity {
         .withColumn("mmr_rank", lit(t))
       // |Q|·t rows — checkpointing keeps step t+1 from re-running
       // steps 1..t (each step reads `all` twice)
-      val beforeIds = scCtx.getPersistentRDDs.keySet
       all = all.union(nxt).localCheckpoint()
-      prevIds.foreach(id =>
-        scCtx.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = scCtx.getPersistentRDDs.keySet -- beforeIds
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = checkpointRdd(all)
     }
     all.select("q_vec_id", "mmr_rank", "n_vec_id", "score")
   }

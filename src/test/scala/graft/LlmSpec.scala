@@ -1299,6 +1299,35 @@ class LlmSpec extends SparkSpec {
     assert(rel == Seq(2L, 1L, 3L))
   }
 
+  test("mmrRerank frees superseded checkpoints without touching a bystander") {
+    import spark.implicits._
+    // A concurrent query's persisted RDD must survive mmrRerank's
+    // freeing discipline (ADVICE r11: the old getPersistentRDDs
+    // set-diff could unpersist it), and the iteration checkpoints
+    // themselves must NOT accumulate: at exit only the candidate
+    // table, the final accumulator, and the bystander may hold
+    // storage (a regression here means checkpointRdd stopped
+    // resolving the LogicalRDD leaf and the unpersist went dead).
+    val sc = spark.sparkContext
+    val bystander = sc.parallelize(1 to 10, 1).persist()
+    bystander.count()
+    val before = sc.getPersistentRDDs.keySet
+    assert(before.nonEmpty)
+    val emb = (0 until 12).map(i =>
+        (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 10).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id") < 2L)
+    graft.llm.Similarity.mmrRerank(qs, emb, nCand = 8, k = 6).collect()
+    val after = sc.getPersistentRDDs.keySet
+    assert(after.contains(bystander.id),
+      s"bystander persisted RDD ${bystander.id} was unpersisted: $after")
+    assert(bystander.count() == 10)
+    // cands + final `all` (k-1 superseded iteration checkpoints freed)
+    val leaked = (after -- before).size
+    assert(leaked <= 2, s"expected <=2 surviving checkpoints, got $leaked")
+    bystander.unpersist()
+  }
+
   test("weightedSample: integer exponential-race priorities, weight pulls docs in") {
     import spark.implicits._
     // poly_hash("a")=97, "b"=98, "c"=99; priority = hash*1e6 div weight.
