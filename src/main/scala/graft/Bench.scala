@@ -77,9 +77,10 @@ object Bench {
     // Machine-readable host-contention index (VERDICT r9 #5): the
     // median current/reference ratio over a PINNED sentinel set of ten
     // trivial, never-optimized queries. Reference values are these
-    // queries' seconds in the committed round-9 BENCH_ENGINE_LAST.json
-    // driver window (itself adjudicated a uniform ~1.13x-contended
-    // window — the point is a FIXED reference, not an ideal one):
+    // queries' seconds in the committed round-11 BENCH_ENGINE_LAST.json
+    // driver window (re-based from the r9 pins per VERDICT r11 #3 —
+    // old->new mapping recorded in BASELINE.md "Round 12: sentinel
+    // re-pin"; the point is a FIXED reference, not an ideal one):
     // noise_index ~= 1.0 means this window ran under the same host
     // conditions as that reference; >1 means slower (external
     // contention), so cross-round total comparisons can divide by it
@@ -89,10 +90,10 @@ object Bench {
     // optimization work since round 6, so a code regression in real
     // operators does NOT move the index.
     val noiseSentinels: Seq[(String, Double)] = Seq(
-      "q1_agg" -> 1.266, "join_inner" -> 0.999, "case_when" -> 0.298,
-      "date_funcs" -> 0.518, "string_funcs" -> 0.337, "agg_stats" -> 0.804,
-      "regex_extract" -> 0.571, "resample_gapfill" -> 0.681,
-      "sketch_hll_union" -> 0.584, "math_funcs" -> 0.937)
+      "q1_agg" -> 1.196, "join_inner" -> 0.853, "case_when" -> 0.317,
+      "date_funcs" -> 0.534, "string_funcs" -> 0.333, "agg_stats" -> 0.759,
+      "regex_extract" -> 0.508, "resample_gapfill" -> 0.542,
+      "sketch_hll_union" -> 0.433, "math_funcs" -> 0.912)
     val resultMap = results.toMap
     val noiseRatios = noiseSentinels.flatMap { case (n, ref) =>
       resultMap.get(n).filter(_ > 0).map(_ / ref)

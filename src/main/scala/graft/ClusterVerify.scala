@@ -39,7 +39,7 @@ object ClusterVerify {
 
   final case class Sig(rows: Long, xor: Long, sum: String, schema: String)
 
-  private def signature(df: DataFrame): Sig = {
+  private[graft] def signature(df: DataFrame): Sig = {
     val cols = df.columns.sorted.map(c => col(c))
     val h = xxhash64(to_json(struct(cols: _*)))
     // sum in DECIMAL(38,0): BIGINT sum of 64-bit hashes overflows, and
@@ -84,9 +84,9 @@ object ClusterVerify {
     }.toMap
 
   /** One session per phase; a stopped context is rebuilt by the next
-    * builder (the ClusterDynamicSpec recipe).
+    * builder (the ClusterDynamicSpec recipe). Shared with FaultVerify.
     */
-  private def withSession[T](build: SparkSession.Builder => SparkSession.Builder)
+  private[graft] def withSession[T](build: SparkSession.Builder => SparkSession.Builder)
       (body: SparkSession => T): T = {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(_.sparkContext.stop())

@@ -232,6 +232,29 @@ object StreamStages {
   val SkipNoDataBatch: (String, String) =
     "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
 
+  /** Final micro-batch executedPlan per drained query, captured by the
+    * three drain helpers below for the siting audit (VERDICT r11 #4):
+    * a gate fn returns the drained sink table, so the streaming plan
+    * is otherwise unreachable from outside. Reflection because the
+    * StreamingQueryWrapper/StreamExecution chain is private[sql]; a
+    * capture failure stays silent here and turns loud in
+    * SitingAuditSpec's per-gate non-empty assertion. Keyed by query
+    * name (runId for unnamed queries) — bounded by the queries a JVM
+    * drains; SitingAuditSpec clears it per gate.
+    */
+  val capturedPlans =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.execution.SparkPlan]()
+
+  private def capturePlan(q: StreamingQuery): Unit =
+    try {
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      val exec = se.getClass.getMethod("lastExecution").invoke(se)
+        .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+      if (exec != null)
+        capturedPlans.put(Option(q.name).getOrElse(q.runId.toString),
+          exec.executedPlan)
+    } catch { case _: ReflectiveOperationException => () }
+
   /** Memory sink for tests/smoke: processes everything currently
     * available, synchronously, then returns the finished query.
     */
@@ -242,6 +265,7 @@ object StreamStages {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    capturePlan(q)
     q
   }
 
@@ -299,6 +323,7 @@ object StreamStages {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    capturePlan(q)
     q
   }
 
@@ -314,11 +339,18 @@ object StreamStages {
   /** Production-shaped sink: parquet files + checkpoint dir (the
     * at-least-once restart contract).
     */
-  def toParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
-    df.writeStream.format("parquet")
+  def toParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery = {
+    val q = df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+    // callers await termination themselves for this production-shaped
+    // sink; capture is only meaningful once the final batch ran, so
+    // wait here too (idempotent for already-drained queries)
+    q.awaitTermination()
+    capturePlan(q)
+    q
+  }
 }

@@ -63,6 +63,16 @@ class SitingAuditSpec extends SparkSpec {
     // defer; no gate carries that shape — pre-explode expensive
     // columns are the generator input itself.)
     case _: GenerateExec => true
+    // streaming executed plans (VERDICT r11 #4): stateful operators
+    // (StateStoreSave/Restore, streaming dedup/joins/sessionization)
+    // materialize rows into the state store — everything below them
+    // evaluates once per input row. Matched by package to stay off
+    // private[sql] types. Blind spot accepted: EventTimeWatermarkExec
+    // is a pass-through also caught here; stopping at it can only
+    // HIDE a finding below the watermark node, which sits directly on
+    // the source projection in every gate.
+    case p if p.getClass.getName.startsWith(
+      "org.apache.spark.sql.execution.streaming.") => true
     case _ => false
   }
 
@@ -215,5 +225,39 @@ class SitingAuditSpec extends SparkSpec {
     assert(failed.isEmpty,
       s"queries failing analysis (audited all others first): ${failed.toSeq.sorted
         .map { case (n, m) => s"$n: $m" }.mkString("; ")}")
+  }
+
+  /** Streaming extension (VERDICT r11 #4): the batch test skips
+    * stream_* gates because their query fn drains the stream and
+    * returns the memory/snapshot table — the streaming plan never
+    * surfaces. The drain helpers now capture each query's final
+    * micro-batch executedPlan (StreamStages.capturedPlans) and the
+    * same three detectors run over it, with state-store operators as
+    * barriers. With the batch test this covers all 197 gate plans.
+    * Executed (not spark) plans here, so the walk crosses
+    * WholeStageCodegen/InputAdapter wrappers — they are transparent
+    * (children carry the real nodes) and codegen fusion is exactly
+    * what disease (b) is about.
+    */
+  test("streaming micro-batch plans carry no mis-sited expensive expressions") {
+    // StreamingSpec's artifact-flake dodge: a fresh session isolates
+    // memory-sink catalogs and gate conf from the shared suites
+    val ss = spark.newSession()
+    val streamGates = SparkEntry.queries.keys.filter(_.startsWith("stream_"))
+      .toSeq.sorted
+    assert(streamGates.size == 8, s"stream gate inventory moved: $streamGates")
+    val findings = streamGates.flatMap { name =>
+      graft.streaming.StreamStages.capturedPlans.clear()
+      SparkEntry.queries(name)(ss, sfDir) // fn drains synchronously
+      val plans = graft.streaming.StreamStages.capturedPlans.readOnlySnapshot()
+      assert(plans.nonEmpty,
+        s"$name: no micro-batch plan captured — the drain-helper reflection rotted")
+      val hits = plans.values.toSeq.flatMap(p =>
+        aboveGenerate(p) ++ belowJoin(p) ++ underExpand(p)).distinct
+      if (hits.isEmpty) None else Some(name -> hits)
+    }
+    assert(findings.isEmpty,
+      s"mis-sited expensive expressions in streaming plans: ${findings
+        .map { case (n, h) => s"$n=${h.mkString("+")}" }.mkString(", ")}")
   }
 }
