@@ -70,12 +70,15 @@ object FaultVerify {
     // native codegen expression (WinnowKeys) feeding a shuffle join
     "winnow_neardup" -> 0.0,
     // union-find fallback: iterative pointer-jumping over
-    // localCheckpoint(eager=true) frames (Dedup.scala)
-    "dedup_clusters" -> 0.5,
+    // localCheckpoint(eager=true) frames (Dedup.scala). 0.7, not 0.5:
+    // the kill must land AFTER checkpoints materialized (the early
+    // half of the job schedule is their production), or the run
+    // degenerates into plain lineage replay
+    "dedup_clusters" -> 0.7,
     // Similarity.pqCodes: normed + codes checkpoints feeding Lloyd
     // fits and the ADC join (Similarity.scala:448,468)
-    "pq_codes" -> 0.5,
-    "ann_ivfpq" -> 0.5,
+    "pq_codes" -> 0.7,
+    "ann_ivfpq" -> 0.7,
     // Similarity.mmrRerank: candidate-table checkpoint + per-iteration
     // accumulator checkpoints (Similarity.scala:552+)
     "mmr_rerank" -> 0.5)
@@ -89,12 +92,19 @@ object FaultVerify {
       String.valueOf(t.getMessage).contains("Checkpoint block"))
 
   /** Live executor OS processes: local-cluster workers run inside this
-    * JVM and fork each executor as a child process.
+    * JVM and fork each executor as a child process. The JDK's
+    * ProcessHandle.Info.commandLine() is TRUNCATED for these — the
+    * sbt-staged classpath pushes the cmdline to ~30 KB, past the JDK's
+    * /proc read buffer, and the class name sits at the very end — so
+    * read /proc/<pid>/cmdline directly (NUL separators don't matter
+    * for a substring probe).
     */
   private def executorHandles(): Seq[ProcessHandle] =
     ProcessHandle.current().descendants().iterator().asScala.filter { ph =>
-      val cl = ph.info().commandLine()
-      cl.isPresent && cl.get.contains("CoarseGrainedExecutorBackend")
+      try new String(Files.readAllBytes(
+          Paths.get(s"/proc/${ph.pid()}/cmdline")), "UTF-8")
+        .contains("CoarseGrainedExecutorBackend")
+      catch { case _: java.io.IOException => false }
     }.toSeq
 
   /** Both executor processes alive AND registered with the driver
@@ -109,33 +119,73 @@ object FaultVerify {
         return true
       Thread.sleep(500)
     }
+    System.err.println(s"[fault-verify] awaitExecutors timeout: " +
+      s"procs=${executorHandles().size} registered=" +
+      s"${spark.sparkContext.statusTracker.getExecutorInfos.length}")
     false
   }
 
-  /** Fires once, at the start of the `target`-th job observed while
-    * armed, SIGKILLing one executor process. Records when and whom.
+  /** Executor id currently hosting the most cached RDD blocks — where
+    * localCheckpoint blocks live — via the app-status store
+    * (`private[spark]` members are public in bytecode, so plain
+    * reflection reaches them). None when nothing is cached yet or the
+    * async status store lags the kill point.
     */
-  private final class KillAtJob(target: Int) extends SparkListener {
+  private def busiestStorageExecutor(
+      sc: org.apache.spark.SparkContext): Option[String] =
+    try {
+      val store = sc.getClass.getMethod("statusStore").invoke(sc)
+      val execs = store.getClass.getMethod("executorList", classOf[Boolean])
+        .invoke(store, Boolean.box(true)).asInstanceOf[Seq[AnyRef]]
+      val withBlocks = execs.map { e =>
+        val id = e.getClass.getMethod("id").invoke(e).asInstanceOf[String]
+        val blocks =
+          e.getClass.getMethod("rddBlocks").invoke(e).asInstanceOf[Int]
+        (id, blocks)
+      }.filter { case (id, blocks) => id != "driver" && blocks > 0 }
+      withBlocks.sortBy { case (id, blocks) => (-blocks, id) }
+        .headOption.map(_._1)
+    } catch { case _: ReflectiveOperationException => None }
+
+  /** The executor process running standalone executor `id` — the
+    * backend's `--executor-id <id>` args sit NUL-separated in
+    * /proc/<pid>/cmdline.
+    */
+  private def handleForExecutorId(id: String): Option[ProcessHandle] =
+    executorHandles().find { ph =>
+      try new String(Files.readAllBytes(
+          Paths.get(s"/proc/${ph.pid()}/cmdline")), "UTF-8")
+        .contains(s"--executor-id\u0000$id\u0000")
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** Fires once, at the start of the `target`-th job observed while
+    * armed, SIGKILLing the executor `pickVictim` chooses. Records when
+    * and whom.
+    */
+  private final class KillAtJob(target: Int,
+      pickVictim: () => Option[(String, ProcessHandle)]) extends SparkListener {
     private val seen = new AtomicInteger(0)
     val fired = new AtomicBoolean(false)
     val firedAtNs = new AtomicLong(0L)
     val victimPid = new AtomicLong(0L)
+    @volatile var victimDesc: String = ""
     override def onJobStart(js: SparkListenerJobStart): Unit =
       if (seen.getAndIncrement() == target && fired.compareAndSet(false, true)) {
-        // lowest pid = deterministic victim choice; any executor works
-        executorHandles().sortBy(_.pid()).headOption.foreach { ph =>
+        pickVictim().foreach { case (desc, ph) =>
           victimPid.set(ph.pid())
+          victimDesc = desc
           firedAtNs.set(System.nanoTime())
           ph.destroyForcibly()
-          System.err.println(s"[fault-verify]   killed executor pid ${ph.pid()} " +
-            s"at job #$target")
+          System.err.println(s"[fault-verify]   killed executor $desc " +
+            s"(pid ${ph.pid()}) at job #$target")
         }
       }
   }
 
   final case class GateOut(name: String, refJobs: Int, killJob: Int,
-      killedPid: Long, outcome: String, contractError: Option[String],
-      refSecs: Double, killSecs: Double)
+      killedPid: Long, victim: String, outcome: String,
+      contractError: Option[String], refSecs: Double, killSecs: Double)
 
   private def jq(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -187,7 +237,21 @@ object FaultVerify {
         sc.clearJobGroup()
 
         val killJob = math.min((refJobs * frac).toInt, refJobs - 1).max(0)
-        val killer = new KillAtJob(killJob)
+        // checkpoint gates (frac > 0) aim at the executor HOLDING
+        // cached RDD blocks so the loss is real, not a coin flip over
+        // block placement; batch gates take the lowest pid (any
+        // executor — there is nothing stored to miss)
+        val pickVictim: () => Option[(String, ProcessHandle)] =
+          if (frac > 0) { () =>
+            busiestStorageExecutor(sc)
+              .flatMap(id => handleForExecutorId(id).map(h => (s"id=$id", h)))
+              .orElse(executorHandles().sortBy(_.pid()).headOption
+                .map(h => ("lowest-pid", h)))
+          } else { () =>
+            executorHandles().sortBy(_.pid()).headOption
+              .map(h => ("lowest-pid", h))
+          }
+        val killer = new KillAtJob(killJob, pickVictim)
         sc.addSparkListener(killer)
         val t1 = System.nanoTime()
         val (outcome, contractErr) =
@@ -223,8 +287,8 @@ object FaultVerify {
         val finalOutcome = if (recovered) outcome else s"$outcome+no_replacement"
         System.err.println(f"[fault-verify] $name%-20s jobs=$refJobs%3d " +
           f"kill@$killJob%3d -> $finalOutcome")
-        GateOut(name, refJobs, killJob, killer.victimPid.get(), finalOutcome,
-          contractErr, refSecs, killSecs)
+        GateOut(name, refJobs, killJob, killer.victimPid.get(),
+          killer.victimDesc, finalOutcome, contractErr, refSecs, killSecs)
       }
     }
 
@@ -238,6 +302,7 @@ object FaultVerify {
          |${results.map(r =>
           s"${jq(r.name)}: {\"ref_jobs\": ${r.refJobs}, " +
             s"\"kill_job\": ${r.killJob}, \"killed_pid\": ${r.killedPid}, " +
+            s"\"victim\": ${jq(r.victim)}, " +
             s"\"outcome\": ${jq(r.outcome)}, " +
             s"\"contract_error\": ${r.contractError.map(jq).getOrElse("null")}, " +
             s"\"ref_secs\": ${num(r.refSecs)}, \"kill_secs\": ${num(r.killSecs)}}")
