@@ -960,11 +960,17 @@ object Similarity {
     * ~(d²/2)·|labels| hash-agg entries per task, d=64 → ~2.1 K keys);
     * everything after runs on metadata-scale frames over broadcast
     * joins. Output is |labels| rows. This single-level form is
-    * correct at ANY d; the two-level subspace-reduce swap becomes
-    * worthwhile only when d²·|labels| partial-agg keys outgrow the
-    * executor hash-agg budget (~d ≥ 1024 at 10 labels — decision
-    * record in PLANS.md). At d=64 (SchemaPinSpec) this form is
-    * scan-bound.
+    * correct at ANY d; `subspaceWidth = Some(w)` swaps in the
+    * TWO-LEVEL subspace reduce — the same upper triangle tiled into
+    * d/w diagonal [[graft.functions.OuterMoments]] triangles plus the
+    * cross-subspace [[graft.functions.CrossMoments]] rectangles, one
+    * bounded-state aggregation per block unioned into a bit-identical
+    * moments frame (per-block idx remaps to the global triangle
+    * layout AFTER aggregation, on metadata-scale rows), so everything
+    * downstream and the oracle are unchanged. The swap pays only once
+    * d²·|labels| partial-agg keys outgrow the executor hash-agg
+    * budget — measured with graft.ScaleAniso (numbers in PLANS.md);
+    * at d=64 (SchemaPinSpec) the single level is scan-bound.
     *
     * Null contract: a null vector or null component fails the job
     * loudly (never silently excluded — a dropped row would diverge
@@ -972,7 +978,7 @@ object Similarity {
     * pins non-null vectors.
     */
   def embedAnisotropy(emb: DataFrame, vecCol: String, labelCol: String,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, subspaceWidth: Option[Int] = None): DataFrame = {
     // ONE corpus pass: each row contributes the UPPER TRIANGLE of its
     // outer product PLUS its d raw quantized components through a
     // single posexplode of the native OuterMoments vector (the
@@ -988,19 +994,58 @@ object Similarity {
     // fail loudly (multiplyExact here, BIGINT overflow in the
     // oracle).
     val tri = dim * (dim + 1) / 2
-    val moments = emb.select(col(labelCol).cast("long").as("label"),
-        posexplode(graft.functions.OuterMoments(
-          // a null VECTOR fails loudly here; a null COMPONENT fails
-          // inside the expression — a silently dropped row would
-          // desync n from the oracle's count(*)
-          when(col(vecCol).isNotNull, col(vecCol))
-            .otherwise(raise_error(lit(
-              "embedAnisotropy: null embedding vector"))))))
-      .toDF("label", "idx", "v")
-      .groupBy("label", "idx")
+    // a null VECTOR fails loudly here; a null COMPONENT fails inside
+    // the expression — a silently dropped row would desync n from the
+    // oracle's count(*)
+    val guarded = when(col(vecCol).isNotNull, col(vecCol))
+      .otherwise(raise_error(lit("embedAnisotropy: null embedding vector")))
+    def reduceBlock(exploded: DataFrame): DataFrame = exploded
+      .toDF("label", "bidx", "v")
+      .groupBy("label", "bidx")
       .agg(sum(col("v").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val moments = (subspaceWidth match {
+      case None =>
+        reduceBlock(emb.select(col(labelCol).cast("long").as("label"),
+            posexplode(graft.functions.OuterMoments(guarded))))
+          .withColumnRenamed("bidx", "idx")
+      case Some(w) =>
+        // two-level: per-block bounded-state reductions, block-local
+        // idx remapped to the global triangle layout AFTER the
+        // aggregation (metadata-scale broadcast joins), unioned —
+        // bit-identical to the single level (decimal sums are
+        // order-independent; the blocks tile the triangle + raw tail
+        // exactly once)
+        require(w >= 1 && dim % w == 0,
+          s"subspaceWidth $w must divide dim=$dim")
+        val nSub = dim / w
+        def gIdx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
+        val session = emb.sparkSession
+        import session.implicits._
+        def remap(pairs: Seq[Int]): DataFrame = broadcast(
+          pairs.zipWithIndex.map { case (g, l) => (l, g) }.toDF("bidx", "idx"))
+        val labeled = emb.select(col(labelCol).cast("long").as("label"),
+          guarded.as("gv"))
+        val diag = (0 until nSub).map { b =>
+          val map = remap((for { a <- 0 until w; c <- a until w } yield
+              gIdx(b * w + a, b * w + c)) ++
+            (0 until w).map(a => tri + b * w + a))
+          reduceBlock(labeled.select(col("label"), posexplode(
+              graft.functions.OuterMoments(slice(col("gv"), b * w + 1, w)))))
+            .join(map, Seq("bidx"))
+            .select("label", "idx", "s", "cnt")
+        }
+        val cross = for { bi <- 0 until nSub; bj <- (bi + 1) until nSub } yield {
+          val map = remap(for { a <- 0 until w; c <- 0 until w } yield
+            gIdx(bi * w + a, bj * w + c))
+          reduceBlock(labeled.select(col("label"), posexplode(
+              graft.functions.CrossMoments(slice(col("gv"), bi * w + 1, w),
+                slice(col("gv"), bj * w + 1, w)))))
+            .join(map, Seq("bidx"))
+            .select("label", "idx", "s", "cnt")
+        }
+        (diag ++ cross).reduce(_ unionByName _)
+    }).localCheckpoint()
     val cnt = moments.filter(col("idx") === tri)
       .select(col("label"), col("cnt").as("n"))
     val m1 = moments.filter(col("idx") >= tri)

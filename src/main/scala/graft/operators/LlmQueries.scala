@@ -325,6 +325,45 @@ object LlmQueries {
        |FROM s$k ORDER BY q_vec_id, mmr_rank""".stripMargin
   }
 
+  /** Shared by embed_anisotropy and embed_anisotropy_2l: the two
+    * moment tilings must hash to the SAME numbers, so one oracle
+    * gates both.
+    */
+  private val AnisotropyOracle: String =
+    """WITH q AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label),
+        |m1 AS (SELECT label, i, sum(qs[i + 1]) AS s1
+        |  FROM q, range(0, 64) t(i) GROUP BY label, i),
+        |m2 AS (SELECT label, i, j, sum(qs[i + 1] * qs[j + 1]) AS s2
+        |  FROM q, range(0, 64) ti(i), range(0, 64) tj(j)
+        |  GROUP BY label, i, j),
+        |cov AS (SELECT m2.label, m2.i, m2.j, n,
+        |    CAST(n AS HUGEINT) * s2 - a.s1 * b.s1 AS cov_num
+        |  FROM m2 JOIN cnt USING (label)
+        |  JOIN m1 a ON a.label = m2.label AND a.i = m2.i
+        |  JOIN m1 b ON b.label = m2.label AND b.i = m2.j),
+        |sc AS (SELECT label, i, j, n,
+        |    CAST((CASE WHEN cov_num < 0 THEN -1 ELSE 1 END)
+        |      * (abs(cov_num) // (CAST(n AS HUGEINT) * n * 1000000))
+        |      AS BIGINT) AS cs
+        |  FROM cov),
+        |a2 AS (SELECT label, max(n) AS n,
+        |    CAST(sum(CASE WHEN i = j THEN cs ELSE 0 END) AS BIGINT)
+        |      AS tr_cov_micro,
+        |    CAST(sum(CAST(cs AS HUGEINT) * cs) AS BIGINT) AS fro_cov
+        |  FROM sc GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n, tr_cov_micro, fro_cov,
+        |  CAST(CASE WHEN fro_cov = 0 THEN 0
+        |    ELSE floor(CAST(tr_cov_micro AS DOUBLE)
+        |      * CAST(tr_cov_micro AS DOUBLE)
+        |      / CAST(fro_cov AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
+        |  END AS BIGINT) AS pr_micro
+        |FROM a2 ORDER BY label""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ---- text stats ------------------------------------------------
@@ -2802,39 +2841,19 @@ object LlmQueries {
       graft.llm.Similarity.embedAnisotropy(Tables.load(s, dir, "embeddings"),
           "embedding", "label")
         .orderBy("label"),
-      Some("""WITH q AS (SELECT label, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE)
-        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS qs
-        |  FROM embeddings),
-        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-        |  FROM q GROUP BY label),
-        |m1 AS (SELECT label, i, sum(qs[i + 1]) AS s1
-        |  FROM q, range(0, 64) t(i) GROUP BY label, i),
-        |m2 AS (SELECT label, i, j, sum(qs[i + 1] * qs[j + 1]) AS s2
-        |  FROM q, range(0, 64) ti(i), range(0, 64) tj(j)
-        |  GROUP BY label, i, j),
-        |cov AS (SELECT m2.label, m2.i, m2.j, n,
-        |    CAST(n AS HUGEINT) * s2 - a.s1 * b.s1 AS cov_num
-        |  FROM m2 JOIN cnt USING (label)
-        |  JOIN m1 a ON a.label = m2.label AND a.i = m2.i
-        |  JOIN m1 b ON b.label = m2.label AND b.i = m2.j),
-        |sc AS (SELECT label, i, j, n,
-        |    CAST((CASE WHEN cov_num < 0 THEN -1 ELSE 1 END)
-        |      * (abs(cov_num) // (CAST(n AS HUGEINT) * n * 1000000))
-        |      AS BIGINT) AS cs
-        |  FROM cov),
-        |a2 AS (SELECT label, max(n) AS n,
-        |    CAST(sum(CASE WHEN i = j THEN cs ELSE 0 END) AS BIGINT)
-        |      AS tr_cov_micro,
-        |    CAST(sum(CAST(cs AS HUGEINT) * cs) AS BIGINT) AS fro_cov
-        |  FROM sc GROUP BY label)
-        |SELECT CAST(label AS BIGINT) AS label, n, tr_cov_micro, fro_cov,
-        |  CAST(CASE WHEN fro_cov = 0 THEN 0
-        |    ELSE floor(CAST(tr_cov_micro AS DOUBLE)
-        |      * CAST(tr_cov_micro AS DOUBLE)
-        |      / CAST(fro_cov AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
-        |  END AS BIGINT) AS pr_micro
-        |FROM a2 ORDER BY label""".stripMargin)),
+      Some(AnisotropyOracle)),
+
+    // ---- the same audit through the TWO-LEVEL subspace reduce — the
+    // d ≫ 64 swap (graft.ScaleAniso measured the threshold; PLANS.md):
+    // d/w diagonal OuterMoments triangles + cross CrossMoments
+    // rectangles, one bounded-state aggregation per block, remapped
+    // and unioned into a bit-identical moments frame. Same oracle —
+    // the gate pins the tiling to the single-level numbers ------------
+    QDef("embed_anisotropy_2l", (s, dir) =>
+      graft.llm.Similarity.embedAnisotropy(Tables.load(s, dir, "embeddings"),
+          "embedding", "label", subspaceWidth = Some(32))
+        .orderBy("label"),
+      Some(AnisotropyOracle)),
 
     // ---- corpus drift as a population-stability index (PSI): two
     // snapshot halves (doc_id parity), token-band bucket

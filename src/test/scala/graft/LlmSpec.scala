@@ -1798,6 +1798,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("embedAnisotropy two-level tiling is bit-identical to the single level") {
+    import spark.implicits._
+    // d=4, w=2: 2 diagonal OuterMoments triangles + 1 CrossMoments
+    // rectangle must reproduce the single-level rows exactly —
+    // including all intermediate moment sums, which the final
+    // (tr, fro, pr) columns fold in. Asymmetric values so any block
+    // mis-mapping (idx offset, transposed rectangle) changes a sum.
+    val emb = (0 until 12).map(i =>
+        (Array.tabulate(4)(j => ((i * 5 + j * 7) % 11 - 5) / 3.0f), i % 3))
+      .toDF("embedding", "label")
+    val single = graft.llm.Similarity
+      .embedAnisotropy(emb, "embedding", "label", dim = 4)
+      .orderBy("label").collect().toSeq
+    val two = graft.llm.Similarity
+      .embedAnisotropy(emb, "embedding", "label", dim = 4,
+        subspaceWidth = Some(2))
+      .orderBy("label").collect().toSeq
+    assert(single == two, s"single=$single two=$two")
+  }
+
   test("embedAnisotropy: fro_cov past BIGINT fails loudly, ANSI on or off") {
     import spark.implicits._
     // |x| = 3000 sits at the edge of the documented domain: the q·q
