@@ -81,7 +81,13 @@ object FaultVerify {
     "ann_ivfpq" -> 0.7,
     // Similarity.mmrRerank: candidate-table checkpoint + per-iteration
     // accumulator checkpoints (Similarity.scala:552+)
-    "mmr_rerank" -> 0.5)
+    "mmr_rerank" -> 0.5,
+    // stateful streaming: watermarked window agg, state in the
+    // HDFS-backed store — on executor loss the rescheduled tasks
+    // reload state from the checkpoint dir's delta files, so the
+    // drained table must still hash-match (the at-least-once +
+    // state-snapshot contract)
+    "stream_window_agg" -> 0.5)
 
   /** The documented loud-fail signature of a lost non-reliable
     * checkpoint block (RDD.checkpoint machinery's message; the
