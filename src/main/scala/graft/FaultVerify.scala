@@ -203,22 +203,21 @@ object FaultVerify {
   private def num(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outPath = if (args.length > 1) args(1) else "FAULT_VERIFY.json"
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+  /** The sweep body — also the CI surface (FaultSpec runs a 2-gate
+    * slice through it in every `sbt test`). Boots its own
+    * local-cluster session and stops it on exit; a previously active
+    * session is stopped first (later suites' getOrCreate rebuilds).
+    */
+  def run(sfDir: String, gates: Seq[(String, Double)]): Seq[GateOut] = {
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,1,1024]")
     ClusterEnv.ensureSparkHomeSkeleton()
-
-    val gates = slice.filter { case (n, _) => only.forall(_.contains(n)) }
     val execCp = System.getProperty("java.class.path")
       .split(java.io.File.pathSeparatorChar)
       .map(p => new java.io.File(p).getAbsolutePath)
       .mkString(java.io.File.pathSeparator)
 
-    val results = ClusterVerify.withSession(_.master(clusterMaster)
+    ClusterVerify.withSession(_.master(clusterMaster)
       .appName("graft-fault-verify")
       .config("spark.executor.extraClassPath", execCp)
       .config("spark.executor.extraJavaOptions",
@@ -297,9 +296,20 @@ object FaultVerify {
           killer.victimDesc, finalOutcome, contractErr, refSecs, killSecs)
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = if (args.length > 1) args(1) else "FAULT_VERIFY.json"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+    val gates = slice.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = run(sfDir, gates)
 
     val ok = results.forall(r => r.outcome == "match_first_attempt" ||
       r.outcome == "match_after_contract_error")
+    val clusterMaster =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,1,1024]")
     val json =
       s"""{"sf_dir": ${jq(sfDir)}, "cluster_master": ${jq(clusterMaster)},
          |"total": ${results.size},
