@@ -263,7 +263,11 @@ object FaultVerify {
           try {
             val sig = ClusterVerify.signature(fn(spark, sfDir))
             val endNs = System.nanoTime()
-            if (!killer.fired.get() || killer.firedAtNs.get() > endNs)
+            // firedAtNs == 0 covers the armed-but-no-victim edge
+            // (pickVictim found no executor process): without it the
+            // run would read as a valid kill that never happened
+            if (!killer.fired.get() || killer.firedAtNs.get() == 0L ||
+                killer.firedAtNs.get() > endNs)
               ("kill_not_fired", None)
             else if (sig == refSig) ("match_first_attempt", None)
             else ("mismatch", None)
