@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -236,14 +238,22 @@ object StreamStages {
     * three drain helpers below for the siting audit (VERDICT r11 #4):
     * a gate fn returns the drained sink table, so the streaming plan
     * is otherwise unreachable from outside. Reflection because the
-    * StreamingQueryWrapper/StreamExecution chain is private[sql]; a
-    * capture failure stays silent here and turns loud in
-    * SitingAuditSpec's per-gate non-empty assertion. Keyed by query
-    * name (runId for unnamed queries) — bounded by the queries a JVM
-    * drains; SitingAuditSpec clears it per gate.
+    * StreamingQueryWrapper/StreamExecution chain is private[sql]; any
+    * capture failure stays silent here (observability must never
+    * break a drain) and turns loud in SitingAuditSpec's per-gate
+    * non-empty assertion. Keyed by query name (runId for unnamed
+    * queries) with LRU eviction past 64 entries, so a long-lived
+    * session draining many unnamed queries can't accumulate plan
+    * trees; SitingAuditSpec clears it per gate anyway.
     */
-  val capturedPlans =
-    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.execution.SparkPlan]()
+  val capturedPlans: scala.collection.mutable.Map[String,
+      org.apache.spark.sql.execution.SparkPlan] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String,
+          org.apache.spark.sql.execution.SparkPlan](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String,
+            org.apache.spark.sql.execution.SparkPlan]): Boolean = size > 64
+      }).asScala
 
   private def capturePlan(q: StreamingQuery): Unit =
     try {
@@ -253,7 +263,7 @@ object StreamStages {
       if (exec != null)
         capturedPlans.put(Option(q.name).getOrElse(q.runId.toString),
           exec.executedPlan)
-    } catch { case _: ReflectiveOperationException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Memory sink for tests/smoke: processes everything currently
     * available, synchronously, then returns the finished query.

@@ -249,7 +249,7 @@ class SitingAuditSpec extends SparkSpec {
     val findings = streamGates.flatMap { name =>
       graft.streaming.StreamStages.capturedPlans.clear()
       SparkEntry.queries(name)(ss, sfDir) // fn drains synchronously
-      val plans = graft.streaming.StreamStages.capturedPlans.readOnlySnapshot()
+      val plans = graft.streaming.StreamStages.capturedPlans.toMap
       assert(plans.nonEmpty,
         s"$name: no micro-batch plan captured — the drain-helper reflection rotted")
       val hits = plans.values.toSeq.flatMap(p =>
