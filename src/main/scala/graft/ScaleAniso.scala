@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * the aggregation-state effect: spill onset in the wide hash-agg vs
   * S(S+1)/2 extra scans of the same parquet.
   *
-  * Usage: ScaleAniso [nRows] [dCsv] — defaults 10000 and
-  * 256,512,1024 (N only scales the linear work; the per-task agg
+  * Usage: ScaleAniso [nRows] [dCsv] [wCsv] — defaults 10000,
+  * 256,512,1024 and w=128 (N only scales the linear work; the per-task agg
   * state under test is N-independent because every row emits every
   * key). Synthetic (vec_id, label, v) parquet per d under
   * target/testdata/aniso_d<d>, splitmix-deterministic, |labels| = 10,
@@ -133,10 +133,13 @@ object ScaleAniso {
         out
       }
       val single = time("single", () => singleLevel(df))
-      val w = math.min(128, d)
-      val two = time(s"two_w$w", () => twoLevel(df, d, w))
-      require(single == two,
-        s"d=$d: two-level tiling diverged from single-level: $single vs $two")
+      val widths = (if (args.length > 2) args(2) else "128")
+        .split(",").map(_.trim.toInt).toSeq.map(math.min(_, d)).distinct
+      for (w <- widths) {
+        val two = time(s"two_w$w", () => twoLevel(df, d, w))
+        require(single == two,
+          s"d=$d w=$w: two-level tiling diverged from single-level: $single vs $two")
+      }
     }
     spark.stop()
   }
