@@ -60,12 +60,16 @@ Test / testOptions += {
     // stale dangling symlink reads as absent and createSymbolicLink
     // throws FileAlreadyExists; a stale-but-resolvable one would be
     // silently kept pointing at the wrong jars. Re-point on mismatch.
+    // The catches mirror graft.ClusterEnv: two sbt JVMs running this
+    // setup concurrently can race delete-vs-delete and create-vs-create.
     if (java.nio.file.Files.isSymbolicLink(link) &&
         java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
+      try java.nio.file.Files.delete(link)
+      catch { case _: java.nio.file.NoSuchFileException => () }
     if (!java.nio.file.Files.exists(link,
         java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -123,22 +123,9 @@ object ClusterVerify {
         "JDBC URL targets a network database server reachable from every " +
         "executor — the operator is cluster-native, the test fixture is not."))
 
-  // JSON string escape (the Verify.jq discipline)
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  // Locale-independent decimal rendering: the f-interpolator formats
-  // with the JVM default locale, and a decimal-comma locale (de_DE)
-  // would make the artifact invalid JSON (ADVICE r11).
-  private def num(d: Double, decimals: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+  // JSON rendering shared across all artifact writers (graft.Jsons)
+  private def jq(s: String): String = Jsons.jq(s)
+  private def num(d: Double, decimals: Int): String = Jsons.num(d, decimals)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -149,6 +136,16 @@ object ClusterVerify {
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,1,1024]")
 
     ClusterEnv.ensureSparkHomeSkeleton()
+    // A mistyped onlyCsv must fail loudly, not write an all-green
+    // artifact over an empty (or silently narrowed) slice.
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[cluster-verify] unknown query name(s): " +
+          unknown.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 

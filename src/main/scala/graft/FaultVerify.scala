@@ -193,15 +193,9 @@ object FaultVerify {
       killedPid: Long, victim: String, outcome: String,
       contractError: Option[String], refSecs: Double, killSecs: Double)
 
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  private def num(d: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+  // JSON rendering shared across all artifact writers (graft.Jsons)
+  private def jq(s: String): String = Jsons.jq(s)
+  private def num(d: Double): String = Jsons.num(d)
 
   /** The sweep body — also the CI surface (FaultSpec runs a 2-gate
     * slice through it in every `sbt test`). Boots its own
@@ -280,11 +274,25 @@ object FaultVerify {
                 .map(t => String.valueOf(t.getMessage))
                 .find(_.contains("Checkpoint block")).getOrElse(e.getMessage)
               killer.fired.set(true) // don't double-kill in the retry
-              awaitExecutors(spark, 2)
-              val retrySig = ClusterVerify.signature(fn(spark, sfDir))
-              (if (retrySig == refSig) "match_after_contract_error"
-               else "mismatch_after_contract_error",
-                Some(msg.linesIterator.next().take(300)))
+              // The retry itself must not escape this catch: an
+              // exception here would abort the whole sweep, losing
+              // every prior gate's result and the JSON artifact —
+              // contradicting the header contract that outcomes are
+              // always recorded. Record it as a failing outcome.
+              val err = Some(msg.linesIterator.next().take(300))
+              try {
+                if (!awaitExecutors(spark, 2))
+                  ("retry_no_replacement_executor", err)
+                else {
+                  val retrySig = ClusterVerify.signature(fn(spark, sfDir))
+                  (if (retrySig == refSig) "match_after_contract_error"
+                   else "mismatch_after_contract_error", err)
+                }
+              } catch {
+                case e2: Throwable =>
+                  (s"retry_error: ${String.valueOf(e2.getMessage).take(300)}",
+                    err)
+              }
             case e: Throwable =>
               (s"unexpected_error: ${String.valueOf(e.getMessage).take(300)}",
                 None)
@@ -307,6 +315,18 @@ object FaultVerify {
     val outPath = if (args.length > 1) args(1) else "FAULT_VERIFY.json"
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+    // A mistyped gate list must fail loudly, not produce an empty
+    // sweep that writes {"total": 0, "ok": true} and exits 0 — a
+    // green fault-injection proof that verified nothing.
+    only.foreach { names =>
+      val unknown = names -- slice.map(_._1).toSet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[fault-verify] unknown gate name(s): " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — known: " +
+          slice.map(_._1).mkString(", "))
+        sys.exit(2)
+      }
+    }
     val gates = slice.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = run(sfDir, gates)
 

@@ -42,8 +42,7 @@ object ScaleAniso {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", v)
+    def fmt(v: Double): String = Jsons.num(v, 3)
 
     // one aggregation pass over an exploded moment column; the final
     // global checksum both consumes the result and validates tiling
@@ -133,8 +132,14 @@ object ScaleAniso {
         out
       }
       val single = time("single", () => singleLevel(df))
-      val widths = (if (args.length > 2) args(2) else "128")
+      // twoLevel requires w | d; a non-dividing width would `require`
+      // out of the whole sweep mid-run, discarding the measurements
+      // already taken — skip it (loudly) for this d instead.
+      val (widths, skipped) = (if (args.length > 2) args(2) else "128")
         .split(",").map(_.trim.toInt).toSeq.map(math.min(_, d)).distinct
+        .partition(w => d % w == 0)
+      skipped.foreach(w => System.err.println(
+        s"[scale-aniso] skipping w=$w for d=$d (block width must divide d)"))
       for (w <- widths) {
         val two = time(s"two_w$w", () => twoLevel(df, d, w))
         require(single == two,

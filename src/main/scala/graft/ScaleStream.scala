@@ -180,14 +180,21 @@ object ScaleStream {
       "stream_dedup_paced" -> (dedupPaced _),
       "stream_window_agg" -> (windowAgg _),
       "stream_sessionize" -> (sessionize _))
+    only.foreach { sel =>
+      val unknown = sel -- gates.map(_._1).toSet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[scale-stream] unknown gate name(s): " +
+          unknown.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
     gates.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (_, g) =>
         val r = g()
-        // Locale.ROOT: the f-interpolator would render a decimal
-        // comma under e.g. de_DE and break the JSON line (ADVICE r11)
+        // Jsons.num is Locale.ROOT: the f-interpolator would render a
+        // decimal comma under e.g. de_DE and break the JSON (ADVICE r11)
         println(s"""{"gate": "${r.gate}", "events": ${r.events}, """ +
-          s""""secs": ${String.format(java.util.Locale.ROOT, "%.2f",
-            Double.box(r.secs))}, "out_rows": ${r.outRows}, """ +
+          s""""secs": ${Jsons.num(r.secs)}, "out_rows": ${r.outRows}, """ +
           s""""state_rows_max": ${r.stateRowsMax}, """ +
           s""""state_bytes_max": ${r.stateBytesMax}, """ +
           s""""provider": "$provider"}""")

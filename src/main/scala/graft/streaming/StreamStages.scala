@@ -356,9 +356,9 @@ object StreamStages {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    // callers await termination themselves for this production-shaped
-    // sink; capture is only meaningful once the final batch ran, so
-    // wait here too (idempotent for already-drained queries)
+    // BLOCKING contract (since r12): plan capture is only meaningful
+    // once the final batch ran, so this awaits termination itself —
+    // callers must not re-await (the returned query is already drained)
     q.awaitTermination()
     capturePlan(q)
     q

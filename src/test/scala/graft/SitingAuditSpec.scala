@@ -233,7 +233,8 @@ class SitingAuditSpec extends SparkSpec {
     * surfaces. The drain helpers now capture each query's final
     * micro-batch executedPlan (StreamStages.capturedPlans) and the
     * same three detectors run over it, with state-store operators as
-    * barriers. With the batch test this covers all 197 gate plans.
+    * barriers. With the batch test this covers every registered gate
+    * plan (198 as of r12 — the registry is the source of truth).
     * Executed (not spark) plans here, so the walk crosses
     * WholeStageCodegen/InputAdapter wrappers — they are transparent
     * (children carry the real nodes) and codegen fusion is exactly

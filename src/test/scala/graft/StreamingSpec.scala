@@ -113,8 +113,9 @@ class StreamingSpec extends SparkSpec {
     def runPhase(): Unit = {
       val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
       val sess = StreamStages.statefulSessions(src, "user_id", "ets", "1 minute", gapUs)
-      val q = StreamStages.toParquet(sess, out.toString, cp.toString)
-      q.awaitTermination()
+      // toParquet awaits termination internally (plan capture needs
+      // the final batch) — no await at the call site
+      StreamStages.toParquet(sess, out.toString, cp.toString)
     }
     runPhase() // phase 1: real events; final sessions still open (no timeout yet)
 
@@ -164,8 +165,9 @@ class StreamingSpec extends SparkSpec {
     def runPhase(): Unit = {
       val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
       val sess = StreamStages.statefulSessions(src, "user_id", "ets", "1 hour", gapUs)
-      val q = StreamStages.toParquet(sess, out.toString, cp.toString)
-      q.awaitTermination()
+      // toParquet awaits termination internally (plan capture needs
+      // the final batch) — no await at the call site
+      StreamStages.toParquet(sess, out.toString, cp.toString)
     }
     runPhase() // open session for user 1: [1000 s, 1010 s], n=2
 
@@ -326,8 +328,7 @@ class StreamingSpec extends SparkSpec {
       .write.parquet(in.toString)
     val schema = spark.read.parquet(in.toString).schema
     val src = StreamStages.fileSource(spark, "parquet", in.toString, schema.json)
-    val q = StreamStages.toParquet(src, out.toString, cp.toString)
-    q.awaitTermination()
+    StreamStages.toParquet(src, out.toString, cp.toString) // awaits internally
     assert(spark.read.parquet(out.toString).count() == 100)
   }
 }
