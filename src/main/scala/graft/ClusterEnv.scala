@@ -17,21 +17,85 @@ import java.nio.file.{Files, Path, Paths}
   * machine path (ADVICE r10), so the skeleton is valid wherever the
   * build itself is valid. Idempotent and safe under concurrent
   * creation (two forked JVMs racing only see already-exists).
+  *
+  * Classpath-layout hazard (r12): when a main runs through the sbt
+  * server's bgRun path, sbt COPIES every classpath jar into its own
+  * `target/bg-jobs/...` hash directory — spark-core's parent then
+  * holds exactly one jar, and pointing `jars` at it hands executors a
+  * classpath with no spark-sql/catalyst/common-utils, which
+  * crash-loops the worker (thousands of relaunch dirs, no progress).
+  * [[sparkJarsDir]] therefore VALIDATES the candidate actually holds
+  * the distribution side by side, and falls back to materializing a
+  * link farm of every classpath jar under SPARK_HOME when it doesn't.
   */
 object ClusterEnv {
 
-  /** Directory holding the Spark distribution jars on this JVM's
-    * classpath (build.sbt's `unmanagedBase` mount).
-    */
-  def sparkJarsDir(): Path =
+  private def classpathEntries(): Seq[Path] =
     System.getProperty("java.class.path")
       .split(java.io.File.pathSeparatorChar)
-      .find(p => p.endsWith(".jar") &&
-        Paths.get(p).getFileName.toString.startsWith("spark-core_"))
-      .map(p => Paths.get(p).toAbsolutePath.getParent)
-      .getOrElse(sys.error(
+      .iterator.filter(_.nonEmpty)
+      .map(p => Paths.get(p).toAbsolutePath).toSeq
+
+  /** The dir holds the distribution iff the core runtime jars sit
+    * side by side — spark-core alone is NOT enough (see header).
+    */
+  private def isDistDir(dir: Path): Boolean = {
+    val names = Option(dir.toFile.list()).map(_.toSet).getOrElse(Set.empty[String])
+    Seq("spark-core_", "spark-sql_", "spark-catalyst_")
+      .forall(p => names.exists(_.startsWith(p)))
+  }
+
+  /** Directory holding the Spark distribution jars, derived from this
+    * JVM's classpath: the validated parent of a spark-core jar, or —
+    * when every jar lives in its own copy dir (sbt bgRun) — a link
+    * farm of ALL classpath jars materialized under SPARK_HOME.
+    */
+  def sparkJarsDir(): Path = {
+    val entries = classpathEntries()
+    val coreParents = entries
+      .filter(p => p.getFileName != null &&
+        p.getFileName.toString.startsWith("spark-core_") &&
+        p.toString.endsWith(".jar"))
+      .map(_.getParent)
+    coreParents.find(isDistDir).getOrElse {
+      if (coreParents.isEmpty) sys.error(
         "spark-core_*.jar not found on java.class.path — cannot derive " +
-          "a SPARK_HOME jars dir for local-cluster executors"))
+          "a SPARK_HOME jars dir for local-cluster executors")
+      materializeJarFarm(entries)
+    }
+  }
+
+  /** Build `$SPARK_HOME/jars-cp` as symlinks to every jar on the
+    * classpath. Rebuilt from scratch on each call: bg-jobs copy dirs
+    * are deleted when their sbt job ends, so links from a previous
+    * run may dangle — and the JVM's `-cp` wildcard expansion must
+    * never see a dangling jar. Concurrent rebuild races are guarded the
+    * same way as the skeleton itself (best effort, both writers link
+    * the same filenames to equivalent jars).
+    */
+  private def materializeJarFarm(entries: Seq[Path]): Path = {
+    val home = Paths.get(sys.env.getOrElse("SPARK_HOME", "target/spark-home"))
+    val farm = home.resolve("jars-cp")
+    Files.createDirectories(farm)
+    Option(farm.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val p = f.toPath
+      val stale = Files.isSymbolicLink(p) &&
+        !Files.exists(p) // dangling: bg-jobs dir of a finished job
+      if (stale)
+        try Files.delete(p)
+        catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    entries.filter(_.toString.endsWith(".jar")).foreach { jar =>
+      val link = farm.resolve(jar.getFileName.toString)
+      if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != jar)
+        try Files.delete(link)
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        try Files.createSymbolicLink(link, jar)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    farm
+  }
 
   /** Materialize the skeleton iff SPARK_HOME points at the build's
     * repo-local location; a real distribution SPARK_HOME is left
