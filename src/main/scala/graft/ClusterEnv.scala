@@ -65,29 +65,32 @@ object ClusterEnv {
     }
   }
 
-  /** Build `$SPARK_HOME/jars-cp` as symlinks to every jar on the
-    * classpath. Rebuilt from scratch on each call: bg-jobs copy dirs
-    * are deleted when their sbt job ends, so links from a previous
-    * run may dangle — and the JVM's `-cp` wildcard expansion must
-    * never see a dangling jar. Concurrent rebuild races are guarded the
-    * same way as the skeleton itself (best effort, both writers link
-    * the same filenames to equivalent jars).
+  /** Build `$SPARK_HOME/jars-cp-<hash>` as symlinks to every jar on
+    * the classpath. The farm dir is keyed by a hash of the classpath
+    * string, so a DIFFERENT classpath (new jar versions, another
+    * bg-jobs copy set) gets its own farm — links from one run are
+    * never repointed or polluted by another, and a version bump can't
+    * leave both old and new jar versions on an executor classpath.
+    * Within one farm (same classpath string re-run), dangling links
+    * are refreshed: bg-jobs copy dirs are deleted when their sbt job
+    * ends, and the JVM's `-cp` wildcard expansion must never see a
+    * dangling jar. The one shared mutable resource left is the `jars`
+    * symlink itself: two CONCURRENT runs with different classpaths
+    * would repoint it under each other — the same pre-existing
+    * contract as the rest of the skeleton (one local-cluster run per
+    * SPARK_HOME at a time).
     */
   private def materializeJarFarm(entries: Seq[Path]): Path = {
     val home = Paths.get(sys.env.getOrElse("SPARK_HOME", "target/spark-home"))
-    val farm = home.resolve("jars-cp")
+    val cpHash = java.lang.Integer.toHexString(
+      entries.map(_.toString).mkString(":").hashCode)
+    val farm = home.resolve(s"jars-cp-$cpHash")
     Files.createDirectories(farm)
-    Option(farm.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val p = f.toPath
-      val stale = Files.isSymbolicLink(p) &&
-        !Files.exists(p) // dangling: bg-jobs dir of a finished job
-      if (stale)
-        try Files.delete(p)
-        catch { case _: java.nio.file.NoSuchFileException => () }
-    }
     entries.filter(_.toString.endsWith(".jar")).foreach { jar =>
       val link = farm.resolve(jar.getFileName.toString)
-      if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != jar)
+      val dangling = Files.isSymbolicLink(link) && !Files.exists(link)
+      if (dangling ||
+          (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != jar))
         try Files.delete(link)
         catch { case _: java.nio.file.NoSuchFileException => () }
       if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))

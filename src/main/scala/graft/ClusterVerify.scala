@@ -108,6 +108,32 @@ object ClusterVerify {
     }
   }
 
+  /** Common local-cluster session base, shared by ClusterVerify,
+    * FaultVerify and SpillVerify so a launcher/classpath fix never has
+    * to be patched in three places: the driver classpath is shipped to
+    * the executor JVMs with every entry ABSOLUTIZED (executor JVMs
+    * launch in their own work dir, so a relative entry — e.g.
+    * target/scala-2.13/classes from a bare `java -cp` launch —
+    * silently drops the library from the executor classpath: the
+    * canonical SerializedLambda / DefaultSerializationProxy
+    * ClassCastException on every task whose plan closes over a
+    * library class), plus JDK-17 module opens and full-registration
+    * barriers so the first gate doesn't race executor startup.
+    */
+  private[graft] def clusterBase(b: SparkSession.Builder,
+      master: String): SparkSession.Builder = {
+    val execCp = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparatorChar)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+    b.master(master)
+      .config("spark.executor.extraClassPath", execCp)
+      .config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
+  }
+
   /** Gates that CANNOT run with executors in separate JVMs, with the
     * reason in writing (they still run in phase A). The first sweep is
     * itself the evidence for the one entry: the task failed with
@@ -160,23 +186,8 @@ object ClusterVerify {
     // executor classpath (= a cluster's app assembly / --jars);
     // runtime-compiled gate code still ships via addArtifact/addJar.
     System.err.println(s"[cluster-verify] phase B: $clusterMaster")
-    // absolutize every classpath entry: executor JVMs launch in their
-    // own work dir, so a relative entry (e.g. target/scala-2.13/classes
-    // from a bare `java -cp` launch) silently drops the library from
-    // the executor classpath — the canonical SerializedLambda /
-    // DefaultSerializationProxy ClassCastException on every task whose
-    // plan closes over a library class
-    val execCp = System.getProperty("java.class.path")
-      .split(java.io.File.pathSeparatorChar)
-      .map(p => new java.io.File(p).getAbsolutePath)
-      .mkString(java.io.File.pathSeparator)
-    val cluster = withSession(_.master(clusterMaster)
+    val cluster = withSession(b => clusterBase(b, clusterMaster)
       .appName("graft-cluster-verify-cluster")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.executor.extraJavaOptions",
-        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
-      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
-      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
       .config("spark.sql.shuffle.partitions", "8"))(
       sweep(_, sfDir, names.filterNot(clusterExcluded.contains)))
 

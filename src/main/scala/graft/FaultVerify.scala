@@ -206,18 +206,8 @@ object FaultVerify {
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,1,1024]")
     ClusterEnv.ensureSparkHomeSkeleton()
-    val execCp = System.getProperty("java.class.path")
-      .split(java.io.File.pathSeparatorChar)
-      .map(p => new java.io.File(p).getAbsolutePath)
-      .mkString(java.io.File.pathSeparator)
-
-    ClusterVerify.withSession(_.master(clusterMaster)
+    ClusterVerify.withSession(b => ClusterVerify.clusterBase(b, clusterMaster)
       .appName("graft-fault-verify")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.executor.extraJavaOptions",
-        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
-      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
-      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
       .config("spark.sql.shuffle.partitions", "8")) { spark =>
       val sc = spark.sparkContext
       require(awaitExecutors(spark, 2), "two executors never registered")

@@ -67,14 +67,19 @@ object SpillVerify {
     def reset(): Unit = { mem.set(0); disk.set(0); shuffleWrite.set(0); tasks.set(0) }
     def snapshot: (Long, Long, Long, Long) =
       (mem.get(), disk.get(), shuffleWrite.get(), tasks.get())
-    def drain(maxMs: Long = 5000): Unit = {
+    def drain(maxMs: Long = 10000): Unit = {
+      // one quiet 200ms interval is not enough — a GC pause or a
+      // listener-bus backlog right after a heavy spilling gate can
+      // stall delivery longer than that, and an under-drain either
+      // misattributes bytes to the next gate or drops the final
+      // gate's spill entirely. Require three consecutive quiet polls.
       var last = snapshot
+      var quiet = 0
       val deadline = System.currentTimeMillis() + maxMs
-      while (System.currentTimeMillis() < deadline) {
+      while (System.currentTimeMillis() < deadline && quiet < 3) {
         Thread.sleep(200)
         val now = snapshot
-        if (now == last) return
-        last = now
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
       }
     }
   }
@@ -119,6 +124,13 @@ object SpillVerify {
     def matched: Boolean = outcome.startsWith("match")
   }
 
+  // the pressure configuration, defined once and referenced by BOTH
+  // the session builder and the JSON artifact header so the committed
+  // evidence can never describe different conditions than it ran under
+  val PressureMaster = "local-cluster[2,2,1024]"
+  val MemoryFraction = "0.1"
+  val ForceSpillThreshold = 65536
+
   def run(sfDir: String, gates: Seq[String]): Seq[GateOut] = {
     ClusterEnv.ensureSparkHomeSkeleton()
     System.err.println(s"[spill-verify] phase A: local[8] reference, " +
@@ -132,28 +144,21 @@ object SpillVerify {
       }.toMap
     }
 
-    System.err.println("[spill-verify] phase B: local-cluster[2,2,1024], " +
-      "memory.fraction=0.1, force-spill thresholds on")
-    // same executor-classpath discipline as ClusterVerify/FaultVerify:
-    // absolutized driver classpath shipped to the executor JVMs
-    val execCp = System.getProperty("java.class.path")
-      .split(java.io.File.pathSeparatorChar)
-      .map(p => new java.io.File(p).getAbsolutePath)
-      .mkString(java.io.File.pathSeparator)
-    ClusterVerify.withSession(_.master("local-cluster[2,2,1024]")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.executor.extraJavaOptions",
-        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
-      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
-      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "90s")
+    System.err.println(s"[spill-verify] phase B: $PressureMaster, " +
+      s"memory.fraction=$MemoryFraction, force-spill thresholds on")
+    ClusterVerify.withSession(b => ClusterVerify.clusterBase(b, PressureMaster)
+      .appName("graft-spill-verify")
       .config("spark.sql.shuffle.partitions", "4")
       // ≈70 MB unified memory per 1 GiB executor: big buffers MUST spill
-      .config("spark.memory.fraction", "0.1")
+      .config("spark.memory.fraction", MemoryFraction)
       // and the ones the memory manager would still fit are forced to —
       // sorters (sort, SMJ, shuffle write) and window frame buffers
-      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "65536")
-      .config("spark.sql.windowExec.buffer.spill.threshold", "65536")
-      .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "65536")) { spark =>
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+        ForceSpillThreshold.toString)
+      .config("spark.sql.windowExec.buffer.spill.threshold",
+        ForceSpillThreshold.toString)
+      .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+        ForceSpillThreshold.toString)) { spark =>
       val listener = new SpillListener
       spark.sparkContext.addSparkListener(listener)
       try gates.map { n =>
@@ -167,9 +172,13 @@ object SpillVerify {
             else ("mismatch", Some("signature mismatch under pressure"))
           } catch {
             case e: Throwable =>
-              val msg = String.valueOf(e.getMessage).take(400)
+              // classify on the FULL message (the job-abort preamble
+              // alone can exceed any truncation budget); truncate only
+              // what gets recorded in the artifact
+              val msgFull = String.valueOf(e.getMessage)
+              val msg = msgFull.take(400)
               nonSpillableContract.get(n) match {
-                case Some((expectErr, lever)) if msg.contains(expectErr) =>
+                case Some((expectErr, lever)) if msgFull.contains(expectErr) =>
                   // the documented loud failure; apply the documented
                   // knobs (runtime SQLConf) and the result must match
                   val knobs = lever.split(',').map { kv =>
@@ -227,9 +236,9 @@ object SpillVerify {
     import Jsons.{jq, num}
     val json =
       s"""{"sf_dir": ${jq(sfDir)},
-         |"cluster_master": "local-cluster[2,2,1024]",
-         |"memory_fraction": 0.1,
-         |"force_spill_threshold": 65536,
+         |"cluster_master": ${jq(PressureMaster)},
+         |"memory_fraction": $MemoryFraction,
+         |"force_spill_threshold": $ForceSpillThreshold,
          |"total": ${results.size},
          |"ok": $ok,
          |"any_disk_spill": $anyDiskSpill,
