@@ -93,7 +93,13 @@ object SpillVerify {
   val slice: Seq[String] = Seq(
     "q1_agg", "dedup_ngram_jaccard", "dedup_containment", "bm25_topk",
     "triangle_count", "zorder_cluster", "profile_table", "window_rank",
-    "topk_per_group")
+    "topk_per_group",
+    // r12 widening: the remaining heavy families — iterative
+    // lineage-cut loop, banded LSH, embedding cosine, native-expression
+    // BPE, and a localCheckpoint path whose blocks must survive a
+    // storage-memory-starved executor (MEMORY_AND_DISK demotes to disk)
+    "graph_pagerank", "dedup_minhash_lsh", "semdedup", "bpe_encode",
+    "mmr_rerank")
 
   /** Gates whose plan deliberately contains a NON-spillable buffer,
     * with (documented-error substring, the scale lever that shrinks
