@@ -18,7 +18,13 @@ import graft.streaming.StreamStages
   *
   * State metrics come from the StreamingQueryProgress stateOperators
   * section (numRowsTotal, memoryUsedBytes): the max across the run's
-  * micro-batches — the peak the store actually held. The RocksDB A/B
+  * micro-batches — the peak the store actually held. CALIBRATION
+  * (r12, measured by graft.StatePressure): memoryUsedBytes is a
+  * SizeEstimator figure and OVERCOUNTS real heap demand — the 50×
+  * point it reports as ≈1.1 GB fits and completes on a 1 GiB-heap
+  * executor; genuine heap death arrives between 5 M and 15 M keys.
+  * Use numRowsTotal for sizing decisions and treat the byte figure
+  * as an upper bound, not a requirement. The RocksDB A/B
   * rides the same `SPARK_GRAFT_STATE_PROVIDER` env knob every gate
   * run honors (StreamStages.withGateConf), so provider numbers are
   * measured on the exact gate semantics.

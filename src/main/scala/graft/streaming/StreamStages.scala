@@ -267,6 +267,11 @@ object StreamStages {
 
   /** Memory sink for tests/smoke: processes everything currently
     * available, synchronously, then returns the finished query.
+    * `queryName` is a SESSION-GLOBAL resource (it names both the
+    * memory table and the streaming query): two concurrent runs with
+    * the same name collide. Batch gates are concurrency-safe
+    * (ConcurrencySpec); callers running the SAME stream gate
+    * concurrently must suffix the name themselves.
     */
   def runToMemory(df: DataFrame, queryName: String,
       outputMode: String = "append"): StreamingQuery = {
