@@ -39,6 +39,28 @@ object ScaleStream {
   final case class Run(gate: String, events: Long, secs: Double,
       outRows: Long, stateRowsMax: Long, stateBytesMax: Long)
 
+  /** The stream_dedup gate shape, shared with [[StatePressure]] so
+    * the pressure cell provably measures the SAME query these scale
+    * curves calibrated (one definition, no copy-drift): the events
+    * frame written DOUBLED to `inDir` (idempotent — skipped when the
+    * dir exists so multiple sessions can reuse one input), then the
+    * within-watermark dedup stream over it.
+    */
+  private[graft] def dedupShape(spark: SparkSession, events: DataFrame,
+      inDir: String): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("ets"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(inDir))) {
+      ev.coalesce(4).write.mode("overwrite").parquet(inDir)
+      ev.coalesce(4).write.mode("append").parquet(inDir)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val src = StreamStages.fileSource(spark, "parquet", inDir, schema.json)
+    StreamStages.dedupWithinWatermark(src, "ets", "1 hour", Seq("event_id"))
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ets")).as("ts_us"))
+  }
+
   private def stateMax(q: StreamingQuery): (Long, Long) = {
     val ps = q.recentProgress
     if (ps == null || ps.isEmpty) (0L, 0L)
@@ -81,16 +103,7 @@ object ScaleStream {
 
     def dedup() = measure("stream_dedup") { () =>
       val base = java.nio.file.Files.createTempDirectory("graft-scale-sdedup")
-      val ev = events.select(col("event_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
-      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/in")
-      ev.coalesce(4).write.mode("append").parquet(s"$base/in")
-      val schema = spark.read.parquet(s"$base/in").schema
-      val src = StreamStages.fileSource(spark, "parquet", s"$base/in", schema.json)
-      val deduped = StreamStages.dedupWithinWatermark(src, "ets", "1 hour",
-        Seq("event_id"))
-        .select(col("event_id"), col("event_type"),
-          unix_micros(col("ets")).as("ts_us"))
+      val deduped = ScaleStream.dedupShape(spark, events, s"$base/in")
       val q = StreamStages.withGateConf(spark, StreamStages.SkipNoDataBatch) {
         StreamStages.runToMemory(deduped, "scale_sdedup")
       }
