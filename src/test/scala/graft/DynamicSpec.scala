@@ -296,4 +296,38 @@ class DynamicSpec extends SparkSpec {
     val e5 = intercept[DynamicCompiler.CompileException](resolve("def transform(df: DataFrame = df"))
     assert(e5.errors.nonEmpty)
   }
+
+  test("concurrent compiles: 4 distinct transforms compiled+run in parallel stay isolated") {
+    // The reference serves many concurrently-deployed pipelines from
+    // one JVM, so runtime compilation must be safe under concurrency:
+    // each compile builds its OWN scala.tools.nsc Global (shared
+    // Globals are not thread-safe) and SHA-suffixed object names keep
+    // the classloaders from colliding. 4 different multipliers
+    // compiled and invoked at once must each see their own code.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 4).map { k =>
+        Future {
+          val code =
+            s"""def transform(df: DataFrame): DataFrame =
+               |  df.select((col("v") * $k).as("v"))
+               |""".stripMargin
+          val objName = DynamicCompiler.classNameFor(s"conc$k")
+          val compiled = DynamicCompiler.compile(DynamicCompiler.wrap(objName, code))
+          val fn = DynamicCompiler.resolveFunction(
+            compiled.loadObject(objName), "transform", isVoid = false)
+          import spark.implicits._
+          val out = fn.invoke(Seq(10L).toDF("v"), GraftContext(spark, Map.empty))
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+          (k, out.collect().head.getLong(0))
+        }
+      }
+      val got = Await.result(Future.sequence(futures), 5.minutes)
+      assert(got.toMap == Map(1 -> 10L, 2 -> 20L, 3 -> 30L, 4 -> 40L))
+    } finally pool.shutdownNow()
+  }
 }
