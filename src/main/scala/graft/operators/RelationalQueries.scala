@@ -359,23 +359,28 @@ object RelationalQueries {
 
     // ---- ROLLUP hierarchy totals. Note: rollup-over-join trips
     // Spark 4's ambiguous-self-join detector (the rollup's Expand
-    // duplicates grouping attrs carrying dataset-id metadata) — a
-    // false positive; disabled for this query via the documented conf.
+    // duplicates grouping attrs carrying __dataset_id plan tags) — a
+    // false positive. Fixed by declaring the rollup through SQL over a
+    // temp view (a view boundary carries no dataset-id tags) rather
+    // than flipping the session-wide analyzer conf, which raced with
+    // CONCURRENT queries: any query analyzed inside the flip window
+    // lost the ambiguity guard (ConcurrencySpec is the shared-session
+    // contract). View name is dir-keyed so distinct sfDirs can coexist;
+    // re-registration with identical content is idempotent.
     QDef("agg_rollup", (s, dir) => {
-      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "false")
-      try {
-        val df = t(s, dir, "customer")
-          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .select("r_name", "n_name", "c_acctbal")
-          .rollup("r_name", "n_name")
-          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
-          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
-        df.queryExecution.analyzed // force analysis while the conf is off
-        df
-      } finally s.conf.set(key, prev) // don't leak the relaxation session-wide
+      val view = "agg_rollup_base_" +
+        java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT r_name, n_name, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+           |FROM $view
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
