@@ -57,8 +57,10 @@ object Bench {
     runOnce("q1_agg"); runOnce("join_inner")
 
     // min of N reps per query: damps JIT/page-cache/GC noise so the
-    // number reflects the plan, not the first-run transient
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // number reflects the plan, not the first-run transient. Default 3
+    // (VERDICT r12 #2): two same-HEAD r12 windows showed 2× per-query
+    // swings at 2 reps; min-of-3 collapses them to ~15%.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -106,6 +108,46 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // ---- per-query vs-prev ratios (VERDICT r12 #2): compare this
+    // window against the latest committed round artifact so per-query
+    // regressions are detectable from the artifact alone, without
+    // hand-run sentinel protocols. Ratios are noise-normalized per
+    // query downstream by the reader using noise_index; here we emit
+    // the raw cur/prev plus the prev filename for provenance.
+    // default chain: BENCH_PREV_ROUND.json is the previous round's
+    // committed engine window, snapshotted at round start (round-start
+    // hygiene, BASELINE.md); fall back to the last engine window file
+    // (read BEFORE this run overwrites it). The driver's BENCH_r*.json
+    // wrappers are NOT used — they truncate the per-query map.
+    val prevFile: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").filter(_.nonEmpty).orElse(
+        Seq("BENCH_PREV_ROUND.json", "BENCH_ENGINE_LAST.json")
+          .find(f => new java.io.File(f).isFile))
+    val prevQueries: Map[String, Double] = prevFile.flatMap { f =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(new java.io.File(f)).get("queries")
+        if (node == null) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Some(node.fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap)
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not read prev window $f: ${e.getMessage}")
+        None
+      }
+    }.getOrElse(Map.empty)
+    val vsPrev = results.flatMap { case (n, cur) =>
+      prevQueries.get(n).filter(p => p > 0 && cur > 0)
+        .map(p => "\"" + n + "\":" + fmt(cur / p))
+    }.mkString("{", ",", "}")
+    // flag only material regressions: >1.5x AND >1s absolute (sub-second
+    // queries swing on scheduler jitter alone)
+    val regressed = results.flatMap { case (n, cur) =>
+      prevQueries.get(n).filter(p => p > 0 && cur > 1.0 && cur / p > 1.5)
+        .map(_ => "\"" + n + "\"")
+    }
     // Self-describing failure accounting (ADVICE r6): a -1.000 sentinel
     // contributes 0 s to the total, so without these fields a round with
     // broken queries reads as a speedup in cross-round comparison.
@@ -114,6 +156,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""n_measured":${results.count(_._2 >= 0)},"n_failed":${failedQs.size},""" +
         s""""failed":[${failedQs.mkString(",")}],""" +
+        s""""reps":$reps,"prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},""" +
+        s""""vs_prev":$vsPrev,"regressed":[${regressed.mkString(",")}],""" +
         s""""noise_index":${fmt(noiseIndex)},"noise_n":${noiseRatios.size},""" +
         s""""sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the

@@ -86,8 +86,22 @@ object ClusterEnv {
       entries.map(_.toString).mkString(":").hashCode)
     val farm = home.resolve(s"jars-cp-$cpHash")
     Files.createDirectories(farm)
-    entries.filter(_.toString.endsWith(".jar")).foreach { jar =>
-      val link = farm.resolve(jar.getFileName.toString)
+    val jars = entries.filter(_.toString.endsWith(".jar"))
+    // Two classpath jars with the same filename in different dirs must
+    // not collapse to one link (last-wins would silently drop a jar
+    // from the executor classpath) — disambiguate colliding basenames
+    // with a short hash of the full path.
+    val collides: Set[String] = jars.groupBy(_.getFileName.toString)
+      .collect { case (name, js) if js.map(_.toString).distinct.size > 1 => name }
+      .toSet
+    jars.foreach { jar =>
+      val base = jar.getFileName.toString
+      val linkName =
+        if (collides(base))
+          "p" + java.lang.Integer.toHexString(jar.toString.hashCode)
+            .replace('-', '_') + "-" + base
+        else base
+      val link = farm.resolve(linkName)
       val dangling = Files.isSymbolicLink(link) && !Files.exists(link)
       if (dangling ||
           (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != jar))

@@ -179,9 +179,14 @@ object SpillVerify {
           } catch {
             case e: Throwable =>
               // classify on the FULL message (the job-abort preamble
-              // alone can exceed any truncation budget); truncate only
-              // what gets recorded in the artifact
-              val msgFull = String.valueOf(e.getMessage)
+              // alone can exceed any truncation budget) INCLUDING the
+              // cause chain — Spark's wrapping can bury the hash-build
+              // OOM text in a cause (StatePressure walks getCause for
+              // the same reason); truncate only what gets recorded in
+              // the artifact
+              val msgFull = Iterator.iterate[Throwable](e)(_.getCause)
+                .takeWhile(_ != null).take(16)
+                .map(t => String.valueOf(t.getMessage)).mkString("; caused by: ")
               val msg = msgFull.take(400)
               nonSpillableContract.get(n) match {
                 case Some((expectErr, lever)) if msgFull.contains(expectErr) =>

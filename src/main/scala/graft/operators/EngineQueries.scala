@@ -110,6 +110,47 @@ object EngineQueries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin)),
 
+    // user PYTHON program inside the pipeline: the reference's fourth
+    // entry point (PySparkProgram.java:54-70) run for real through a
+    // spark-submit subprocess. The program is the reference-doc shape
+    // (self-contained: own SparkContext, own IO via path macros) and
+    // deliberately goes through python RDD lambdas — flatMap/filter/
+    // reduceByKey — so the gate exercises real executor-side python
+    // workers, not just the JVM DataFrame API driven from python.
+    // Same oracle as dynamic_wordcount: the two entry points must
+    // agree with DuckDB AND each other.
+    QDef("pyspark_wordcount", (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-gate-pys")
+        .resolve("wc").toString
+      val code =
+        """from pyspark import SparkContext
+          |from pyspark.sql import SparkSession
+          |from pyspark.sql.types import StructType, StructField, StringType, LongType
+          |
+          |sc = SparkContext()
+          |spark = SparkSession(sc)
+          |docs = spark.read.parquet("${in}/documents.parquet")
+          |counts = (docs.select("text").rdd
+          |          .flatMap(lambda r: (r[0] or "").split(" "))
+          |          .filter(lambda w: w != "")
+          |          .map(lambda w: (w, 1))
+          |          .reduceByKey(lambda a, b: a + b))
+          |schema = StructType([StructField("word", StringType(), False),
+          |                     StructField("n", LongType(), False)])
+          |spark.createDataFrame(counts, schema) \
+          |     .coalesce(1).write.mode("overwrite").parquet("${out}")
+          |sc.stop()
+          |""".stripMargin
+      val pipe = PipelineSpec(
+        Seq(StageSpec("pys", "pysparkProgram", Map("pythonCode" -> code))),
+        Seq.empty)
+      new Pipeline(pipe).run(s, Map("in" -> dir, "out" -> out))
+      s.read.parquet(out).orderBy(col("n").desc, col("word"))
+    },
+      Some("""SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin)),
+
     // Structured Streaming, oracle-checked: replay events as a
     // one-file stream, watermarked 1-day tumbling window counts in
     // append mode. Append emits exactly the windows whose end the

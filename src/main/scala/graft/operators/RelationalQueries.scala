@@ -365,11 +365,13 @@ object RelationalQueries {
     // than flipping the session-wide analyzer conf, which raced with
     // CONCURRENT queries: any query analyzed inside the flip window
     // lost the ambiguity guard (ConcurrencySpec is the shared-session
-    // contract). View name is dir-keyed so distinct sfDirs can coexist;
-    // re-registration with identical content is idempotent.
+    // contract). View name is keyed by the SANITIZED FULL dir path (not
+    // a 32-bit hash) so two distinct sfDirs can never collide and
+    // silently share a view; re-registration with identical content is
+    // idempotent.
     QDef("agg_rollup", (s, dir) => {
       val view = "agg_rollup_base_" +
-        java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))

@@ -47,6 +47,7 @@ final class Pipeline(spec: PipelineSpec) {
           case _: SourceStage if ins.nonEmpty =>
             errs += s"source '${s.name}' cannot have inputs"
           case _: DynamicProgram => // action node: inputs optional
+          case _: PySparkProgram => // action node: inputs optional (drives own IO)
           case _: ComputeStage if ins.isEmpty =>
             errs += s"compute '${s.name}' has no input"
           case _: SinkStage if ins.size != 1 =>

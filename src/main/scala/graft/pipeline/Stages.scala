@@ -487,29 +487,55 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
   }
 }
 
-/** PySpark program stage — DECISION RECORD for the reference's fourth
-  * plugin entry point (reference: PySparkProgram.java:54-70, which
-  * launches user Python through spark-submit). Execution is
-  * intentionally descoped in this build: the environment is
-  * zero-egress with no Python/pyspark runtime available to library
-  * code (SURVEY.md §7 risk 4), and a spark-submit subprocess launcher
-  * that can never succeed here would fail later and less clearly than
-  * an explicit validate-time error. The stage type therefore EXISTS —
-  * a pipeline carrying it parses — but validation and execution both
-  * fail with a message naming the supported migration path
-  * (scalaCompute / scalaProgram). Wiring a real launcher back in is a
-  * matter of replacing `transform` with a `spark-submit` subprocess
-  * call in an environment that has one.
+/** PySpark program stage — the reference's fourth plugin entry point
+  * (reference: PySparkProgram.java:54-70 "launches user Python through
+  * spark-submit"; docs/PySparkProgram-sparkprogram.md:21-48 for the
+  * self-contained-program contract). Properties:
+  *
+  *   - `pythonCode`: the self-contained PySpark source (macro-resolved
+  *     by the pipeline before it reaches here, mirroring the
+  *     reference's `@Macro` on pythonCode)
+  *   - `pyFiles` (optional): ','-separated URIs of extra
+  *     .py/.zip/.egg libraries (reference Config.pyFiles)
+  *   - `master`, `timeoutSec`, `conf.*` (optional): subprocess knobs
+  *
+  * Like DynamicProgram, this is an ACTION node: the program drives
+  * its own IO (the reference doc's `${input.path}`/`${output.path}`
+  * pattern) and the stage passes its (optional) input through.
+  * Deploy-time validation = pyFiles URI check (reference
+  * configure() parity) + a stdlib py_compile syntax check, skipped
+  * while unresolved macros remain (reference containsMacro gate).
   */
 final class PySparkProgram(val spec: StageSpec) extends ComputeStage {
-  private val descopeMsg =
-    s"stage '$name': pysparkProgram is descoped in this build (no Python " +
-      "runtime in the zero-egress environment); port the script to a " +
-      "scalaCompute/scalaProgram stage, or run it via spark-submit outside " +
-      "the pipeline"
-  override def validate(): Seq[String] = Seq(descopeMsg)
-  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame =
-    throw new UnsupportedOperationException(descopeMsg)
+  private def pyFiles: Seq[String] =
+    spec.properties.getOrElse("pyFiles", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+  override def validate(): Seq[String] = {
+    if (!graft.dynamic.PySparkRunner.available)
+      Seq(graft.dynamic.PySparkRunner.unavailableReason)
+    else {
+      val code = spec.properties("pythonCode")
+      graft.dynamic.PySparkRunner.validatePyFiles(pyFiles) ++
+        // deploy-time semantics: an unresolved ${macro} is not a
+        // syntax error — the check runs once run() resolves strictly
+        (if (code.contains("${")) Nil
+         else graft.dynamic.PySparkRunner.syntaxCheck(code))
+    }
+  }
+
+  def transform(ctx: PipelineContext, inputs: Seq[DataFrame]): DataFrame = {
+    val p = spec.properties
+    graft.dynamic.PySparkRunner.run(
+      pythonCode = p("pythonCode"),
+      pyFiles = pyFiles,
+      conf = p.collect { case (k, v) if k.startsWith("conf.") =>
+        k.stripPrefix("conf.") -> v },
+      master = p.getOrElse("master", "local[8]"),
+      appName = s"graft-pyspark-$name",
+      timeoutSec = p.getOrElse("timeoutSec", "600").toLong)
+    inputs.headOption.getOrElse(ctx.spark.emptyDataFrame)
+  }
 }
 
 /** Whole-program action stage (reference ScalaSparkProgram as a DAG

@@ -305,13 +305,25 @@ object StreamStages {
     * real deployment the snapshot would be a Delta/Iceberg MERGE
     * target; the per-batch plan is the same.
     */
+  /** Committed snapshot versions only: a version EXISTS once its
+    * `_SUCCESS` marker does (one atomic file create = the "switch" in
+    * write-new-then-switch). A batch killed mid-write leaves a torn
+    * `v<id>` dir with `_temporary` debris and no marker — readers and
+    * the replayed batch's prev-selection must both skip it, or a
+    * restart window exposes a half-written snapshot
+    * (UpsertSwitchFaultSpec kills a real write job between version
+    * write and marker to pin this).
+    */
+  private def committedVersions(baseDir: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(f => (f.getName.drop(1).toLong, f)).sortBy(_._1)
+
   def foreachBatchUpsert(src: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String], baseDir: String): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
-    def versionDirs(): Seq[(Long, java.io.File)] =
-      Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(f => (f.getName.drop(1).toLong, f)).sortBy(_._1)
+    def versionDirs(): Seq[(Long, java.io.File)] = committedVersions(baseDir)
     val q = src.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
       // a replayed batch must merge against the snapshot BEFORE it
@@ -342,12 +354,12 @@ object StreamStages {
     q
   }
 
-  /** Latest snapshot written by [[foreachBatchUpsert]]. */
+  /** Latest COMMITTED snapshot written by [[foreachBatchUpsert]] — a
+    * torn (markerless) version from a killed batch is invisible here.
+    */
   def latestSnapshot(spark: SparkSession, baseDir: String): DataFrame = {
-    val vs = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => (f.getName.drop(1).toLong, f)).sortBy(_._1)
-    require(vs.nonEmpty, s"no snapshot versions under $baseDir")
+    val vs = committedVersions(baseDir)
+    require(vs.nonEmpty, s"no committed snapshot versions under $baseDir")
     spark.read.parquet(vs.last._2.getAbsolutePath)
   }
 

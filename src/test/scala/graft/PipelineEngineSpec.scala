@@ -281,17 +281,29 @@ class PipelineEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("missing field 'nope'"))
   }
 
-  test("pysparkProgram stage: documented descope error at validate and run") {
-    val p = PipelineSpec(Seq(
-      pipeline.StageSpec("src", "range", Map("end" -> "10")),
-      pipeline.StageSpec("py", "pysparkProgram", Map("pythonCode" -> "print('hi')")),
-      pipeline.StageSpec("out", "memorySink", Map("key" -> "py1"))),
-      Seq(pipeline.Connection("src", "py"), pipeline.Connection("py", "out")))
-    val errs = new Pipeline(p).validate()
-    assert(errs.exists(_.contains("descoped")), errs.mkString("; "))
-    assert(errs.exists(_.contains("scalaCompute")))
-    val e2 = intercept[IllegalStateException](new Pipeline(p).run(spark))
-    assert(e2.getMessage.contains("descoped"))
+  test("pysparkProgram stage: deploy-time python syntax check and macro gate") {
+    assume(graft.dynamic.PySparkRunner.available,
+      graft.dynamic.PySparkRunner.unavailableReason)
+    def spec(code: String, extra: Map[String, String] = Map.empty) =
+      PipelineSpec(Seq(
+        pipeline.StageSpec("src", "range", Map("end" -> "10")),
+        pipeline.StageSpec("py", "pysparkProgram",
+          Map("pythonCode" -> code) ++ extra),
+        pipeline.StageSpec("out", "memorySink", Map("key" -> "py1"))),
+        Seq(pipeline.Connection("src", "py"), pipeline.Connection("py", "out")))
+    // broken python fails at DEPLOY time (py_compile), not at run
+    val errs = new Pipeline(spec("def broken(:\n  pass")).validate()
+    assert(errs.exists(_.contains("python syntax error")), errs.mkString("; "))
+    // clean python validates clean
+    assert(new Pipeline(spec("print('hi')")).validate().isEmpty)
+    // an unresolved ${macro} is NOT a syntax error at deploy time
+    // (reference containsMacro gate) but resolves and checks at run
+    assert(new Pipeline(spec("x = \"${path}\"\nprint(x)")).validate().isEmpty)
+    // a malformed pyFiles URI is caught at deploy time (reference
+    // PySparkProgram.java:49-51 configure() parity)
+    val uriErrs = new Pipeline(spec("print('hi')",
+      Map("pyFiles" -> "ht tp://bad uri"))).validate()
+    assert(uriErrs.exists(_.contains("bad pyFiles URI")), uriErrs.mkString("; "))
   }
 
   test("LLM operator stages: minhashDedup + textStats + annTopK through the DSL") {

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.dynamic.PySparkRunner
+import graft.pipeline.{Connection, Pipeline, PipelineSpec, StageSpec}
+
+/** The reference's fourth entry point run for REAL: a self-contained
+  * PySpark program (reference docs/PySparkProgram-sparkprogram.md:21-48
+  * shape — own SparkContext, own IO via macros) executed through a
+  * spark-submit subprocess, inside the pipeline DAG.
+  *
+  * One subprocess run covers the whole surface (each run boots a
+  * driver JVM, ~12 s): pyFiles import + python RDD lambdas (real
+  * executor-side python workers) + parquet IO through `${...}` macros
+  * + result equivalence with the Scala-side plan.
+  */
+class PySparkSpec extends SparkSpec {
+
+  test("pysparkProgram: wordcount with pyFiles lib, macros and python workers " +
+      "matches the Scala plan (PySparkProgram-sparkprogram.md:21-48)") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    val dir = Files.createTempDirectory("graft-pyspec")
+    // input: the golden fixture lines as parquet
+    import spark.implicits._
+    val in = s"$dir/in"
+    (0 until 10).map(i => s"Line $i").toDF("body").coalesce(1)
+      .write.parquet(in)
+    // a pyFiles helper library the program imports (reference
+    // Config.pyFiles: ','-separated URIs of extra .py libraries)
+    val lib = dir.resolve("wclib.py")
+    Files.write(lib,
+      """def tokenize(line):
+        |    return [w for w in (line or "").split(" ") if w != ""]
+        |""".stripMargin.getBytes("UTF-8"))
+    val code =
+      """from pyspark import SparkContext
+        |from pyspark.sql import SparkSession
+        |from pyspark.sql.types import StructType, StructField, StringType, LongType
+        |import wclib
+        |
+        |sc = SparkContext()
+        |spark = SparkSession(sc)
+        |df = spark.read.parquet("${input.path}")
+        |counts = (df.rdd.flatMap(lambda r: wclib.tokenize(r["body"]))
+        |          .map(lambda w: (w, 1))
+        |          .reduceByKey(lambda a, b: a + b))
+        |schema = StructType([StructField("word", StringType(), False),
+        |                     StructField("n", LongType(), False)])
+        |spark.createDataFrame(counts, schema) \
+        |     .coalesce(1).write.mode("overwrite").parquet("${output.path}")
+        |sc.stop()
+        |""".stripMargin
+    val out = s"$dir/out"
+    val pipe = PipelineSpec(
+      Seq(StageSpec("pys", "pysparkProgram", Map(
+        "pythonCode" -> code,
+        "pyFiles" -> lib.toString,
+        "master" -> "local[4]",
+        "conf.spark.sql.shuffle.partitions" -> "4"))),
+      Seq.empty)
+    new Pipeline(pipe).run(spark,
+      Map("input.path" -> in, "output.path" -> out))
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val golden = Map("Line" -> 10L) ++ (0 until 10).map(i => i.toString -> 1L)
+    assert(got == golden)
+  }
+
+  test("pysparkProgram: nonzero exit surfaces the python stderr tail") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    // runtime failure (deploy-time py_compile passes — the error is a
+    // raise, not a syntax error), so the subprocess exit path is on
+    // the hook, including stderr capture
+    val e = intercept[RuntimeException] {
+      PySparkRunner.run("raise RuntimeError('graft-boom')",
+        master = "local[2]", timeoutSec = 120)
+    }
+    assert(e.getMessage.contains("graft-boom"), e.getMessage.take(500))
+  }
+}

@@ -39,6 +39,12 @@ object WriteRetrySpec {
 class WriteRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {
+    // ORDERING ASSUMPTION: stopping whatever session is active is safe
+    // only because Test/parallelExecution := false serializes suites in
+    // the one forked JVM — no other suite can be mid-test when this
+    // lazy val initializes (or when afterAll re-stops). If parallel
+    // suite execution is ever enabled, this must instead track and stop
+    // only sessions this suite created.
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(_.sparkContext.stop())
     SparkSession.clearActiveSession()
