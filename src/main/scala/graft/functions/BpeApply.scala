@@ -41,8 +41,14 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = BpeApply.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    val pairsRef = ctx.addReferenceObj("bpePairs", pairs,
-      "scala.Tuple2<String, String>[]")
+    // RAW erased type, not `scala.Tuple2<String, String>[]`: janino
+    // has no generics, and the parameterized cast made the whole
+    // projection fail codegen ("')' expected instead of '['") and run
+    // INTERPRETED — the exact HOF-interpretation trap this expression
+    // exists to close (found by ScaleCurves r13: this was also the
+    // "sporadic benign janino error" r7 noted near the streaming
+    // gates — deterministic here, not sporadic).
+    val pairsRef = ctx.addReferenceObj("bpePairs", pairs, "scala.Tuple2[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
         s"$helper.compute($c.toString(), $pairsRef));")
