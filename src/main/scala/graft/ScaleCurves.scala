@@ -73,10 +73,13 @@ object ScaleCurves {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // warm-up: JIT + page cache on the smallest slice, not timed
-    runOnce(gates.head, dirs(ms.head))
-
     val results: Seq[(String, Seq[(Long, Double)])] = gates.map { g =>
+      // PER-GATE warm-up on the smallest slice, untimed: the first
+      // execution of a heavy gate pays one-off JIT/codegen cost that
+      // dwarfs the 1× data cost (measured: profile_table_approx 36-47 s
+      // cold vs ~6 s warm — enough to INVERT a curve), so without this
+      // the 1× anchor measures the JVM, not the plan
+      runOnce(g, dirs(ms.head))
       val times = ms.map { m =>
         val t1 = runOnce(g, dirs(m))
         val t =
