@@ -68,6 +68,64 @@ class PySparkSpec extends SparkSpec {
     assert(got == golden)
   }
 
+  test("pysparkProgram: MLlib side-artifact flow in PYTHON — one program " +
+      "trains+saves, a second loads+applies (PySparkProgram-sparkprogram.md:21-48)") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    // the reference doc's flagship use case is an MLlib NaiveBayes
+    // train/save/load in user Python; DynamicSpec proves the same flow
+    // in dynamic Scala — this is the python side, as two SEPARATE
+    // programs exchanging the model through storage (the side-artifact
+    // contract: `model.save(sc, "${output.path}")`, doc line 48)
+    val dir = Files.createTempDirectory("graft-pyml")
+    val model = s"$dir/model"; val out = s"$dir/pred"
+    val train =
+      """from pyspark import SparkContext
+        |from pyspark.sql import SparkSession
+        |from pyspark.ml.classification import NaiveBayes
+        |from pyspark.ml.linalg import Vectors
+        |
+        |sc = SparkContext()
+        |spark = SparkSession(sc)
+        |data = spark.createDataFrame(
+        |    [(0.0, Vectors.dense([5.0, 1.0])), (0.0, Vectors.dense([4.0, 0.0])),
+        |     (1.0, Vectors.dense([1.0, 5.0])), (1.0, Vectors.dense([0.0, 4.0]))],
+        |    ["label", "features"])
+        |model = NaiveBayes(smoothing=1.0).fit(data)
+        |model.write().overwrite().save("${model.path}")
+        |sc.stop()
+        |""".stripMargin
+    val apply =
+      """from pyspark import SparkContext
+        |from pyspark.sql import SparkSession
+        |from pyspark.ml.classification import NaiveBayesModel
+        |from pyspark.ml.linalg import Vectors
+        |
+        |sc = SparkContext()
+        |spark = SparkSession(sc)
+        |model = NaiveBayesModel.load("${model.path}")
+        |test = spark.createDataFrame(
+        |    [(0, Vectors.dense([6.0, 1.0])), (1, Vectors.dense([1.0, 6.0]))],
+        |    ["row_id", "features"])
+        |(model.transform(test).select("row_id", "prediction")
+        |    .coalesce(1).write.mode("overwrite").parquet("${output.path}"))
+        |sc.stop()
+        |""".stripMargin
+    def stage(name: String, code: String) =
+      StageSpec(name, "pysparkProgram", Map(
+        "pythonCode" -> code, "master" -> "local[4]",
+        "conf.spark.sql.shuffle.partitions" -> "4"))
+    // two action nodes in ONE pipeline, ordered by a connection — the
+    // apply program must only run after the model exists
+    val pipe = PipelineSpec(
+      Seq(stage("train", train), stage("apply", apply)),
+      Seq(Connection("train", "apply")))
+    new Pipeline(pipe).run(spark,
+      Map("model.path" -> model, "output.path" -> out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 1.0), s"wrong predictions: $got")
+  }
+
   test("pysparkProgram: nonzero exit surfaces the python stderr tail") {
     assume(PySparkRunner.available, PySparkRunner.unavailableReason)
     // runtime failure (deploy-time py_compile passes — the error is a
