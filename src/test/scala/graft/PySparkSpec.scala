@@ -234,4 +234,50 @@ class PySparkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft-boom"), e.getMessage.take(500))
   }
+
+  test("pysparkProgram: a hung program is killed at timeoutSec, not waited on forever") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    // no SparkContext — plain python sleep, so the whole test costs
+    // ~timeoutSec + python startup, and the kill path (destroyForcibly
+    // on the exec'd process) is what's under test
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] {
+      PySparkRunner.run("import time\ntime.sleep(600)\n", timeoutSec = 5)
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("timed out"), e.getMessage.take(300))
+    assert(waited < 60, s"kill took ${waited}s — timeout not enforced")
+  }
+
+  test("pysparkProgram: two programs run CONCURRENTLY stay isolated " +
+      "(own driver JVMs, temp dirs, outputs)") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    // gates can run concurrently on one session (ConcurrencySpec
+    // contract); each pysparkProgram boots its own driver JVM with
+    // auto-assigned ports — two at once must not collide
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-pyconc")
+    def prog(tag: Int) =
+      s"""from pyspark import SparkContext
+         |from pyspark.sql import SparkSession
+         |sc = SparkContext()
+         |spark = SparkSession(sc)
+         |spark.range(0, 100).selectExpr("id", "id * $tag as v") \\
+         |    .coalesce(1).write.mode("overwrite").parquet("$dir/out$tag")
+         |sc.stop()
+         |""".stripMargin
+    val fs = Seq(3, 7).map(t => Future {
+      PySparkRunner.run(prog(t), master = "local[2]",
+        appName = s"graft-pyconc-$t", timeoutSec = 300)
+    })
+    Await.result(Future.sequence(fs), 300.seconds)
+    import spark.implicits._
+    for (t <- Seq(3, 7)) {
+      val sum = spark.read.parquet(s"$dir/out$t")
+        .agg(org.apache.spark.sql.functions.sum("v")).as[Long].head()
+      assert(sum == 99L * 100 / 2 * t, s"program $t wrong output: $sum")
+    }
+  }
 }
