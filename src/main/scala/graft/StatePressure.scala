@@ -88,13 +88,7 @@ object StatePressure {
       }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      Option(p.toFile.listFiles()).getOrElse(Array.empty)
-        .foreach(f => deleteRecursively(f.toPath))
-    try Files.deleteIfExists(p)
-    catch { case _: java.io.IOException => () }
-  }
+  private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
 
   def main(args: Array[String]): Unit = {
     val sliceDir = args(0)

@@ -197,13 +197,8 @@ object DynamicCompiler {
   private object Cleanup {
     private val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
     Runtime.getRuntime.addShutdownHook(new Thread(() => dirs.synchronized {
-      dirs.foreach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Exception => () }
-      }
+      dirs.foreach(d => try graft.Fs.deleteRecursively(d)
+        catch { case _: Exception => () })
     }))
     def register(dir: Path): Unit = dirs.synchronized { dirs += dir }
   }

@@ -76,17 +76,22 @@ object PySparkRunner {
         val src = dir.resolve("program.py")
         Files.write(src, code.getBytes("UTF-8"))
         val pb = new ProcessBuilder(py, "-m", "py_compile", src.toString)
+        // output to a FILE, never a pipe read before waitFor: reading
+        // the stream to EOF would block forever on a wedged python and
+        // make the 30 s timeout below unreachable (run() has the same
+        // discipline)
+        val outF = dir.resolve("pyc.log").toFile
         pb.redirectErrorStream(true)
+        pb.redirectOutput(outF)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         if (!p.waitFor(30, TimeUnit.SECONDS)) {
-          p.destroyForcibly()
+          killTree(p)
           Seq("python syntax check timed out")
         } else if (p.exitValue() != 0)
-          Seq("python syntax error: " + out.linesIterator
+          Seq("python syntax error: " + tail(outF, 2000).linesIterator
             .filter(_.nonEmpty).toSeq.takeRight(4).mkString(" | "))
         else Nil
-      } finally deleteRecursively(dir)
+      } finally graft.Fs.deleteRecursively(dir)
   }
 
   /** Validate pyFiles entries as URIs (reference configure() parity:
@@ -156,8 +161,7 @@ object PySparkRunner {
       // python traceback on ITS stdout, Spark log noise on stderr
       def tails = s"stderr tail: ${tail(errF, 2000)}; stdout tail: ${tail(outF, 4000)}"
       if (!p.waitFor(timeoutSec, TimeUnit.SECONDS)) {
-        p.destroyForcibly()
-        p.waitFor(10, TimeUnit.SECONDS)
+        killTree(p)
         throw new RuntimeException(
           s"pysparkProgram timed out after ${timeoutSec}s; $tails")
       }
@@ -165,19 +169,43 @@ object PySparkRunner {
         throw new RuntimeException(
           s"pysparkProgram exited ${p.exitValue()}; $tails")
       tail(outF, 64 * 1024)
-    } finally deleteRecursively(dir)
+    } finally graft.Fs.deleteRecursively(dir)
   }
 
+  /** Kill the subprocess AND its descendants: spark-submit execs the
+    * driver JVM, but the driver spawns python workers (and a hung
+    * pure-python user loop never even touches py4j) — destroying only
+    * the root would orphan a CPU-burning python to init. Descendants
+    * first (the snapshot races with the tree changing; best effort),
+    * then the root, then a second descendant sweep for stragglers
+    * forked in between.
+    */
+  private def killTree(p: Process): Unit = {
+    def sweep(): Unit =
+      try p.descendants().forEach(h => { h.destroyForcibly(); () })
+      catch { case _: Exception => () }
+    sweep()
+    p.destroyForcibly()
+    p.waitFor(10, TimeUnit.SECONDS)
+    sweep()
+  }
+
+  /** Last `n` bytes of a log file WITHOUT loading it whole: a chatty
+    * user program can emit gigabytes of stdout, and readAllBytes on
+    * that would OOM the host engine after the program already
+    * succeeded.
+    */
   private def tail(f: java.io.File, n: Int): String =
     if (!f.exists()) "(empty)"
     else {
-      val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
-      if (s.length <= n) s else s.takeRight(n)
-    }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        val from = math.max(0L, len - n)
+        val buf = new Array[Byte](math.min(n.toLong, len - from).toInt)
+        raf.seek(from)
+        raf.readFully(buf)
+        new String(buf, "UTF-8")
+      } finally raf.close()
     }
 }

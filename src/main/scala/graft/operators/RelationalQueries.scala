@@ -365,13 +365,15 @@ object RelationalQueries {
     // than flipping the session-wide analyzer conf, which raced with
     // CONCURRENT queries: any query analyzed inside the flip window
     // lost the ambiguity guard (ConcurrencySpec is the shared-session
-    // contract). View name is keyed by the SANITIZED FULL dir path (not
-    // a 32-bit hash) so two distinct sfDirs can never collide and
-    // silently share a view; re-registration with identical content is
-    // idempotent.
+    // contract). View name = sanitized dir (readability) + SHA-1 prefix
+    // of the RAW dir (collision-proofing: sanitization alone is lossy —
+    // "sf-0.1" and "sf_0.1" would share a name); re-registration with
+    // identical content is idempotent.
     QDef("agg_rollup", (s, dir) => {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
       val view = "agg_rollup_base_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + sha
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))

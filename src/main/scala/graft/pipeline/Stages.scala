@@ -516,9 +516,12 @@ final class PySparkProgram(val spec: StageSpec) extends ComputeStage {
       Seq(graft.dynamic.PySparkRunner.unavailableReason)
     else {
       val code = spec.properties("pythonCode")
-      graft.dynamic.PySparkRunner.validatePyFiles(pyFiles) ++
-        // deploy-time semantics: an unresolved ${macro} is not a
-        // syntax error — the check runs once run() resolves strictly
+      // deploy-time semantics: an unresolved ${macro} is not an error
+      // in EITHER property (reference containsMacro gates both
+      // pythonCode and pyFiles) — the checks run once run() resolves
+      // strictly
+      graft.dynamic.PySparkRunner.validatePyFiles(
+        pyFiles.filterNot(_.contains("${"))) ++
         (if (code.contains("${")) Nil
          else graft.dynamic.PySparkRunner.syntaxCheck(code))
     }

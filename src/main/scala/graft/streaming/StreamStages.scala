@@ -343,7 +343,14 @@ object StreamStages {
       all.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$baseDir/v$id")
+        .write.mode("overwrite")
+        // the commit marker IS the switch: force it per-write so a
+        // session/cluster conf that suppresses _SUCCESS files (common
+        // on object stores) cannot silently make every version
+        // invisible to committedVersions — losing the merge-against-
+        // prev chain AND blinding readers
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$baseDir/v$id")
       ()
     }
       .option("checkpointLocation", s"$baseDir/_ckpt")

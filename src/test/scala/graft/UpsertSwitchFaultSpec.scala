@@ -122,4 +122,32 @@ class UpsertSwitchFaultSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(healed == Set((1L, 3L, 200L), (2L, 300L, 250L), (3L, 301L, 50L)))
   }
+
+  test("version commit markers survive a cluster conf that suppresses _SUCCESS " +
+      "(the marker IS the switch — it must not be an optional courtesy file)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-upsert-marker")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    Seq((1L, 1L, 100L), (2L, 2L, 150L)).toDF("event_id", "user_id", "ts_us")
+      .coalesce(1).write.parquet(in)
+    val schemaJson = spark.read.parquet(in).schema.json
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val saved = hconf.get(key)
+    hconf.set(key, "false") // the object-store-style suppression
+    try {
+      val src = StreamStages.fileSource(spark, "parquet", in, schemaJson)
+      StreamStages.foreachBatchUpsert(src, Seq("user_id"),
+        Seq("ts_us", "event_id"), out)
+      val v0 = new java.io.File(out, "v0")
+      assert(v0.isDirectory, "no version written")
+      assert(new java.io.File(v0, "_SUCCESS").isFile,
+        "version write honored the suppression conf — the per-write " +
+          "override regressed and every snapshot is now invisible")
+      assert(StreamStages.latestSnapshot(spark, out).count() == 2)
+    } finally {
+      if (saved == null) hconf.unset(key) else hconf.set(key, saved)
+    }
+  }
 }
