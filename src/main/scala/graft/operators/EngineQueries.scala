@@ -151,6 +151,38 @@ object EngineQueries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin)),
 
+    // the Arrow/pandas-UDF path as a first-class gate: a pysparkProgram
+    // decodes the synthetic binary P6 media column with mapInPandas +
+    // numpy (graft.dynamic.PySparkPrograms.pandasPpmDecode — the same
+    // source PySparkSpec bit-matches against the pure-JVM decoder), and
+    // the oracle recomputes width/height/luma from the pixel FORMULA
+    // alone, never parsing PPM — python writer, Arrow batch plumbing
+    // and the decode all sit between two independent checks
+    QDef("pyspark_pandas_decode", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-pypd")
+      val in = s"$base/media"; val out = s"$base/feat"
+      graft.llm.Multimodal.syntheticPpmTable(Tables.load(s, dir, "documents"))
+        .select("doc_id", "payload").coalesce(2).write.parquet(in)
+      val pipe = PipelineSpec(
+        Seq(StageSpec("pys", "pysparkProgram", Map(
+          "pythonCode" -> graft.dynamic.PySparkPrograms.pandasPpmDecode))),
+        Seq.empty)
+      new Pipeline(pipe).run(s, Map("input.path" -> in, "output.path" -> out))
+      s.read.parquet(out).orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+        |l AS (SELECT doc_id, w, h,
+        |    299 * ((doc_id * 31 + 7 * (3 * i)) % 256)
+        |  + 587 * ((doc_id * 31 + 7 * (3 * i + 1)) % 256)
+        |  + 114 * ((doc_id * 31 + 7 * (3 * i + 2)) % 256) AS lum
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(lum) AS BIGINT) AS luma_sum
+        |FROM l GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // Structured Streaming, oracle-checked: replay events as a
     // one-file stream, watermarked 1-day tumbling window counts in
     // append mode. Append emits exactly the windows whose end the

@@ -130,12 +130,8 @@ class PySparkSpec extends SparkSpec {
       "independent JVM decoder on binary media columns") {
     assume(PySparkRunner.available, PySparkRunner.unavailableReason)
     // the Arrow path needs pandas+pyarrow+numpy in the subprocess python
-    val pandasOk = {
-      val p = new ProcessBuilder(PySparkRunner.pythonExec.get, "-c",
-        "import pandas, pyarrow, numpy").start()
-      p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0
-    }
-    assume(pandasOk, "no pandas/pyarrow/numpy in the subprocess python")
+    assume(graft.dynamic.PySparkPrograms.pandasAvailable,
+      "no pandas/pyarrow/numpy in the subprocess python")
 
     // JVM side: the multimodal fixture (binary P6 images incl. header
     // comments) and the pure-JVM decoder as the independent reference
@@ -146,62 +142,10 @@ class PySparkSpec extends SparkSpec {
     val media = graft.llm.Multimodal.syntheticPpmTable(docs)
     media.select("doc_id", "payload").coalesce(2).write.parquet(in)
 
-    // python side: vectorized decode in pandas batches over Arrow —
-    // the brief's multimodal feature-extract shape (mapInPandas over an
-    // opaque binary column), with the decode REAL (P6 needs no codec
-    // lib) and the SAME integer BT.601 luma the JVM decoder uses
-    val code =
-      """from pyspark import SparkContext
-        |from pyspark.sql import SparkSession
-        |import numpy as np
-        |import pandas as pd
-        |
-        |def parse_p6(b):
-        |    if not b.startswith(b'P6'):
-        |        return None
-        |    pos, n, toks = 2, len(b), []
-        |    while len(toks) < 3 and pos < n:
-        |        while pos < n and b[pos:pos+1].isspace():
-        |            pos += 1
-        |        if pos < n and b[pos:pos+1] == b'#':
-        |            while pos < n and b[pos] != 0x0a:
-        |                pos += 1
-        |            continue
-        |        start = pos
-        |        while pos < n and not b[pos:pos+1].isspace():
-        |            pos += 1
-        |        toks.append(int(b[start:pos]))
-        |    pos += 1  # the single whitespace after maxval
-        |    if len(toks) < 3 or toks[2] > 255:
-        |        return None
-        |    w, h = toks[0], toks[1]
-        |    if pos + 3 * w * h > n:
-        |        return None
-        |    return w, h, pos
-        |
-        |def decode(batches):
-        |    for pdf in batches:
-        |        rows = []
-        |        for doc_id, payload in zip(pdf['doc_id'], pdf['payload']):
-        |            parsed = parse_p6(bytes(payload))
-        |            if parsed is None:
-        |                continue
-        |            w, h, off = parsed
-        |            px = np.frombuffer(bytes(payload), np.uint8,
-        |                               count=3 * w * h, offset=off).astype(np.int64)
-        |            luma = int((299 * px[0::3] + 587 * px[1::3] + 114 * px[2::3]).sum())
-        |            rows.append((int(doc_id), w, h, w * h, luma))
-        |        yield pd.DataFrame(rows, columns=[
-        |            'doc_id', 'width', 'height', 'n_pixels', 'luma_sum'])
-        |
-        |sc = SparkContext()
-        |spark = SparkSession(sc)
-        |media = spark.read.parquet("${input.path}")
-        |schema = "doc_id long, width long, height long, n_pixels long, luma_sum long"
-        |(media.mapInPandas(decode, schema)
-        |    .coalesce(1).write.mode("overwrite").parquet("${output.path}"))
-        |sc.stop()
-        |""".stripMargin
+    // python side: the SHARED program source the gate also runs
+    // (graft.dynamic.PySparkPrograms.pandasPpmDecode) — this spec pins
+    // it against the independent JVM decoder, the gate against DuckDB
+    val code = graft.dynamic.PySparkPrograms.pandasPpmDecode
     val pipe = PipelineSpec(
       Seq(StageSpec("pys", "pysparkProgram", Map(
         "pythonCode" -> code, "master" -> "local[4]",
