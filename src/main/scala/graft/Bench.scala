@@ -123,21 +123,29 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_PREV").filter(_.nonEmpty).orElse(
         Seq("BENCH_PREV_ROUND.json", "BENCH_ENGINE_LAST.json")
           .find(f => new java.io.File(f).isFile))
-    val prevQueries: Map[String, Double] = prevFile.flatMap { f =>
-      try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = om.readTree(new java.io.File(f)).get("queries")
-        if (node == null) None
-        else {
-          import scala.jdk.CollectionConverters._
-          Some(node.fields().asScala
-            .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap)
+    // prev window's queries AND its reps count (ADVICE r13: min-of-3
+    // vs a min-of-2 prev biases ratios low — record both reps in the
+    // artifact so the one-time bias is interpretable without prose)
+    val prevWindow: (Map[String, Double], Option[Int]) =
+      prevFile.flatMap { f =>
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(new java.io.File(f))
+          val node = root.get("queries")
+          if (node == null) None
+          else {
+            import scala.jdk.CollectionConverters._
+            val reps = Option(root.get("reps")).map(_.asInt(-1)).filter(_ > 0)
+            Some((node.fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap, reps))
+          }
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] could not read prev window $f: ${e.getMessage}")
+          None
         }
-      } catch { case e: Exception =>
-        System.err.println(s"[bench] could not read prev window $f: ${e.getMessage}")
-        None
-      }
-    }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty[String, Double], None))
+    val prevQueries = prevWindow._1
+    val prevReps = prevWindow._2
     val vsPrev = results.flatMap { case (n, cur) =>
       prevQueries.get(n).filter(p => p > 0 && cur > 0)
         .map(p => "\"" + n + "\":" + fmt(cur / p))
@@ -152,11 +160,23 @@ object Bench {
     // contributes 0 s to the total, so without these fields a round with
     // broken queries reads as a speedup in cross-round comparison.
     val failedQs = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    // Constant-cost gates (VERDICT r13 #6): the two pysparkProgram
+    // gates each pay a data-independent spark-submit driver-JVM boot
+    // (~12 s) that exists to exercise the subprocess path, not the
+    // data plan. Emit them and a net-of-const total so cross-round
+    // comparisons and the 2x bar stay one-step without prose
+    // arithmetic in BASELINE.md.
+    val constQueries = Seq("pyspark_wordcount", "pyspark_pandas_decode")
+      .filter(resultMap.get(_).exists(_ > 0))
+    val constS = constQueries.map(resultMap(_)).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""n_measured":${results.count(_._2 >= 0)},"n_failed":${failedQs.size},""" +
         s""""failed":[${failedQs.mkString(",")}],""" +
+        s""""const_queries":[${constQueries.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""const_s":${fmt(constS)},"value_net_const":${fmt(total - constS)},""" +
         s""""reps":$reps,"prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},""" +
+        s""""prev_reps":${prevReps.map(_.toString).getOrElse("null")},""" +
         s""""vs_prev":$vsPrev,"regressed":[${regressed.mkString(",")}],""" +
         s""""noise_index":${fmt(noiseIndex)},"noise_n":${noiseRatios.size},""" +
         s""""sf":"$sfDir"}"""

@@ -68,10 +68,34 @@ object PySparkPrograms {
       |sc.stop()
       |""".stripMargin
 
+  /** The same program with the WORK timed — from just before the lazy
+    * read (i.e. after SparkContext/JVM boot) to after the write — so a
+    * scale harness (graft.ScaleArrow) can split the data-dependent
+    * Arrow/decode cost from the constant spark-submit JVM boot. Built
+    * by string surgery on the canonical source above so the two can
+    * never drift; stdout carries `ARROW_WORK_SECONDS=<t>`.
+    */
+  val pandasPpmDecodeTimed: String = {
+    val timed = pandasPpmDecode
+      .replace("media = spark.read.parquet",
+        "import time\n_t0 = time.time()\nmedia = spark.read.parquet")
+      .replace("sc.stop()",
+        "print('ARROW_WORK_SECONDS=%.3f' % (time.time() - _t0))\nsc.stop()")
+    require(timed != pandasPpmDecode && timed.contains("ARROW_WORK_SECONDS"),
+      "pandasPpmDecode instrumentation anchors missing")
+    timed
+  }
+
   /** True iff the subprocess python can run the Arrow/pandas path. */
   lazy val pandasAvailable: Boolean =
     PySparkRunner.pythonExec.exists { py =>
-      val p = new ProcessBuilder(py, "-c", "import pandas, pyarrow, numpy").start()
-      p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0
+      val pb = new ProcessBuilder(py, "-c", "import pandas, pyarrow, numpy")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      // a wedged probe must not leak: kill it and report unavailable
+      val finished = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { p.destroyForcibly(); () }
+      finished && p.exitValue() == 0
     }
 }

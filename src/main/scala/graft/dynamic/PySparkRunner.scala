@@ -105,6 +105,24 @@ object PySparkRunner {
       }
     }
 
+  /** Default subprocess master: the host session's `spark.master`
+    * when it names a real cluster manager — on a cluster the
+    * subprocess must submit where the host runs, not silently fall
+    * back to one local box. Local masters keep `local[8]`: the host
+    * may be `local[32]` sized for the whole engine (the one-shot
+    * subprocess should not grab every core), and `local-cluster[...]`
+    * is a test-only rig a fresh spark-submit cannot join. The stage's
+    * explicit `master` property always wins (Stages.PySparkProgram).
+    */
+  def defaultMaster(spark: org.apache.spark.sql.SparkSession): String =
+    defaultMaster(
+      try spark.conf.get("spark.master", "") catch { case _: Exception => "" })
+
+  /** String-level resolution (unit-testable without a cluster). */
+  def defaultMaster(hostMaster: String): String =
+    if (hostMaster.isEmpty || hostMaster.startsWith("local")) "local[8]"
+    else hostMaster
+
   /** Run the program to completion. Throws with the stderr tail on a
     * nonzero exit; returns the subprocess stdout on success.
     *
@@ -128,6 +146,10 @@ object PySparkRunner {
     val home = sparkHome.get
     val py = pythonExec.get
     val dir = Files.createTempDirectory("graft-pyspark")
+    // set when a kill cannot be confirmed: deleting the workdir (the
+    // subprocess cwd + logs) under a still-live process trades a hung
+    // program for undiagnosable follow-on failures — leak it instead
+    var keepDir = false
     try {
       val src = dir.resolve("program.py")
       Files.write(src, pythonCode.getBytes("UTF-8"))
@@ -161,15 +183,22 @@ object PySparkRunner {
       // python traceback on ITS stdout, Spark log noise on stderr
       def tails = s"stderr tail: ${tail(errF, 2000)}; stdout tail: ${tail(outF, 4000)}"
       if (!p.waitFor(timeoutSec, TimeUnit.SECONDS)) {
-        killTree(p)
+        val dead = killTree(p)
+        val killNote =
+          if (dead) ""
+          else {
+            keepDir = true
+            s"; kill UNCONFIRMED (pid ${p.pid()} still alive after " +
+              s"destroyForcibly + 10s) — leaving workdir $dir in place"
+          }
         throw new RuntimeException(
-          s"pysparkProgram timed out after ${timeoutSec}s; $tails")
+          s"pysparkProgram timed out after ${timeoutSec}s$killNote; $tails")
       }
       if (p.exitValue() != 0)
         throw new RuntimeException(
           s"pysparkProgram exited ${p.exitValue()}; $tails")
       tail(outF, 64 * 1024)
-    } finally graft.Fs.deleteRecursively(dir)
+    } finally if (!keepDir) graft.Fs.deleteRecursively(dir)
   }
 
   /** Kill the subprocess AND its descendants: spark-submit execs the
@@ -178,16 +207,19 @@ object PySparkRunner {
     * the root would orphan a CPU-burning python to init. Descendants
     * first (the snapshot races with the tree changing; best effort),
     * then the root, then a second descendant sweep for stragglers
-    * forked in between.
+    * forked in between. Returns true iff the root process is
+    * confirmed dead — callers must not treat the workdir as
+    * reclaimable otherwise.
     */
-  private def killTree(p: Process): Unit = {
+  private def killTree(p: Process): Boolean = {
     def sweep(): Unit =
       try p.descendants().forEach(h => { h.destroyForcibly(); () })
       catch { case _: Exception => () }
     sweep()
     p.destroyForcibly()
-    p.waitFor(10, TimeUnit.SECONDS)
+    val dead = p.waitFor(10, TimeUnit.SECONDS)
     sweep()
+    dead && !p.isAlive
   }
 
   /** Last `n` bytes of a log file WITHOUT loading it whole: a chatty

@@ -61,6 +61,46 @@ object LlmQueries {
   private[operators] def duckPoly(e: String): String =
     s"list_reduce(list_transform(string_split($e, ''), x -> CAST(unicode(x) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** DuckDB fragment: distinct word-n-gram shingles per document
+    * (`sh(doc_id, shingles)`), shared by the dedup-family oracles. */
+  private def shingleCtes(n: Int): String = {
+    val gen =
+      if (n == 2) "[ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]"
+      else "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]"
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= $n
+       |    THEN $gen
+       |    ELSE [] END) AS shingles FROM tok)""".stripMargin
+  }
+
+  /** DuckDB fragment: inverted-index candidate pairs over `sh` —
+    * `sz(doc_id, n)`, `post(doc_id, sg)`, `pr(ia, ib, shared)` with
+    * ia < ib. Jaccard/containment are then exact from the integer
+    * shared-count and set sizes (identical division operands to the
+    * all-pairs `list_intersect` form, so identical doubles). r14:
+    * replaces the quadratic all-pairs oracle formulations that hit
+    * DuckDB's 120 s bound at sf0.1; the originals live on as sf0.01
+    * A/B checks in tools/oracle_ab.py (bit-identical, ORACLE_AB.json). */
+  private val invertedPairCtes: String =
+    """sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+      |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS shared
+      |  FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB fragment: near-dup pairs (Jaccard >= thr) from the
+    * inverted index — the linear replacement for all-pairs Jaccard. */
+  private def jaccardPairCtes(n: Int, thr: Double): String =
+    s"""${shingleCtes(n)},
+       |$invertedPairCtes,
+       |p AS (
+       |  SELECT pr.ia, pr.ib,
+       |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       |  FROM pr JOIN sz sa ON pr.ia = sa.doc_id JOIN sz sb ON pr.ib = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $thr)""".stripMargin
+
   /** DuckDB replay of [[graft.llm.TextAnalysis.winnow]] (k=4, w=4):
     * positional 4-gram hashes, the identical packed
     * (hash asc, pos desc) BIGINT key, min per 4-window, distinct —
@@ -982,40 +1022,20 @@ object LlmQueries {
       Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "text", "doc_id",
           shingleN = 3, threshold = 0.5)
         .orderBy("ia", "ib"),
-      Some("""WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
-        |    ELSE [] END) AS shingles FROM tok)
-        |SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-        |ORDER BY ia, ib""".stripMargin)),
+      Some(s"""WITH ${jaccardPairCtes(3, 0.5)}
+        |SELECT ia, ib, jaccard FROM p ORDER BY ia, ib""".stripMargin)),
 
     // ---- near-dup clusters: connected components over the verified
     // pair graph → keep-one-representative semantics. Oracle: the
-    // same pairs via all-pairs Jaccard, closed transitively with a
+    // same pairs via the inverted-index Jaccard (r14 — the all-pairs
+    // form lives in tools/oracle_ab.py), closed transitively with a
     // recursive CTE.
     QDef("dedup_clusters", (s, dir) =>
       Dedup.nearDupClusters(
           Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "text", "doc_id",
             shingleN = 3, threshold = 0.5))
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
-        |    ELSE [] END) AS shingles FROM tok),
-        |p AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+      Some(s"""WITH RECURSIVE ${jaccardPairCtes(3, 0.5)},
         |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
         |reach(a, b) AS (
         |  SELECT DISTINCT a, a FROM e
@@ -1034,17 +1054,7 @@ object LlmQueries {
       Dedup.dropNearDups(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
-        |    ELSE [] END) AS shingles FROM tok),
-        |p AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+      Some(s"""WITH RECURSIVE ${jaccardPairCtes(3, 0.5)},
         |ex AS (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib
         |  FROM documents a JOIN documents b
@@ -1066,19 +1076,8 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
           shingleN = 2, threshold = 0.5)
         .orderBy("ia", "ib"),
-      Some("""WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
-        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-        |    ELSE [] END) AS shingles FROM tok)
-        |SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-        |ORDER BY ia, ib""".stripMargin)),
+      Some(s"""WITH ${jaccardPairCtes(2, 0.5)}
+        |SELECT ia, ib, jaccard FROM p ORDER BY ia, ib""".stripMargin)),
 
     // ---- asymmetric containment pairs (quote/subset detection —
     // tiny-inside-huge has small Jaccard but containment 1.0) --------
@@ -1094,21 +1093,14 @@ object LlmQueries {
       Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
           "doc_id", shingleN = 2, threshold = 0.8)
         .orderBy("ia", "ib"),
-      Some("""WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
-        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-        |    ELSE [] END) AS shingles FROM tok),
-        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |      / len(a.shingles) AS containment_a,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |      / len(b.shingles) AS containment_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0)
-        |SELECT ia, ib, containment_a, containment_b FROM p
-        |WHERE greatest(containment_a, containment_b) >= 0.8
+      Some(s"""WITH ${shingleCtes(2)},
+        |$invertedPairCtes
+        |SELECT ia, ib,
+        |  CAST(shared AS DOUBLE) / sa.n AS containment_a,
+        |  CAST(shared AS DOUBLE) / sb.n AS containment_b
+        |FROM pr JOIN sz sa ON pr.ia = sa.doc_id JOIN sz sb ON pr.ib = sb.doc_id
+        |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+        |               CAST(shared AS DOUBLE) / sb.n) >= 0.8
         |ORDER BY ia, ib""".stripMargin)),
 
     // ---- SimHash signatures ---------------------------------------
@@ -1878,31 +1870,22 @@ object LlmQueries {
           "text", "doc_id", shingleN = 2, threshold = 0.5)
         .orderBy("doc_id")
     },
-      Some("""WITH tok AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 2
-        |    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-        |    ELSE [] END) AS shingles FROM tok),
-        |b AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
-        |e AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
-        |cb AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM b JOIN e ON
-        |    CAST(len(list_intersect(b.shingles, e.shingles)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(b.shingles, e.shingles))) >= 0.5
-        |  GROUP BY b.doc_id),
-        |clean AS (SELECT doc_id, shingles FROM b
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM cb)),
-        |pb AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM b x JOIN clean p ON p.doc_id < x.doc_id
-        |    AND CAST(len(list_intersect(x.shingles, p.shingles)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(x.shingles, p.shingles))) >= 0.5
-        |  GROUP BY x.doc_id)
+      Some(s"""WITH ${jaccardPairCtes(2, 0.5)},
+        |d AS (SELECT ia AS x, ib AS y FROM p UNION ALL SELECT ib, ia FROM p),
+        |cb AS (SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM d WHERE x % 10 = 0 AND y % 10 <> 0 GROUP BY x),
+        |clean AS (SELECT doc_id FROM sh
+        |  WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM cb)),
+        |pb AS (SELECT d.x AS doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM d JOIN clean c ON d.y = c.doc_id
+        |  WHERE d.x % 10 = 0 AND d.y % 10 = 0 AND d.y < d.x GROUP BY d.x)
         |SELECT b.doc_id,
         |  coalesce(cb.n, 0) AS n_corpus_blockers,
         |  coalesce(pb.n, 0) AS n_peer_blockers,
         |  CAST(CASE WHEN coalesce(cb.n, 0) = 0 AND coalesce(pb.n, 0) = 0
         |    THEN 1 ELSE 0 END AS INT) AS admitted
-        |FROM b LEFT JOIN cb ON b.doc_id = cb.doc_id
+        |FROM (SELECT doc_id FROM sh WHERE doc_id % 10 = 0) b
+        |LEFT JOIN cb ON b.doc_id = cb.doc_id
         |LEFT JOIN pb ON b.doc_id = pb.doc_id
         |ORDER BY b.doc_id""".stripMargin)),
 
@@ -1928,11 +1911,16 @@ object LlmQueries {
         |    list_distinct(CASE WHEN len(ws) >= 2
         |      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
         |      ELSE [] END) AS shingles FROM tok),
-        |leak AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_leak_partners
-        |  FROM sh a JOIN sh b ON a.split <> 'test' AND b.split = 'test'
-        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-        |  GROUP BY a.doc_id)
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |post AS (SELECT doc_id, split, unnest(shingles) AS sg FROM sh),
+        |pr AS (SELECT a.doc_id AS x, b.doc_id AS y, CAST(count(*) AS BIGINT) AS shared
+        |  FROM post a JOIN post b ON a.sg = b.sg
+        |    AND a.split <> 'test' AND b.split = 'test'
+        |  GROUP BY 1, 2),
+        |leak AS (SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS n_leak_partners
+        |  FROM pr JOIN sz sa ON pr.x = sa.doc_id JOIN sz sb ON pr.y = sb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        |  GROUP BY x)
         |SELECT s.doc_id, s.split_hash, s.split,
         |  coalesce(l.n_leak_partners, 0) AS n_leak_partners,
         |  CAST(CASE WHEN s.split <> 'test' AND coalesce(l.n_leak_partners, 0) > 0

@@ -1325,21 +1325,29 @@ object RelationalQueries {
 
     // ---- fuzzy join: edit-distance-1 entity matching via complete
     // deletion-neighborhood blocking (FastSS/SymSpell) — never
-    // all-pairs. The oracle IS all-pairs (quadratic; times out at
-    // sf0.1 by design like the other exact-dedup oracles), which is
-    // exactly the point: same result, linear-ish plan ---------------
+    // all-pairs. Oracle (r14): the same deletion-neighborhood
+    // candidates replayed in DuckDB + levenshtein verify — provably
+    // complete for ed<=1 (any substitution/indel pair shares a
+    // deletion key) and identical to the retired all-pairs form
+    // (tools/oracle_ab.py), which timed out DuckDB's 120 s bound at
+    // sf0.1 under host load --------------------------------------
     QDef("fuzzy_join_ed1", (s, dir) =>
       FuzzyJoin.editDistance1Pairs(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy("a_id", "b_id"),
-      Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
+      Some("""WITH nb AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    unnest(list_distinct(list_append(
+        |      [name[:i-1] || name[i+1:] for i in range(1, length(name) + 1)],
+        |      name))) AS k
+        |  FROM customer),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+        |  FROM nb a JOIN nb b ON a.k = b.k AND a.id < b.id)
+        |SELECT a_id, b_id, CAST(levenshtein(an, bn) AS INT) AS dist
+        |FROM cand WHERE levenshtein(an, bn) <= 1
         |ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- sorted-neighborhood record linkage (Hernández–Stolfo

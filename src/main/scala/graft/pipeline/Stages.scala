@@ -497,7 +497,11 @@ final class DynamicSink(val spec: StageSpec) extends SinkStage {
   *     reference's `@Macro` on pythonCode)
   *   - `pyFiles` (optional): ','-separated URIs of extra
   *     .py/.zip/.egg libraries (reference Config.pyFiles)
-  *   - `master`, `timeoutSec`, `conf.*` (optional): subprocess knobs
+  *   - `master`, `timeoutSec`, `conf.*` (optional): subprocess knobs.
+  *     `master` defaults to the host session's `spark.master` when it
+  *     names a real cluster manager (PySparkRunner.defaultMaster) so
+  *     the stage is cluster-correct without per-caller wiring;
+  *     local/local-cluster hosts fall back to `local[8]`
   *
   * Like DynamicProgram, this is an ACTION node: the program drives
   * its own IO (the reference doc's `${input.path}`/`${output.path}`
@@ -514,16 +518,19 @@ final class PySparkProgram(val spec: StageSpec) extends ComputeStage {
   override def validate(): Seq[String] = {
     if (!graft.dynamic.PySparkRunner.available)
       Seq(graft.dynamic.PySparkRunner.unavailableReason)
-    else {
-      val code = spec.properties("pythonCode")
-      // deploy-time semantics: an unresolved ${macro} is not an error
-      // in EITHER property (reference containsMacro gates both
-      // pythonCode and pyFiles) — the checks run once run() resolves
-      // strictly
-      graft.dynamic.PySparkRunner.validatePyFiles(
-        pyFiles.filterNot(_.contains("${"))) ++
-        (if (code.contains("${")) Nil
-         else graft.dynamic.PySparkRunner.syntaxCheck(code))
+    else spec.properties.get("pythonCode") match {
+      // a missing property is a VALIDATION finding, not an exception —
+      // throwing here would abort validation of the whole pipeline
+      case None => Seq(s"stage '$name': missing required property 'pythonCode'")
+      case Some(code) =>
+        // deploy-time semantics: an unresolved ${macro} is not an error
+        // in EITHER property (reference containsMacro gates both
+        // pythonCode and pyFiles) — the checks run once run() resolves
+        // strictly
+        graft.dynamic.PySparkRunner.validatePyFiles(
+          pyFiles.filterNot(_.contains("${"))) ++
+          (if (code.contains("${")) Nil
+           else graft.dynamic.PySparkRunner.syntaxCheck(code))
     }
   }
 
@@ -534,7 +541,8 @@ final class PySparkProgram(val spec: StageSpec) extends ComputeStage {
       pyFiles = pyFiles,
       conf = p.collect { case (k, v) if k.startsWith("conf.") =>
         k.stripPrefix("conf.") -> v },
-      master = p.getOrElse("master", "local[8]"),
+      master = p.getOrElse("master",
+        graft.dynamic.PySparkRunner.defaultMaster(ctx.spark)),
       appName = s"graft-pyspark-$name",
       timeoutSec = p.getOrElse("timeoutSec", "600").toLong)
     inputs.headOption.getOrElse(ctx.spark.emptyDataFrame)

@@ -224,4 +224,32 @@ class PySparkSpec extends SparkSpec {
       assert(sum == 99L * 100 / 2 * t, s"program $t wrong output: $sum")
     }
   }
+
+  test("pysparkProgram: subprocess master resolution — stage property wins, " +
+      "then a real cluster manager inherits, local hosts fall back to local[8]") {
+    // string-level contract (VERDICT r13 #5): the stage must be
+    // cluster-correct by default without every caller passing master
+    assert(PySparkRunner.defaultMaster("spark://host:7077") == "spark://host:7077")
+    assert(PySparkRunner.defaultMaster("yarn") == "yarn")
+    assert(PySparkRunner.defaultMaster("k8s://https://1.2.3.4:6443")
+      == "k8s://https://1.2.3.4:6443")
+    // local flavors: the subprocess must NOT inherit (local[32] would
+    // over-subscribe; a fresh spark-submit cannot join local-cluster)
+    assert(PySparkRunner.defaultMaster("local[32]") == "local[8]")
+    assert(PySparkRunner.defaultMaster("local[*]") == "local[8]")
+    assert(PySparkRunner.defaultMaster("local-cluster[2,2,1024]") == "local[8]")
+    assert(PySparkRunner.defaultMaster("") == "local[8]")
+    // session-level overload reads the live conf (this suite is local)
+    assert(PySparkRunner.defaultMaster(spark) == "local[8]")
+  }
+
+  test("pysparkProgram: validate() reports a missing pythonCode property " +
+      "instead of throwing (ADVICE r13)") {
+    assume(PySparkRunner.available, PySparkRunner.unavailableReason)
+    val stage = new graft.pipeline.PySparkProgram(StageSpec(
+      "noCode", "pysparkProgram", Map.empty))
+    val errs = stage.validate()
+    assert(errs.exists(_.contains("missing required property 'pythonCode'")),
+      s"expected a validation finding, got: $errs")
+  }
 }
