@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionConf.applyEnv(spark)
 
     def runOnce(name: String): Double = {
       // measurement isolation: clear any cached plans a prior query

@@ -50,6 +50,7 @@ object ScaleCurves {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionConf.applyEnv(spark)
 
     // slices on demand — both compared scales always come from the
     // same generator (the ScaleGen discipline)

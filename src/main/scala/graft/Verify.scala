@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionConf.applyEnv(spark)
     new java.io.File(outDir).mkdirs()
     // Flakiness must be visible in the round artifact, not just stderr
     // (ADVICE r5): queries that needed the retry, and queries that

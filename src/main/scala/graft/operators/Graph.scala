@@ -112,9 +112,20 @@ object Graph {
       .select(col("e1.src").as("c"), col("e1.dst").as("x"), col("e2.dst").as("y"))
     // closing join: wedge volume is O(m^1.5) rows vs m edges — hash
     // the small edge side instead of sort-merging the wedge stream
-    // (sorting the wedges is the single most expensive step otherwise)
-    wedges.join(oriented.select(col("src").as("x"), col("dst").as("y"))
-        .hint("shuffle_hash"), Seq("x", "y"))
+    // (sorting the wedges is the single most expensive step otherwise).
+    // The hash build is the inventory's one non-spillable buffer: if
+    // edges-per-partition outgrow executor memory it fails LOUDLY
+    // (mitigation: more shuffle partitions + a smaller AQE advisory
+    // size — measured to hash-match, BASELINE.md). Conf
+    // `graft.triangle.sortMerge=true` (VERDICT r13 #7) converts that
+    // sizing rule into a choice: a fully spill-safe sort-merge closing
+    // join, identical results, at the cost of sorting the wedge stream.
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val sortMerge = edges.sparkSession.conf
+      .get("graft.triangle.sortMerge", "false").toBoolean
+    wedges.join(
+        if (sortMerge) closing.hint("merge") else closing.hint("shuffle_hash"),
+        Seq("x", "y"))
       .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }

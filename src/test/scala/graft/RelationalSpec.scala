@@ -60,6 +60,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.sum == 12L)
   }
 
+  test("triangleCounts: graft.triangle.sortMerge swaps the closing join to a " +
+      "spill-safe SortMergeJoin with identical results (VERDICT r13 #7)") {
+    import spark.implicits._
+    // a denser random-ish graph than K4 so the A/B is non-trivial:
+    // deterministic pseudo-edges over 60 nodes
+    val edges = (0 until 600).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * 53 + 29) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter { case (u, v) => u != v }.distinct.toDF("u", "v")
+    def run() = graft.operators.Graph.triangleCounts(edges)
+    def closingJoins(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString()
+    val hashed = run()
+    val hashedRows = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(closingJoins(hashed).contains("ShuffledHashJoin"),
+      "default path must close with a shuffle-hash join")
+    spark.conf.set("graft.triangle.sortMerge", "true")
+    try {
+      val merged = run()
+      assert(closingJoins(merged).contains("SortMergeJoin"),
+        "sortMerge path must close with a sort-merge join:\n" + closingJoins(merged))
+      val mergedRows = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mergedRows == hashedRows,
+        s"sort-merge diverged: only-hash=${(hashedRows.toSet -- mergedRows.toSet).take(3)}")
+    } finally spark.conf.unset("graft.triangle.sortMerge")
+  }
+
   test("fuzzy join ed<=1: deletion-neighborhood blocking finds sub/ins/del/exact pairs, nothing more") {
     import spark.implicits._
     val rows = Seq(
