@@ -92,8 +92,8 @@ object SpillVerify {
     */
   val slice: Seq[String] = Seq(
     "q1_agg", "dedup_ngram_jaccard", "dedup_containment", "bm25_topk",
-    "triangle_count", "zorder_cluster", "profile_table", "window_rank",
-    "topk_per_group",
+    "triangle_count", "triangle_count_sortmerge", "zorder_cluster",
+    "profile_table", "window_rank", "topk_per_group",
     // r12 widening: the remaining heavy families — iterative
     // lineage-cut loop, banded LSH, embedding cosine, native-expression
     // BPE, and a localCheckpoint path whose blocks must survive a
@@ -124,6 +124,55 @@ object SpillVerify {
         "spark.sql.shuffle.partitions=64," +
           "spark.sql.adaptive.advisoryPartitionSizeInBytes=1m")))
 
+  /** Pseudo-gates: an existing gate run under a session-conf override,
+    * so a conf-gated fallback path is spill-proven alongside the
+    * default. r14 (VERDICT r13 #7): `graft.triangle.sortMerge` must
+    * complete AND match FIRST attempt under the same pressure that
+    * makes the default hash build fail loudly — surviving without the
+    * partition-sizing knobs is the fallback's entire value. It is
+    * deliberately NOT in [[nonSpillableContract]]: any error is a
+    * sweep failure.
+    */
+  val confGates: Map[String, (String, Map[String, String])] = Map(
+    "triangle_count_sortmerge" ->
+      (("triangle_count", Map("graft.triangle.sortMerge" -> "true"))))
+
+  /** Static (session-build-time) conf a pseudo-gate's pressure run
+    * needs — these gates get their own phase-B2 pressure session
+    * (same master/memory squeeze), because Spark rejects runtime
+    * modification. triangle_count_sortmerge: the FORCED 65536-row
+    * threshold shatters the O(m^1.5) wedge sort into ~1000 × 2 MB
+    * spill files, and UnsafeExternalSorter's merge opens every
+    * reader at once with a 1 MB (hard minimum) read-ahead buffer —
+    * ~1 GB of heap for merge buffers alone, an artifact of the
+    * forcing, not of the plan. B2 raises the force thresholds so
+    * spilling is EXECUTION-MEMORY-DRIVEN (the production mechanism:
+    * ~70 MB unified memory forces ~35 MB files, merge fan-in ~70) —
+    * the cell still must actually spill to disk or the sweep fails.
+    */
+  val staticSessionConf: Map[String, Map[String, String]] = Map(
+    "triangle_count_sortmerge" -> Map(
+      "spark.shuffle.spill.numElementsForceSpillThreshold" -> "2000000",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "2000000",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "2000000"))
+
+  /** Build a gate's DataFrame, applying any [[confGates]] override for
+    * the construction window (the conf is read at plan-construction
+    * time — Graph.triangleCounts attaches the join hint then).
+    */
+  private def gateDf(spark: SparkSession, n: String, sfDir: String) =
+    confGates.get(n) match {
+      case Some((base, confs)) =>
+        val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try SparkEntry.queries(base)(spark, sfDir)
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      case None => SparkEntry.queries(n)(spark, sfDir)
+    }
+
   final case class GateOut(name: String, outcome: String, err: Option[String],
       memSpilled: Long, diskSpilled: Long, shuffleWrite: Long,
       refSecs: Double, pressureSecs: Double) {
@@ -145,14 +194,39 @@ object SpillVerify {
       .config("spark.sql.shuffle.partitions", "8")) { spark =>
       gates.map { n =>
         val t0 = System.nanoTime()
-        val sig = ClusterVerify.signature(SparkEntry.queries(n)(spark, sfDir))
+        val sig = ClusterVerify.signature(gateDf(spark, n, sfDir))
         n -> (sig, (System.nanoTime() - t0) / 1e9)
       }.toMap
     }
 
-    System.err.println(s"[spill-verify] phase B: $PressureMaster, " +
-      s"memory.fraction=$MemoryFraction, force-spill thresholds on")
-    ClusterVerify.withSession(b => ClusterVerify.clusterBase(b, PressureMaster)
+    // gates needing static session conf run in their own pressure
+    // session (phase B2) — Spark rejects runtime modification of the
+    // force-spill thresholds
+    val (b2, b1) = gates.partition(staticSessionConf.contains)
+    val out1 =
+      if (b1.isEmpty) Seq.empty[GateOut]
+      else {
+        System.err.println(s"[spill-verify] phase B: $PressureMaster, " +
+          s"memory.fraction=$MemoryFraction, force-spill thresholds on")
+        ClusterVerify.withSession(pressureBuilder(Map.empty)) { spark =>
+          pressureGates(spark, b1, refs, sfDir)
+        }
+      }
+    val out2 = b2.flatMap { n =>
+      System.err.println(s"[spill-verify] phase B2 ($n): $PressureMaster, " +
+        s"memory.fraction=$MemoryFraction, static conf " +
+        staticSessionConf(n).map { case (k, v) => s"$k=$v" }.mkString(","))
+      ClusterVerify.withSession(pressureBuilder(staticSessionConf(n))) { spark =>
+        pressureGates(spark, Seq(n), refs, sfDir)
+      }
+    }
+    val byName = (out1 ++ out2).map(g => g.name -> g).toMap
+    gates.map(byName)
+  }
+
+  private def pressureBuilder(extra: Map[String, String])(
+      b: SparkSession.Builder): SparkSession.Builder = {
+    val base = ClusterVerify.clusterBase(b, PressureMaster)
       .appName("graft-spill-verify")
       .config("spark.sql.shuffle.partitions", "4")
       // ≈70 MB unified memory per 1 GiB executor: big buffers MUST spill
@@ -164,14 +238,20 @@ object SpillVerify {
       .config("spark.sql.windowExec.buffer.spill.threshold",
         ForceSpillThreshold.toString)
       .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold",
-        ForceSpillThreshold.toString)) { spark =>
+        ForceSpillThreshold.toString)
+    extra.foldLeft(base) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  private def pressureGates(spark: SparkSession, names: Seq[String],
+      refs: Map[String, (ClusterVerify.Sig, Double)],
+      sfDir: String): Seq[GateOut] = {
       val listener = new SpillListener
       spark.sparkContext.addSparkListener(listener)
-      try gates.map { n =>
+      try names.map { n =>
         listener.reset()
         val t0 = System.nanoTime()
         def attempt(): Boolean =
-          ClusterVerify.signature(SparkEntry.queries(n)(spark, sfDir)) == refs(n)._1
+          ClusterVerify.signature(gateDf(spark, n, sfDir)) == refs(n)._1
         val (outcome, err) =
           try {
             if (attempt()) ("match", None)
@@ -221,7 +301,6 @@ object SpillVerify {
           f"shuffle=${sw / 1e6}%7.1fMB $outcome%s")
         GateOut(n, outcome, err, mem, disk, sw, refs(n)._2, secs)
       } finally spark.sparkContext.removeSparkListener(listener)
-    }
   }
 
   def main(args: Array[String]): Unit = {
