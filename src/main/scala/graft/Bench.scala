@@ -33,7 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SessionConf.applyEnv(spark)
+    // recorded in the JSON below: a conf-modified window must say so
+    // in the artifact or it contaminates the vs_prev baseline chain
+    val sessionConf = SessionConf.applyEnv(spark)
 
     def runOnce(name: String): Double = {
       // measurement isolation: clear any cached plans a prior query
@@ -180,6 +182,9 @@ object Bench {
         s""""prev_reps":${prevReps.map(_.toString).getOrElse("null")},""" +
         s""""vs_prev":$vsPrev,"regressed":[${regressed.mkString(",")}],""" +
         s""""noise_index":${fmt(noiseIndex)},"noise_n":${noiseRatios.size},""" +
+        s""""session_conf":${sessionConf.toSeq.sorted
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the
     // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus a

@@ -9,14 +9,21 @@ import org.apache.spark.sql.SparkSession
   * needs no per-main plumbing.
   */
 object SessionConf {
-  def applyEnv(spark: SparkSession): Unit =
+  /** Applies the env conf and returns what was set, so callers can
+    * record it in their artifact (a conf-modified bench window must
+    * say so in its JSON, or it silently contaminates the vs_prev
+    * chain). Diagnostics go to stderr — stdout is the driver-parsed
+    * single-JSON-line channel in these mains.
+    */
+  def applyEnv(spark: SparkSession): Map[String, String] =
     sys.env.get("SPARK_GRAFT_SESSION_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .foreach { kv =>
+      .map { kv =>
         val i = kv.indexOf('=')
         require(i > 0, s"bad SPARK_GRAFT_SESSION_CONF entry: '$kv'")
         val (k, v) = (kv.take(i).trim, kv.drop(i + 1).trim)
         spark.conf.set(k, v)
-        println(s"[sessionconf] $k=$v")
-      }
+        System.err.println(s"[sessionconf] $k=$v")
+        k -> v
+      }.toMap
 }

@@ -322,7 +322,14 @@ object SpillVerify {
 
     val allMatch = results.forall(_.matched)
     val anyDiskSpill = results.exists(_.diskSpilled > 0)
-    val ok = allMatch && anyDiskSpill
+    // pseudo-gates exist to prove a fallback's SPILL path: a run of
+    // theirs that never touched disk certifies nothing — enforce the
+    // per-cell requirement, not just sweep-wide any-spill
+    val pseudoDry = results.filter(r =>
+      confGates.contains(r.name) && r.diskSpilled == 0).map(_.name)
+    pseudoDry.foreach(n => System.err.println(
+      s"[spill-verify] $n matched but NEVER SPILLED TO DISK — vacuous"))
+    val ok = allMatch && anyDiskSpill && pseudoDry.isEmpty
     import Jsons.{jq, num}
     val json =
       s"""{"sf_dir": ${jq(sfDir)},

@@ -81,7 +81,8 @@ object PySparkPrograms {
         "import time\n_t0 = time.time()\nmedia = spark.read.parquet")
       .replace("sc.stop()",
         "print('ARROW_WORK_SECONDS=%.3f' % (time.time() - _t0))\nsc.stop()")
-    require(timed != pandasPpmDecode && timed.contains("ARROW_WORK_SECONDS"),
+    require(timed.contains("_t0 = time.time()") &&
+        timed.contains("ARROW_WORK_SECONDS"),
       "pandasPpmDecode instrumentation anchors missing")
     timed
   }

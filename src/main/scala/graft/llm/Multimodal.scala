@@ -561,4 +561,13 @@ object Multimodal {
       lit("image/x-portable-pixmap").as("media_type"),
       gen(col("doc_id")).as("payload"))
   }
+
+  /** The `pyspark_pandas_decode` gate's exact input shape — one copy
+    * shared with graft.ScaleArrow so the profiled plan can never
+    * drift from the gate's plan (same discipline as
+    * PySparkPrograms.pandasPpmDecodeTimed for the python source).
+    */
+  def writePpmMediaTable(docs: DataFrame, out: String): Unit =
+    syntheticPpmTable(docs)
+      .select("doc_id", "payload").coalesce(2).write.parquet(out)
 }

@@ -161,8 +161,7 @@ object EngineQueries {
     QDef("pyspark_pandas_decode", (s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft-gate-pypd")
       val in = s"$base/media"; val out = s"$base/feat"
-      graft.llm.Multimodal.syntheticPpmTable(Tables.load(s, dir, "documents"))
-        .select("doc_id", "payload").coalesce(2).write.parquet(in)
+      graft.llm.Multimodal.writePpmMediaTable(Tables.load(s, dir, "documents"), in)
       val pipe = PipelineSpec(
         Seq(StageSpec("pys", "pysparkProgram", Map(
           "pythonCode" -> graft.dynamic.PySparkPrograms.pandasPpmDecode))),

@@ -122,7 +122,12 @@ object Graph {
     // join, identical results, at the cost of sorting the wedge stream.
     val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
     val sortMerge = edges.sparkSession.conf
-      .get("graft.triangle.sortMerge", "false").toBoolean
+      .get("graft.triangle.sortMerge", "false").trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft.triangle.sortMerge must be true|false, got '$other'")
+      }
     wedges.join(
         if (sortMerge) closing.hint("merge") else closing.hint("shuffle_hash"),
         Seq("x", "y"))
