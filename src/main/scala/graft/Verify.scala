@@ -21,7 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SessionConf.applyEnv(spark)
+    val sessionConf = SessionConf.applyEnv(spark)
     new java.io.File(outDir).mkdirs()
     // Flakiness must be visible in the round artifact, not just stderr
     // (ADVICE r5): queries that needed the retry, and queries that
@@ -79,8 +79,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // session_conf: a dump produced under a conf override must say so
+    // in its meta (same self-description rule as Bench's session_conf)
     val meta = s"""{"retried": [${retried.map(jq).mkString(", ")}], """ +
-      s""""failed": [${failed.map(jq).mkString(", ")}]}"""
+      s""""failed": [${failed.map(jq).mkString(", ")}], """ +
+      s""""session_conf": ${sessionConf.toSeq.sorted
+        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ", ", "}")}}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     // Round-artifact copy (VERDICT r7 #4): the driver commits leftover
     // working-tree files at round end, so writing the meta into the
