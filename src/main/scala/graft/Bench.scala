@@ -182,9 +182,7 @@ object Bench {
         s""""prev_reps":${prevReps.map(_.toString).getOrElse("null")},""" +
         s""""vs_prev":$vsPrev,"regressed":[${regressed.mkString(",")}],""" +
         s""""noise_index":${fmt(noiseIndex)},"noise_n":${noiseRatios.size},""" +
-        s""""session_conf":${sessionConf.toSeq.sorted
-          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-          .mkString("{", ",", "}")},""" +
+        s""""session_conf":${Jsons.conf(sessionConf)},""" +
         s""""sf":"$sfDir"}"""
     // stdout for the driver's parser (build.sbt sets StdoutOutput so the
     // forked JVM's line is NOT wrapped in sbt "[info]" noise), plus a

@@ -27,4 +27,13 @@ private[graft] object Jsons {
     */
   def num(d: Double, decimals: Int = 2): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  /** Sorted, fully-escaped rendering of a session_conf map — ONE copy
+    * for every artifact writer (Bench, Verify, ScaleCurves), because a
+    * conf value containing a quote or backslash must not be able to
+    * invalidate one artifact while the others escape it (ADVICE r14).
+    */
+  def conf(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
 }

@@ -124,9 +124,14 @@ object ScaleArrow {
         val ssTot = linPts.map(p => math.pow(p._2 - my, 2)).sum
         (a, b * 1e6, if (ssTot > 0) 1 - ssRes / ssTot else Double.NaN)
       } else (Double.NaN, Double.NaN, Double.NaN)
+    // A run whose ARROW_WORK_SECONDS line never arrived has no real
+    // py_work measurement: publish null for the derived fields rather
+    // than a -1.0 sentinel that reads like data (ADVICE r14).
     val rowsJson = rows.map { case (m, w, p) =>
+      val (pyS, bootS) =
+        if (p > 0) (Jsons.num(p, 3), Jsons.num(w - p, 3)) else ("null", "null")
       s""""${m}x":{"n_docs":${media(m)._2},"wall_s":${Jsons.num(w, 3)},""" +
-        s""""py_work_s":${Jsons.num(p, 3)},"boot_s":${Jsons.num(w - p, 3)}}"""
+        s""""py_work_s":$pyS,"boot_s":$bootS}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_arrow","multiples":[${ms.mkString(",")}],""" +

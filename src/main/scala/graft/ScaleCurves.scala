@@ -50,7 +50,11 @@ object ScaleCurves {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SessionConf.applyEnv(spark)
+    // Captured for the artifact: a curve measured under a conf
+    // override (e.g. graft.triangle.sortMerge=true for
+    // SCALE_TRIANGLE_SM.json) must be distinguishable from a
+    // default-conf run by the JSON alone (ADVICE r14).
+    val sessionConf = SessionConf.applyEnv(spark)
 
     // slices on demand — both compared scales always come from the
     // same generator (the ScaleGen discipline)
@@ -108,7 +112,8 @@ object ScaleCurves {
         s""""exp_tail":${numOrNull(tailE)}}"""
     }
     val json = s"""{"metric":"scale_curves","multiples":[${ms.mkString(",")}],""" +
-      s""""base":${Jsons.jq(base)},"gates":{${rows.mkString(",")}}}"""
+      s""""base":${Jsons.jq(base)},"session_conf":${Jsons.conf(sessionConf)},""" +
+      s""""gates":{${rows.mkString(",")}}}"""
     println(json)
     Files.write(Paths.get(outJson), (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -83,8 +83,7 @@ object Verify {
     // in its meta (same self-description rule as Bench's session_conf)
     val meta = s"""{"retried": [${retried.map(jq).mkString(", ")}], """ +
       s""""failed": [${failed.map(jq).mkString(", ")}], """ +
-      s""""session_conf": ${sessionConf.toSeq.sorted
-        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ", ", "}")}}"""
+      s""""session_conf": ${Jsons.conf(sessionConf)}}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     // Round-artifact copy (VERDICT r7 #4): the driver commits leftover
     // working-tree files at round end, so writing the meta into the
