@@ -90,6 +90,22 @@ object LlmQueries {
       |  FROM post a JOIN post b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared oracle for `dedup_containment` and
+    * `dedup_containment_prefix`: the two engine forms are bit-identical
+    * (ContainSpec asserts set equality), so one SQL gates both — the
+    * classic inverted-index join and the prefix-filtered 100 TB path.
+    */
+  private lazy val ContainmentOracleSql: String =
+    s"""WITH ${shingleCtes(2)},
+       |$invertedPairCtes
+       |SELECT ia, ib,
+       |  CAST(shared AS DOUBLE) / sa.n AS containment_a,
+       |  CAST(shared AS DOUBLE) / sb.n AS containment_b
+       |FROM pr JOIN sz sa ON pr.ia = sa.doc_id JOIN sz sb ON pr.ib = sb.doc_id
+       |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+       |               CAST(shared AS DOUBLE) / sb.n) >= 0.8
+       |ORDER BY ia, ib""".stripMargin
+
   /** DuckDB fragment: near-dup pairs (Jaccard >= thr) from the
     * inverted index — the linear replacement for all-pairs Jaccard. */
   private def jaccardPairCtes(n: Int, thr: Double): String =
@@ -1089,19 +1105,24 @@ object LlmQueries {
       // vocabulary gives every shingle a huge df, so the rarity
       // prefix barely shrinks candidates while adding a df join + a
       // per-doc rank window. On a Zipfian real corpus the prefix
-      // variant is the 100 TB path (Bayardo et al., WWW'07).
+      // variant is the 100 TB path (Bayardo et al., WWW'07) — gated
+      // below as dedup_containment_prefix against this same oracle.
       Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
           "doc_id", shingleN = 2, threshold = 0.8)
         .orderBy("ia", "ib"),
-      Some(s"""WITH ${shingleCtes(2)},
-        |$invertedPairCtes
-        |SELECT ia, ib,
-        |  CAST(shared AS DOUBLE) / sa.n AS containment_a,
-        |  CAST(shared AS DOUBLE) / sb.n AS containment_b
-        |FROM pr JOIN sz sa ON pr.ia = sa.doc_id JOIN sz sb ON pr.ib = sb.doc_id
-        |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
-        |               CAST(shared AS DOUBLE) / sb.n) >= 0.8
-        |ORDER BY ia, ib""".stripMargin)),
+      Some(ContainmentOracleSql)),
+
+    // ---- the 100 TB containment path (Bayardo prefix filtering),
+    // oracle-gated against the SAME SQL as dedup_containment: the two
+    // engine forms are proven bit-identical (ContainSpec), so the
+    // swap-gate discipline (r8: profile_table_approx precedent) gives
+    // the scale-recommended form its own green correctness row rather
+    // than leaving it spec-only --------------------------------------
+    QDef("dedup_containment_prefix", (s, dir) =>
+      Dedup.containmentPairsPrefix(Tables.load(s, dir, "documents"),
+          "text", "doc_id", shingleN = 2, threshold = 0.8)
+        .orderBy("ia", "ib"),
+      Some(ContainmentOracleSql)),
 
     // ---- SimHash signatures ---------------------------------------
     QDef("dedup_simhash", (s, dir) =>
