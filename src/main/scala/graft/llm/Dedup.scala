@@ -813,6 +813,32 @@ object Dedup {
       .distinct() // a pair can meet via several probed buckets
   }
 
+  /** Recall-verdict wrapper for an approximate PAIR operator — the
+    * pair-set analog of [[Similarity.topKWithRecallVerdict]]: rows are
+    * the EXACT pair set (SQL-reproducible, so the gate stays a full
+    * hash compare) and `recall_ok` pins that the approximate path
+    * recovered at least `minRecall` of them. The global window runs
+    * over the exact operator's OUTPUT (near-dup pairs — already the
+    * reduced result, not the corpus), the same metadata-scale frame as
+    * the ANN verdict gates. The engine is bit-deterministic, so the
+    * verdict is stable; `minRecall` is calibrated per config on the
+    * uniform testdata (measured for embeddingNearDupsLsh bits=6
+    * probeBits=2 at threshold 0.4: 0.63–0.73 across sf0.001–0.1 —
+    * mid-range because cos 0.4 pairs sit near 66°, far outside the
+    * near-dup angles the hyperplane signatures are built for; the
+    * high-recall-at-high-cos guarantee is asserted in LlmSpec).
+    */
+  def pairsWithRecallVerdict(exact: DataFrame, approx: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hits = approx.select(col("ia"), col("ib")).withColumn("hit", lit(1L))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    exact.join(hits, Seq("ia", "ib"), "left")
+      .select(col("ia"), col("ib"), col("cos"),
+        (sum(coalesce(col("hit"), lit(0L))).over(w) >=
+          count(lit(1)).over(w) * minRecall).cast("int").as("recall_ok"))
+  }
+
   // ---------------------------------------------------------------
   // Incremental (ingestion-time) dedup — the daily-batch shape: new
   // documents arrive, anything already in the served corpus (or

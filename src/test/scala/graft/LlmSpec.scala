@@ -415,6 +415,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pairsWithRecallVerdict: rows are the exact pair set; verdict flips on low recall") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L, 0.95), (1L, 3L, 0.9), (2L, 3L, 0.85),
+      (4L, 5L, 0.8)).toDF("ia", "ib", "cos")
+    val approx3 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (9L, 10L)).toDF("ia", "ib")
+    val got = Dedup.pairsWithRecallVerdict(exact, approx3, minRecall = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    // rows = exactly the exact pair set (an approx-only pair never leaks in)
+    assert(got.map(_._1).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)) && got.length == 4)
+    assert(got.forall(_._3 == 1), "3/4 recovered >= 0.7 must pass")
+    val low = Dedup.pairsWithRecallVerdict(exact,
+        Seq((1L, 2L)).toDF("ia", "ib"), minRecall = 0.7)
+      .collect().map(_.getInt(3))
+    assert(low.forall(_ == 0), "1/4 recovered must fail the 0.7 verdict on every row")
+  }
+
   test("minhash near-dups: exact-dup collapse re-expands byte-identical docs correctly") {
     import spark.implicits._
     // docs 1,2,3 byte-identical (long enough to shingle); 4 near-dup of
