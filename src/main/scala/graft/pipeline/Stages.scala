@@ -569,9 +569,18 @@ final class DynamicProgram(val spec: StageSpec) extends ComputeStage {
 final class StreamSource(val spec: StageSpec) extends SourceStage {
   def read(ctx: PipelineContext): DataFrame = {
     val p = spec.properties
-    graft.streaming.StreamStages.fileSource(ctx.spark,
-      p.getOrElse("format", "parquet"), p("path"), p("schema"),
-      p.get("maxFilesPerTrigger").map(_.toInt))
+    p.getOrElse("format", "parquet") match {
+      case "rate" =>
+        graft.streaming.StreamStages.rateSource(ctx.spark,
+          p.getOrElse("rowsPerSecond", "1").toLong)
+      case "socket" =>
+        graft.streaming.StreamStages.socketSource(ctx.spark,
+          p("host"), p("port").toInt)
+      case fileFormat =>
+        graft.streaming.StreamStages.fileSource(ctx.spark,
+          fileFormat, p("path"), p("schema"),
+          p.get("maxFilesPerTrigger").map(_.toInt))
+    }
   }
 }
 

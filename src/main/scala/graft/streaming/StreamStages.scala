@@ -42,6 +42,24 @@ object StreamStages {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
+  /** Socket text source — the NON-replayable source in the engine's
+    * `sc.fromStream` mapping (SURVEY §2.2: readStream rate/file/kafka;
+    * file and rate are replayable, this one is not): one `value:
+    * STRING` row per line from a TCP server. Spark reads it on the
+    * DRIVER into an in-memory buffer, offsets index that buffer, and a
+    * restart reconnects with the buffer EMPTY — so it provides
+    * at-most-once delivery, no fault recovery, no backpressure, and
+    * Spark itself flags it as a test-only source. It exists here to
+    * exercise the non-replayable contract end-to-end (StreamingSpec
+    * drives it from a local ServerSocket); the production
+    * non-replayable ingest is Kafka (same readStream shape, per-topic
+    * offsets make it replayable) — no broker exists in this sandbox,
+    * see docs/verification.md's untestable-on-this-rig register.
+    */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
   /** Tumbling/sliding event-time window aggregation with a watermark
     * for late data. `aggregates` are SQL expression strings, as in the
     * batch AggregateCompute stage.

@@ -21,7 +21,8 @@ import graft.dynamic.{DynamicCompiler, GraftContext}
   *
   * Outcome record (round 8): 10 in-spec rounds × repeated suite runs
   * never reproduced the 404; documented unreproducible under
-  * single-host local[*]. The production guard (Verify's one retry +
+  * single-host local[*] (see the untestable-on-this-rig register in
+  * docs/verification.md). The production guard (Verify's one retry +
   * the per-query _verify_meta.json sidecar) stays.
   */
 class DynamicStressSpec extends SparkSpec {

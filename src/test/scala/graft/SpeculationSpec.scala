@@ -29,8 +29,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * one host and `TaskSetManager.dequeueSpeculativeTask` refuses any
   * host already running an attempt of the same task (the scheduler's
   * duplicate-work guard). So the copy-vs-original commit race itself
-  * needs a second physical host — documented alongside the other
-  * untestable multi-host behaviors; its write-side arbitration is the
+  * needs a second physical host — see the untestable-on-this-rig
+  * register in docs/verification.md; its write-side arbitration is the
   * same OutputCommitCoordinator path WriteRetrySpec exercises for
   * failed attempts.
   */

@@ -319,6 +319,80 @@ class StreamingSpec extends SparkSpec {
         s"$k: dedup=($n,$vmin,$vmax) raw=${raw(k)}")
   }
 
+  /** The NON-replayable source (VERDICT r14 #4): every other streaming
+    * test rides file/rate sources, which replay from durable input —
+    * this one drives `socket`, where data exists only in the driver's
+    * connection buffer, from a local ServerSocket. Pins (1) the
+    * source wiring (schema `value: STRING`, line framing), (2) that a
+    * downstream stateless transform + complete-mode agg over it
+    * matches the batch computation on the same lines, and (3) the
+    * in-session delivery contract: every line sent while connected
+    * arrives exactly once (the at-most-once caveat is about RESTARTS —
+    * documented on StreamStages.socketSource). Kafka (the replayable
+    * production analog) has no broker in this sandbox — see
+    * docs/verification.md's untestable register.
+    */
+  test("socket stream: lines from a local server feed a grouped count") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var client: java.net.Socket = null
+    val writer = new Thread(() => {
+      client = server.accept()
+      val out = new java.io.PrintWriter(client.getOutputStream, true)
+      (1 to 20).foreach(i => out.println(s"word$i ${i % 3}"))
+      out.flush() // socket stays open until the test closes it: an
+      // early close can abort the reader mid-batch
+    })
+    writer.start()
+    val src = StreamStages.socketSource(spark, "127.0.0.1", port)
+    assert(src.schema.fieldNames.toSeq == Seq("value"))
+    val counts = src
+      .select(split(col("value"), " ").getItem(1).as("k"))
+      .groupBy("k").count()
+    val q = counts.writeStream.format("memory").queryName("socket_counts")
+      .outputMode("complete").start()
+    try {
+      def total(): Long = spark.table("socket_counts")
+        .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (total() < 20 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val got = spark.table("socket_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // i % 3 over 1..20: six 0s, seven 1s, seven 2s — each line
+      // delivered exactly once while connected
+      assert(got == Map("0" -> 6L, "1" -> 7L, "2" -> 7L),
+        s"socket stream delivered $got")
+    } finally {
+      q.stop()
+      writer.join(10000)
+      if (client != null) client.close()
+      server.close()
+    }
+  }
+
+  test("streamSource stage dispatches rate and socket formats") {
+    import graft.pipeline.{PipelineContext, StageRegistry, StageSpec}
+    val ctx = PipelineContext(spark)
+    val rate = StageRegistry.build(StageSpec("src", "streamSource",
+      Map("format" -> "rate", "rowsPerSecond" -> "5")))
+      .asInstanceOf[graft.pipeline.SourceStage].read(ctx)
+    assert(rate.isStreaming &&
+      rate.schema.fieldNames.toSeq == Seq("timestamp", "value"))
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    try {
+      val sock = StageRegistry.build(StageSpec("src", "streamSource",
+        Map("format" -> "socket", "host" -> "127.0.0.1",
+          "port" -> server.getLocalPort.toString)))
+        .asInstanceOf[graft.pipeline.SourceStage].read(ctx)
+      assert(sock.isStreaming && sock.schema.fieldNames.toSeq == Seq("value"))
+    } finally server.close()
+  }
+
   test("streaming parquet sink with checkpoint") {
     val base = Files.createTempDirectory("graft-stream3")
     val in = base.resolve("in"); val out = base.resolve("out"); val cp = base.resolve("cp")
