@@ -26,6 +26,10 @@ class PlanAuditSpec extends SparkSpec {
       "centroid probe = broadcast k-cell crossJoin; verdict window input is " +
       "k*|Q| rows (top-k output), not corpus-scale"),
     "ann_lsh" -> "same verdict harness as ann_ivf (exact baseline + bounded verdict window)",
+    "dedup_embedding_lsh" -> ("same verdict harness as ann_ivf: the global " +
+      "window runs over the EXACT operator's OUTPUT (the near-dup pair set — " +
+      "already the reduced result, not the corpus); both pair generators " +
+      "underneath are equi-joins (block pairs / LSH buckets)"),
     "ann_ivfpq" -> ("same verdict harness as ann_ivf: one BNLJ is the broadcast " +
       "brute-force baseline, one the broadcast k-cell centroid crossJoin " +
       "(probe ranking); ADC candidate + rerank joins are equi-joins on cell/id"),

@@ -187,6 +187,14 @@ class SitingAuditSpec extends SparkSpec {
     "retrieval_metrics" -> "PAIR-COST BOUND: retrieval under test is ann_topk_exact's shape",
     "semdedup" -> ("PAIR-COST BOUND: per-vector norm below the within-cluster pair join — " +
       "each pair pays the O(dim) cosine dot in its filter anyway"),
+    "dedup_embedding_lsh" -> ("PAIR-COST BOUND: the exact leg's cosine dot runs " +
+      "once per block-pair candidate inside its equi-join (every emitted pair " +
+      "pays the O(dim) dot by definition); the verdict left-join above it is " +
+      "unique-keyed on (ia, ib)"),
+    "dedup_containment_prefix" -> ("UNIQUE-KEY JOIN: shingling + hashing run ONCE " +
+      "per doc below the doc_id-keyed verify joins — siting them above would " +
+      "recompute per candidate pair; the probe join itself moves only 8-byte " +
+      "hashes, never text"),
     "corpus_diff" -> "UNIQUE-KEY JOIN: full-outer on doc_id, fingerprints unique per version side",
     "contamination_ngram" -> ("UNIQUE-KEY JOIN: n_grams branch left-joins the per-doc " +
       "overlap aggregate on doc_id; shingling runs once per doc per branch"),
