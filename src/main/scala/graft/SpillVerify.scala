@@ -99,7 +99,11 @@ object SpillVerify {
     // BPE, and a localCheckpoint path whose blocks must survive a
     // storage-memory-starved executor (MEMORY_AND_DISK demotes to disk)
     "graph_pagerank", "dedup_minhash_lsh", "semdedup", "bpe_encode",
-    "mmr_rerank")
+    "mmr_rerank",
+    // r15: the newly oracle-gated 100 TB containment path — its df
+    // join + per-doc rank window + probe join are exactly the buffers
+    // that must spill cleanly for the prefix recommendation to hold
+    "dedup_containment_prefix")
 
   /** Gates whose plan deliberately contains a NON-spillable buffer,
     * with (documented-error substring, the scale lever that shrinks
