@@ -505,14 +505,19 @@ object Dedup {
     * rows. On THIS corpus every bigram's df is huge and uniform, so
     * the t=0.8 rarity prefix (~0.2·m+1 shingles/doc) shrinks probe
     * volume by only ~5× while paying a df aggregation + join and a
-    * per-doc rank window — a net loss. (An earlier in-suite warm
-    * measurement suggesting the reverse did not survive isolated
-    * re-measurement; suite neighbors' GC/cleanup debt biased it.)
-    * The gate therefore runs [[containmentPairs]]; THIS form is the
-    * 100 TB recommendation for Zipfian natural-text vocabularies,
-    * where the rare prefix's df — and hence candidate volume — is
-    * orders of magnitude below Σ df² (Bayardo et al., WWW'07).
-    * ContainSpec asserts bit-identical output of the two forms.
+    * per-doc rank window — a net loss AT 1×. The SCALE curve flips
+    * it (r15, SCALE_CONTAIN_PREFIX.json, ScaleGen 1×/3×/10× slices):
+    * classic 7.2 / 95.8 / 950.1 s (tail exponent 1.91 — the Σ df²
+    * quadratic) vs prefix 9.1 / 88.6 / 388.0 s (tail exponent 1.23)
+    * — 2.4× faster at 10× with the crossover already between 1× and
+    * 3×, because the prefix's fixed df-join/window overhead grows
+    * linearly while the candidate volume it prunes grows
+    * quadratically. That, plus the Zipfian-vocabulary argument
+    * (rare-prefix df orders of magnitude below Σ df² on natural
+    * text — Bayardo et al., WWW'07), is the 100 TB recommendation.
+    * Both forms are oracle-gated (`dedup_containment`,
+    * `dedup_containment_prefix`, same SQL) and spill-proved
+    * (SPILL_VERIFY); ContainSpec asserts bit-identical output.
     */
   def containmentPairsPrefix(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int, threshold: Double): DataFrame = {
