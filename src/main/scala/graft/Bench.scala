@@ -168,11 +168,13 @@ object Bench {
     // `reps` more interleaved rounds and annotate each flag with the
     // second-window best-of-all-rounds ratio plus a noise_suspect
     // verdict — true when the recheck ratio drops back under the 1.5x
-    // flag bound, or when even the first ratio sits inside the
-    // sentinel band (no data-dependent query slowed more than the
-    // most-slowed never-optimized sentinel did). noise_suspect=false
-    // after a recheck is a REAL regression signal, strengthened.
-    val maxSentinelRatio = noiseRatios.lastOption.getOrElse(-1.0)
+    // flag bound. noise_suspect=false after a recheck is a REAL
+    // regression signal, strengthened: the flag survived 2×reps
+    // independent rounds. (A sentinel-band comparison was considered
+    // and rejected: sentinel ratios are vs the r11 pins while vs_prev
+    // is vs the previous round — mixed denominators would let a
+    // recheck-CONFIRMED regression be exonerated by an unrelated
+    // host-era drift.)
     val recheck: Seq[(String, Double, Double, Boolean)] =
       if (regressedNames.nonEmpty && noiseIndex > 1.1) {
         val extra = (0 until reps).map(_ => regressedNames.map(runOnce))
@@ -181,9 +183,7 @@ object Bench {
           val r1 = resultMap(n) / p
           val best = (resultMap(n) +: extra.map(_(i)).filter(_ >= 0)).min
           val r2 = best / p
-          val suspect = r2 <= 1.5 ||
-            (maxSentinelRatio > 0 && r1 <= maxSentinelRatio)
-          (n, r1, r2, suspect)
+          (n, r1, r2, r2 <= 1.5)
         }
       } else Seq.empty
     val recheckJson = recheck.map { case (n, r1, r2, s) =>

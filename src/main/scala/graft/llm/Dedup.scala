@@ -835,7 +835,11 @@ object Dedup {
     */
   def pairsWithRecallVerdict(exact: DataFrame, approx: DataFrame,
       minRecall: Double): DataFrame = {
-    val hits = approx.select(col("ia"), col("ib")).withColumn("hit", lit(1L))
+    // distinct: a duplicate (ia, ib) in `approx` (e.g. a multi-bucket
+    // LSH emitter without its own dedup) would multiply exact rows
+    // through the left join AND inflate the recall numerator
+    val hits = approx.select(col("ia"), col("ib")).distinct()
+      .withColumn("hit", lit(1L))
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     exact.join(hits, Seq("ia", "ib"), "left")

@@ -333,26 +333,33 @@ class StreamingSpec extends SparkSpec {
     * docs/verification.md's untestable register.
     */
   test("socket stream: lines from a local server feed a grouped count") {
+    // try/finally from socket creation: if anything below throws
+    // before the query starts, the accept-blocked writer thread and
+    // the ServerSocket must still be torn down (a non-daemon thread
+    // parked in accept() would otherwise pin the forked test JVM)
     val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getLoopbackAddress)
-    val port = server.getLocalPort
     @volatile var client: java.net.Socket = null
     val writer = new Thread(() => {
-      client = server.accept()
-      val out = new java.io.PrintWriter(client.getOutputStream, true)
-      (1 to 20).foreach(i => out.println(s"word$i ${i % 3}"))
-      out.flush() // socket stays open until the test closes it: an
-      // early close can abort the reader mid-batch
+      try {
+        client = server.accept()
+        val out = new java.io.PrintWriter(client.getOutputStream, true)
+        (1 to 20).foreach(i => out.println(s"word$i ${i % 3}"))
+        out.flush() // socket stays open until the test closes it: an
+        // early close can abort the reader mid-batch
+      } catch { case _: java.io.IOException => () } // closed server
     })
-    writer.start()
-    val src = StreamStages.socketSource(spark, "127.0.0.1", port)
-    assert(src.schema.fieldNames.toSeq == Seq("value"))
-    val counts = src
-      .select(split(col("value"), " ").getItem(1).as("k"))
-      .groupBy("k").count()
-    val q = counts.writeStream.format("memory").queryName("socket_counts")
-      .outputMode("complete").start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      writer.start()
+      val src = StreamStages.socketSource(spark, "127.0.0.1",
+        server.getLocalPort)
+      assert(src.schema.fieldNames.toSeq == Seq("value"))
+      val counts = src
+        .select(split(col("value"), " ").getItem(1).as("k"))
+        .groupBy("k").count()
+      q = counts.writeStream.format("memory").queryName("socket_counts")
+        .outputMode("complete").start()
       def total(): Long = spark.table("socket_counts")
         .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
@@ -367,10 +374,10 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map("0" -> 6L, "1" -> 7L, "2" -> 7L),
         s"socket stream delivered $got")
     } finally {
-      q.stop()
+      if (q != null) q.stop()
+      server.close() // unblocks a still-parked accept()
       writer.join(10000)
       if (client != null) client.close()
-      server.close()
     }
   }
 
