@@ -109,11 +109,40 @@ object ScaleDrivers {
     val intervalRows = graft.operators.RelationalQueries
       .queries("interval_overlap_join")(spark, dir).count()
 
+    // containment prefix-filter candidate stream (r15,
+    // dedup_containment_prefix at the gate's t=0.8): rare-prefix
+    // postings of the strictly-smaller side joined to the full
+    // index — the probe join's PRE-distinct row count, built with the
+    // exact expressions containmentPairsPrefix uses. This is the
+    // path's documented cost driver, vs ngram_index_pairs ≈ Σ C(df,2)
+    // for the classic full-index form — their growth gap IS the
+    // measured 1.23-vs-1.91 exponent gap (SCALE_CONTAIN_PREFIX.json).
+    val csets = Dedup.shingleSets(docs, "text", "doc_id", 2)
+      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+    val cinv = csets.select(col("doc_id"), col("n_sh"),
+      explode(col("hs")).as("h"))
+    val cdf = cinv.groupBy("h").agg(count(lit(1)).as("df_h"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df_h"), col("h"))
+    val cprefix = cinv.join(cdf, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(0.8) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("n_sh"), col("h"))
+    val prefixCands = cprefix.alias("p")
+      .join(cinv.alias("i"), col("p.h") === col("i.h") &&
+        (col("p.n_sh") < col("i.n_sh") ||
+          (col("p.n_sh") === col("i.n_sh") &&
+            col("p.doc_id") < col("i.doc_id"))))
+      .count()
+
     println(s"""{"dir":"$dir","ngram_index_pairs":$ngramPairs,""" +
       s""""lsh_candidates":$lshCands,"winnow_index_pairs":$winnowPairs,""" +
       s""""triangle_edges":$edges,"triangle_wedges":$wedges,""" +
       s""""pagerank_edge_rows":$prEdges,"attr_candidates":$attrCands,""" +
-      s""""interval_rows":$intervalRows}""")
+      s""""interval_rows":$intervalRows,""" +
+      s""""containment_prefix_candidates":$prefixCands}""")
     spark.stop()
   }
 }
