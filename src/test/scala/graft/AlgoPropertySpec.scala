@@ -219,6 +219,46 @@ class AlgoPropertySpec extends SparkSpec {
     assert(want.nonEmpty, "vacuous")
   }
 
+  /** The Bayardo prefix bound is LOSSLESS only if the per-doc prefix
+    * length never rounds short: for common ≥ t·min(na,nb) the smaller
+    * side must share one of its (m − ⌈t·m⌉ + 1) rarest shingles — so
+    * the adversarial inputs here force INTEGRAL t·m (where a naive
+    * ceil() could shorten the prefix by one) and dense shared pools
+    * (where rarity ranks tie and the tie-break matters). Equality
+    * against the full-index form on both pair sets AND both double
+    * containment values is the property the r15 gate pair relies on.
+    */
+  test("prefix-filtered containment == full-index containment on random " +
+      "corpora incl. integral-threshold boundaries") {
+    import spark.implicits._
+    for ((seed, thr) <- Seq((3, 0.5), (7, 0.8), (13, 0.75))) {
+      val rnd = new Random(seed)
+      val pool = Vector("a", "b", "c", "d", "e", "f")
+      // doc lengths chosen so t·(len−1) is often integral at these
+      // thresholds (len−1 = shingle count before dedup): 3,5,9 words
+      // give 2,4,8 bigrams — 0.5·2, 0.5·4, 0.75·8, 0.8·… hit integers
+      def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size)))
+      val docs = (Seq.fill(14)(doc(3)) ++ Seq.fill(14)(doc(5)) ++
+        Seq.fill(8)(doc(9))).zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      def collect(r: org.apache.spark.sql.DataFrame) =
+        r.select("ia", "ib", "containment_a", "containment_b")
+          .as[(Long, Long, Double, Double)].collect()
+          .map { case (a, b, ca, cb) => (a, b) -> ((ca, cb)) }.toMap
+      val full = collect(Dedup.containmentPairs(df, "text", "doc_id", 2, thr))
+      val pref = collect(
+        Dedup.containmentPairsPrefix(df, "text", "doc_id", 2, thr))
+      assert(full.keySet == pref.keySet,
+        s"seed=$seed thr=$thr missed=${(full.keySet -- pref.keySet).take(3)} " +
+          s"extra=${(pref.keySet -- full.keySet).take(3)}")
+      full.foreach { case (p, v) =>
+        assert(pref(p) == v, s"seed=$seed thr=$thr $p: ${pref(p)} vs $v")
+      }
+      assert(full.nonEmpty, s"vacuous at seed=$seed thr=$thr")
+    }
+  }
+
   test("z-order interleave: Column and SQL forms equal the reference " +
       "bit-interleave and are injective") {
     import spark.implicits._
