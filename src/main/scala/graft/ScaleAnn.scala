@@ -178,8 +178,18 @@ object ScaleAnn {
       .map { case (n, fn) =>
         n -> (0 until reps).map(_ => once(fn)).min
       }
-    println(results.map { case (n, t) => "\"" + n + "\":" + fmt(t) }
-      .mkString(s"""{"dir":"$dir",""", ",", "}"))
+    val json = results.map { case (n, t) => "\"" + n + "\":" + fmt(t) }
+      .mkString(s"""{"dir":${Jsons.jq(dir)},"reps":$reps,"ops":{""", ",", "}}")
+    println(json)
+    // committed-artifact sink (r15): every scale claim gets a JSON file
+    // next to the round artifacts, not just a stdout line in a log —
+    // same best-effort discipline as Bench's BENCH_ENGINE_LAST
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALEANN_OUT", "SCALE_ANN.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[scale-ann] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

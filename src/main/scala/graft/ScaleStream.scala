@@ -207,17 +207,29 @@ object ScaleStream {
         sys.exit(2)
       }
     }
-    gates.filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (_, g) =>
+    val lines = gates.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (_, g) =>
         val r = g()
         // Jsons.num is Locale.ROOT: the f-interpolator would render a
         // decimal comma under e.g. de_DE and break the JSON (ADVICE r11)
-        println(s"""{"gate": "${r.gate}", "events": ${r.events}, """ +
+        val line = s"""{"gate": "${r.gate}", "events": ${r.events}, """ +
           s""""secs": ${Jsons.num(r.secs)}, "out_rows": ${r.outRows}, """ +
           s""""state_rows_max": ${r.stateRowsMax}, """ +
           s""""state_bytes_max": ${r.stateBytesMax}, """ +
-          s""""provider": "$provider"}""")
+          s""""provider": "$provider"}"""
+        println(line)
+        line
       }
+    // committed-artifact sink (r15): one JSON object collecting the
+    // per-gate lines, same best-effort discipline as Bench
+    val json = s"""{"dir":${Jsons.jq(dir)},"provider":${Jsons.jq(provider)},""" +
+      s""""gates":[${lines.mkString(",")}]}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALESTREAM_OUT", "SCALE_STREAM.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[scale-stream] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
