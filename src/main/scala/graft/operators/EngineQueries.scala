@@ -465,6 +465,61 @@ object EngineQueries {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Socket round-trip (r15): the NON-replayable streaming source
+    // under the oracle gate, completing the source matrix
+    // (csv/orc/jdbc roundtrips are already gated). The first 50 docs'
+    // (doc_id, lang) rows — a BOUNDED 50-row driver collect, inherent
+    // to a socket test since the server lives in the driver — go over
+    // a real loopback TCP connection into readStream.format("socket"),
+    // are parsed and counted in complete mode, and the counts must
+    // hash-match DuckDB's replay from the table. Delivery loop polls
+    // processAllAvailable until all 50 lines landed (90 s bound);
+    // an early disconnect under-counts and fails the hash loudly.
+    QDef("source_socket_roundtrip", (s, dir) => {
+      val rows = Tables.load(s, dir, "documents")
+        .orderBy("doc_id").limit(50)
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => s"${r.getLong(0)} ${r.getString(1)}")
+      val server = new java.net.ServerSocket(0, 1,
+        java.net.InetAddress.getLoopbackAddress)
+      @volatile var client: java.net.Socket = null
+      val writer = new Thread(() => {
+        try {
+          client = server.accept()
+          val out = new java.io.PrintWriter(client.getOutputStream, true)
+          rows.foreach(out.println)
+          out.flush() // connection stays open until the query stops
+        } catch { case _: java.io.IOException => () }
+      })
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        writer.start()
+        val src = graft.streaming.StreamStages.socketSource(s,
+          "127.0.0.1", server.getLocalPort)
+        val counts = src
+          .select(split(col("value"), " ").getItem(1).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+        q = counts.writeStream.format("memory")
+          .queryName("gate_socket_rt").outputMode("complete").start()
+        def total(): Long = s.table("gate_socket_rt")
+          .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (total() < rows.length && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(100)
+        }
+      } finally {
+        if (q != null) q.stop()
+        server.close() // unblocks a still-parked accept()
+        writer.join(10000)
+        if (client != null) client.close()
+      }
+      s.table("gate_socket_rt").orderBy("k")
+    },
+      Some("""SELECT k, count(*) AS n FROM (
+        |  SELECT lang AS k FROM documents ORDER BY doc_id LIMIT 50)
+        |GROUP BY k ORDER BY k""".stripMargin)),
+
     // Stream-static enrichment join: the streaming side joins a static
     // dimension snapshot (broadcast — no state store, no watermark
     // required for inner equality): the per-micro-batch lookup shape
