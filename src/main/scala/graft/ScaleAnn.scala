@@ -183,12 +183,18 @@ object ScaleAnn {
     println(json)
     // committed-artifact sink (r15): every scale claim gets a JSON file
     // next to the round artifacts, not just a stdout line in a log —
-    // same best-effort discipline as Bench's BENCH_ENGINE_LAST
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALEANN_OUT", "SCALE_ANN.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[scale-ann] could not write $outPath: ${e.getMessage}")
+    // same best-effort discipline as Bench's BENCH_ENGINE_LAST.
+    // Guard: an op-FILTERED iteration run must not silently clobber
+    // the committed full-ladder artifact — default sink only on full
+    // runs; filtered runs write only with an explicit env override.
+    val outPath = sys.env.get("SPARK_GRAFT_SCALEANN_OUT")
+      .orElse(if (only.isEmpty) Some("SCALE_ANN.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[scale-ann] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -137,7 +137,7 @@ object ScaleDrivers {
             col("p.doc_id") < col("i.doc_id"))))
       .count()
 
-    println(s"""{"dir":"$dir","ngram_index_pairs":$ngramPairs,""" +
+    println(s"""{"dir":${Jsons.jq(dir)},"ngram_index_pairs":$ngramPairs,""" +
       s""""lsh_candidates":$lshCands,"winnow_index_pairs":$winnowPairs,""" +
       s""""triangle_edges":$edges,"triangle_wedges":$wedges,""" +
       s""""pagerank_edge_rows":$prEdges,"attr_candidates":$attrCands,""" +

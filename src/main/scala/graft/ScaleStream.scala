@@ -221,14 +221,21 @@ object ScaleStream {
         line
       }
     // committed-artifact sink (r15): one JSON object collecting the
-    // per-gate lines, same best-effort discipline as Bench
+    // per-gate lines, same best-effort discipline as Bench. Guard: a
+    // gate-filtered run or the rocksdb A/B (verify skill §6) must not
+    // silently clobber the committed full hdfs-provider artifact —
+    // default sink only on full default-provider runs; anything else
+    // writes only with an explicit env override.
     val json = s"""{"dir":${Jsons.jq(dir)},"provider":${Jsons.jq(provider)},""" +
       s""""gates":[${lines.mkString(",")}]}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALESTREAM_OUT", "SCALE_STREAM.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[scale-stream] could not write $outPath: ${e.getMessage}")
+    val outPath = sys.env.get("SPARK_GRAFT_SCALESTREAM_OUT").orElse(
+      if (only.isEmpty && provider == "hdfs") Some("SCALE_STREAM.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[scale-stream] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

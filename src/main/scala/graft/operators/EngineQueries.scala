@@ -509,7 +509,12 @@ object EngineQueries {
           Thread.sleep(100)
         }
       } finally {
-        if (q != null) q.stop()
+        // stop() can throw (stopTimeout / surfaced query failure) —
+        // it must not skip the socket teardown or the accept-parked
+        // writer thread leaks for the session's lifetime
+        try { if (q != null) q.stop() }
+        catch { case e: Exception =>
+          System.err.println(s"[socket-gate] stop: ${e.getMessage}") }
         server.close() // unblocks a still-parked accept()
         writer.join(10000)
         if (client != null) client.close()

@@ -374,7 +374,9 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map("0" -> 6L, "1" -> 7L, "2" -> 7L),
         s"socket stream delivered $got")
     } finally {
-      if (q != null) q.stop()
+      // stop() can throw (stopTimeout / surfaced query failure) — it
+      // must not skip the socket teardown below
+      try { if (q != null) q.stop() } catch { case _: Exception => () }
       server.close() // unblocks a still-parked accept()
       writer.join(10000)
       if (client != null) client.close()
