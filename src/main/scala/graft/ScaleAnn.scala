@@ -186,9 +186,13 @@ object ScaleAnn {
     // same best-effort discipline as Bench's BENCH_ENGINE_LAST.
     // Guard: an op-FILTERED iteration run must not silently clobber
     // the committed full-ladder artifact — default sink only on full
-    // runs; filtered runs write only with an explicit env override.
+    // runs AT the committed ladder slice (10×; a full-op run pointed
+    // at the 1×/50× slice would otherwise overwrite it just as
+    // silently, ADVICE r15); anything else writes only with an
+    // explicit env override.
     val outPath = sys.env.get("SPARK_GRAFT_SCALEANN_OUT")
-      .orElse(if (only.isEmpty) Some("SCALE_ANN.json") else None)
+      .orElse(if (only.isEmpty && dir.endsWith("scale10x")) Some("SCALE_ANN.json")
+        else None)
     outPath.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes("UTF-8"))

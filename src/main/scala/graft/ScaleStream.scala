@@ -222,14 +222,16 @@ object ScaleStream {
       }
     // committed-artifact sink (r15): one JSON object collecting the
     // per-gate lines, same best-effort discipline as Bench. Guard: a
-    // gate-filtered run or the rocksdb A/B (verify skill §6) must not
-    // silently clobber the committed full hdfs-provider artifact —
-    // default sink only on full default-provider runs; anything else
-    // writes only with an explicit env override.
+    // gate-filtered run, the rocksdb A/B (verify skill §6), or a full
+    // run pointed at a different ladder slice (ADVICE r15) must not
+    // silently clobber the committed full hdfs-provider 10× artifact —
+    // default sink only on full default-provider runs at the committed
+    // slice; anything else writes only with an explicit env override.
     val json = s"""{"dir":${Jsons.jq(dir)},"provider":${Jsons.jq(provider)},""" +
       s""""gates":[${lines.mkString(",")}]}"""
     val outPath = sys.env.get("SPARK_GRAFT_SCALESTREAM_OUT").orElse(
-      if (only.isEmpty && provider == "hdfs") Some("SCALE_STREAM.json") else None)
+      if (only.isEmpty && provider == "hdfs" && dir.endsWith("scale10x"))
+        Some("SCALE_STREAM.json") else None)
     outPath.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes("UTF-8"))

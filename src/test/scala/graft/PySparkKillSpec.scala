@@ -117,6 +117,13 @@ class PySparkKillSpec extends SparkSpec {
       val out = s"$dir/killed$attempt"
       val (ex, pid) = attemptKilledRun(out, s"graft-pykill-victim-$attempt")
       (ex, pid) match {
+        // TOCTOU (ADVICE r15): between the killer's `_temporary` check
+        // and destroyForcibly the job can commit (_SUCCESS lands, exit
+        // still nonzero from the post-commit SIGKILL) — that attempt
+        // proves nothing about MID-WRITE recovery either; retry it like
+        // the committed-first case instead of failing assertion (b).
+        case (Some(_), p) if p > 0 &&
+          Files.exists(Paths.get(out, "_SUCCESS")) => // committed first — retry
         case (Some(e), p) if p > 0 => landed = Some((e, out))
         case (None, _) => // committed before the kill landed — retry
         case (Some(e), _) => throw e
