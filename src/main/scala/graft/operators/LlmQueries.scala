@@ -127,6 +127,23 @@ object LlmQueries {
        |               CAST(shared AS DOUBLE) / sb.n) >= 0.8
        |ORDER BY ia, ib""".stripMargin
 
+  /** Shared oracle for `dedup_clusters` and `dedup_clusters_diststar`:
+    * the two engine paths (driver union-find under the byte budget;
+    * Kiveris large-star/small-star above it) must land the identical
+    * component assignment, so one SQL gates both — verified pairs from
+    * the inverted-index Jaccard, closed transitively with a recursive
+    * CTE, min-id representative per component.
+    */
+  private lazy val ClustersOracleSql: String =
+    s"""WITH RECURSIVE ${jaccardPairCtes(3, 0.5)},
+       |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+       |GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** DuckDB fragment: near-dup pairs (Jaccard >= thr) from the
     * inverted index — the linear replacement for all-pairs Jaccard. */
   private def jaccardPairCtes(n: Int, thr: Double): String =
@@ -1072,14 +1089,24 @@ object LlmQueries {
           Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "text", "doc_id",
             shingleN = 3, threshold = 0.5))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE ${jaccardPairCtes(3, 0.5)},
-        |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-        |reach(a, b) AS (
-        |  SELECT DISTINCT a, a FROM e
-        |  UNION
-        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
-        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
-        |GROUP BY a ORDER BY doc_id""".stripMargin)),
+      Some(ClustersOracleSql)),
+
+    // ---- the distributed connected-components path (Kiveris et al.
+    // large-star/small-star), force-gated against the SAME oracle SQL
+    // as dedup_clusters (the r8/r15 swap-gate discipline — VERDICT r15
+    // #3: the driver union-find fast path was the only gated form).
+    // driverBytesThreshold = -1 disqualifies the driver path even for
+    // an empty pair graph, so this row proves the 100 TB form —
+    // O(log n) grouped-min shuffle rounds, no neighbor lists, no
+    // driver collect — lands the IDENTICAL (doc_id, cluster_id)
+    // assignment: same components, same min-id representatives.
+    QDef("dedup_clusters_diststar", (s, dir) =>
+      Dedup.nearDupClusters(
+          Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "text", "doc_id",
+            shingleN = 3, threshold = 0.5),
+          driverBytesThreshold = -1L)
+        .orderBy("doc_id"),
+      Some(ClustersOracleSql)),
 
     // ---- end-to-end dedup: keep one representative per near-dup
     // cluster (the user-facing operation the pieces above compose
