@@ -825,6 +825,30 @@ object Dedup {
       .distinct() // a pair can meet via several probed buckets
   }
 
+  /** Deterministic high-cos evaluation corpus for the LSH recall gates
+    * (VERDICT r15 #6): every `every`-th vector gains a planted
+    * near-duplicate — the same vector with `shift` added to EVERY
+    * coordinate, id offset by `idOffset` past the corpus range. For a
+    * unit vector v, cos(v, v + shift·1) ≈ 1 − dim·shift²·(1 − s²/dim)/2
+    * (s = Σvᵢ ~ N(0,1) on the iid-gaussian testdata), i.e. a tight,
+    * base-independent near-dup angle — shift 0.02 on 64 dims lands at
+    * cos ≈ 0.987 (θ ≈ 9°), squarely the regime hyperplane LSH is built
+    * for, while un-planted pairs stay far below any high threshold
+    * (max observed cos on the testdata ≈ 0.6). The arithmetic is one
+    * float→double cast plus one double add per element, both exact to
+    * mirror in SQL, so the derived corpus (and therefore the exact
+    * pair set) is bit-reproducible in the DuckDB oracle.
+    */
+  def plantShiftedNearDups(df: DataFrame, vecCol: String, idCol: String,
+      every: Int, shift: Double, idOffset: Long): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      transform(col(vecCol), _.cast("double")).as(vecCol))
+    val planted = base.filter(col(idCol) % every === 0)
+      .select((col(idCol) + idOffset).as(idCol),
+        transform(col(vecCol), _ + lit(shift)).as(vecCol))
+    base.unionByName(planted)
+  }
+
   /** Recall-verdict wrapper for an approximate PAIR operator — the
     * pair-set analog of [[Similarity.topKWithRecallVerdict]]: rows are
     * the EXACT pair set (SQL-reproducible, so the gate stays a full

@@ -1238,6 +1238,44 @@ object LlmQueries {
     }, Some(s"""$EmbeddingPairCtes
       |SELECT ia, ib, cos, 1 AS recall_ok FROM p ORDER BY ia, ib""".stripMargin)),
 
+    // ---- the high-recall LSH regime gate (VERDICT r15 #6): the
+    // threshold-0.4 gate above pins only the 0.5 recall floor, because
+    // cos-0.4 pairs sit near 66° — outside LSH's design regime. This
+    // row asserts the guarantee users actually rely on: on a corpus
+    // whose qualifying pairs ARE near-duplicates (planted shifted
+    // copies at cos ≈ 0.993 — Dedup.plantShiftedNearDups, derived
+    // bit-reproducibly from the embeddings table so the DuckDB oracle
+    // replays it), the PRODUCTION config (bits=8, probeBits=1 — the
+    // embeddingNearDupsLsh defaults) recovers ≥ 0.9 of all cos ≥ 0.8
+    // pairs. Measured (bit-deterministic): 0.92 / 0.96 / 0.93 at
+    // sf0.001/0.01/0.1. Un-planted pairs never reach 0.8 (max
+    // observed cos ≈ 0.6), so the exact pair set is exactly the
+    // planted set ----------------------------------------------------
+    QDef("dedup_embedding_lsh_hi", (s, dir) => {
+      val aug = Dedup.plantShiftedNearDups(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", every = 10, shift = 0.015, idOffset = 1000000L)
+      Dedup.pairsWithRecallVerdict(
+          Dedup.embeddingNearDups(aug, "embedding", "vec_id", threshold = 0.8),
+          Dedup.embeddingNearDupsLsh(aug, "embedding", "vec_id",
+            threshold = 0.8), minRecall = 0.9)
+        .orderBy("ia", "ib")
+    }, Some("""WITH aug AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.015)
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |n AS (SELECT vec_id, v,
+      |  list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+      |  FROM aug),
+      |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+      |      (x, y) -> x + y) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT ia, ib, cos, 1 AS recall_ok FROM p WHERE cos >= 0.8
+      |ORDER BY ia, ib""".stripMargin)),
+
     // ---- brute-force cosine top-k (ANN baseline) -------------------
     QDef("ann_topk_exact", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")

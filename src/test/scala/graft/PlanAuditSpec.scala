@@ -30,6 +30,10 @@ class PlanAuditSpec extends SparkSpec {
       "window runs over the EXACT operator's OUTPUT (the near-dup pair set — " +
       "already the reduced result, not the corpus); both pair generators " +
       "underneath are equi-joins (block pairs / LSH buckets)"),
+    "dedup_embedding_lsh_hi" -> ("dedup_embedding_lsh's verdict harness on the " +
+      "planted high-cos corpus (r16): the global window runs over the exact " +
+      "leg's OUTPUT pair set (the planted pairs); both pair generators are " +
+      "equi-joins"),
     "ann_ivfpq" -> ("same verdict harness as ann_ivf: one BNLJ is the broadcast " +
       "brute-force baseline, one the broadcast k-cell centroid crossJoin " +
       "(probe ranking); ADC candidate + rerank joins are equi-joins on cell/id"),

@@ -191,6 +191,11 @@ class SitingAuditSpec extends SparkSpec {
       "once per block-pair candidate inside its equi-join (every emitted pair " +
       "pays the O(dim) dot by definition); the verdict left-join above it is " +
       "unique-keyed on (ia, ib)"),
+    "dedup_embedding_lsh_hi" -> ("PAIR-COST BOUND: dedup_embedding_lsh's shape " +
+      "on the planted high-cos corpus (r16) — exact-leg cosine dot per " +
+      "block-pair candidate, verdict left-join unique-keyed on (ia, ib); the " +
+      "corpus-derivation transform lambdas (cast + shift) are O(dim) once per " +
+      "VECTOR replica, the same bound as the norms they feed"),
     "dedup_containment_prefix" -> ("UNIQUE-KEY JOIN: shingling + hashing run ONCE " +
       "per doc below the doc_id-keyed verify joins — siting them above would " +
       "recompute per candidate pair; the probe join itself moves only 8-byte " +
