@@ -859,7 +859,8 @@ object Dedup {
     * the ANN verdict gates. The engine is bit-deterministic, so the
     * verdict is stable; `minRecall` is calibrated per config on the
     * uniform testdata (measured for embeddingNearDupsLsh bits=6
-    * probeBits=2 at threshold 0.4: 0.63–0.73 across sf0.001–0.1 —
+    * probeBits=2 at threshold 0.4: 0.73/0.68/0.63 at sf0.001/0.01/0.1,
+    * re-measured r16 (ADVICE r15) so all sites quote one number —
     * mid-range because cos 0.4 pairs sit near 66°, far outside the
     * near-dup angles the hyperplane signatures are built for; the
     * high-recall-at-high-cos guarantee is asserted in LlmSpec).

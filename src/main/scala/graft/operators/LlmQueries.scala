@@ -1222,7 +1222,7 @@ object LlmQueries {
     // ---- the 100 TB embedding near-dup path: hyperplane-LSH bucketed
     // candidates + exact-cosine verify, gated via the verdict pattern
     // (rows = the EXACT pair set, SQL-reproducible; recall_ok pins the
-    // LSH path's recovery ≥ 0.5 — measured 0.63/0.68/0.63 at
+    // LSH path's recovery ≥ 0.5 — measured 0.73/0.68/0.63 at
     // sf0.001/0.01/0.1 with bits=6 probeBits=2; mid-range because
     // threshold-0.4 pairs sit near 66°, outside the near-dup angles
     // LSH is built for — the high-recall-at-high-cos guarantee is
