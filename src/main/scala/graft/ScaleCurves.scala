@@ -33,6 +33,48 @@ object ScaleCurves {
     "triangle_count", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_containment")
 
+  /** One timed, fully-materialized run (noop sink) of a registered
+    * gate; −1 on failure. Plan cache cleared first. Shared with
+    * [[ScaleContain]] so both curve artifacts measure identically.
+    */
+  def runOnce(spark: SparkSession, gate: String, dir: String): Double = {
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(gate)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[scalecurves] $gate @ $dir failed: ${e.getMessage}")
+        return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The measurement discipline (docs in the class comment): per-gate
+    * untimed warm-up on the smallest slice, then per multiple
+    * min-of-2 while under 30 s, single rep above.
+    */
+  def timeGates(spark: SparkSession, gates: Seq[String], ms: Seq[Long],
+      dirs: Map[Long, String]): Seq[(String, Seq[(Long, Double)])] =
+    gates.map { g =>
+      runOnce(spark, g, dirs(ms.head))
+      val times = ms.map { m =>
+        val t1 = runOnce(spark, g, dirs(m))
+        val t =
+          if (t1 >= 0 && t1 < 30) {
+            val t2 = runOnce(spark, g, dirs(m))
+            if (t2 >= 0) math.min(t1, t2) else t1
+          } else t1
+        println(s"[scalecurves] $g @ ${m}x: ${Jsons.num(t, 3)} s")
+        (m, t)
+      }
+      g -> times
+    }
+
+  /** log-log growth exponent between two (multiple, value) points. */
+  def exp(p: (Long, Double), q: (Long, Double)): Double =
+    math.log(q._2 / p._2) / math.log(q._1.toDouble / p._1)
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "target/testdata"
     val outJson = if (args.length > 1) args(1) else "SCALE_CURVES.json"
@@ -66,40 +108,13 @@ object ScaleCurves {
       m -> dir
     }.toMap
 
-    def runOnce(gate: String, dir: String): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(gate)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[scalecurves] $gate @ $dir failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results: Seq[(String, Seq[(Long, Double)])] = gates.map { g =>
-      // PER-GATE warm-up on the smallest slice, untimed: the first
-      // execution of a heavy gate pays one-off JIT/codegen cost that
-      // dwarfs the 1× data cost (measured: profile_table_approx 36-47 s
-      // cold vs ~6 s warm — enough to INVERT a curve), so without this
-      // the 1× anchor measures the JVM, not the plan
-      runOnce(g, dirs(ms.head))
-      val times = ms.map { m =>
-        val t1 = runOnce(g, dirs(m))
-        val t =
-          if (t1 >= 0 && t1 < 30) {
-            val t2 = runOnce(g, dirs(m))
-            if (t2 >= 0) math.min(t1, t2) else t1
-          } else t1
-        println(s"[scalecurves] $g @ ${m}x: ${Jsons.num(t, 3)} s")
-        (m, t)
-      }
-      g -> times
-    }
-
-    def exp(p: (Long, Double), q: (Long, Double)): Double =
-      math.log(q._2 / p._2) / math.log(q._1.toDouble / p._1)
+    // PER-GATE warm-up on the smallest slice, untimed (inside
+    // timeGates): the first execution of a heavy gate pays one-off
+    // JIT/codegen cost that dwarfs the 1× data cost (measured:
+    // profile_table_approx 36-47 s cold vs ~6 s warm — enough to
+    // INVERT a curve), so without this the 1× anchor measures the
+    // JVM, not the plan
+    val results = timeGates(spark, gates, ms, dirs)
     val rows = results.map { case (g, ts) =>
       val ok = ts.filter(_._2 > 0)
       val (full, tailE) =

@@ -36,6 +36,44 @@ object ScaleDrivers {
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
       .head().getLong(0)
 
+  /** Σ C(df,2) over the 2-gram inverted index — the classic
+    * containment/ngram-jaccard join's documented cost driver
+    * (distinct-per-doc shingles, the gates' shape). Callable per
+    * docs frame so [[ScaleContain]] measures it on BOTH vocabulary
+    * regimes (VERDICT r15 #2).
+    */
+  def ngramIndexPairs(docs: DataFrame): Long =
+    pairSum(Dedup.shingleSets(docs, "text", "doc_id", 2)
+      .select(col("doc_id"), explode(col("sh")).as("g")), "g")
+
+  /** Containment prefix-filter candidate-stream size (r15, the
+    * dedup_containment_prefix cost driver at the gate's t = 0.8):
+    * rare-prefix postings of the strictly-smaller side joined to the
+    * full index — the probe join's PRE-distinct row count, built with
+    * the exact expressions containmentPairsPrefix uses.
+    */
+  def prefixCandidates(docs: DataFrame, t: Double = 0.8): Long = {
+    val csets = Dedup.shingleSets(docs, "text", "doc_id", 2)
+      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+    val cinv = csets.select(col("doc_id"), col("n_sh"),
+      explode(col("hs")).as("h"))
+    val cdf = cinv.groupBy("h").agg(count(lit(1)).as("df_h"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df_h"), col("h"))
+    val cprefix = cinv.join(cdf, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("n_sh"), col("h"))
+    cprefix.alias("p")
+      .join(cinv.alias("i"), col("p.h") === col("i.h") &&
+        (col("p.n_sh") < col("i.n_sh") ||
+          (col("p.n_sh") === col("i.n_sh") &&
+            col("p.doc_id") < col("i.doc_id"))))
+      .count()
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = SparkSession.builder()
@@ -51,9 +89,7 @@ object ScaleDrivers {
 
     // 2-gram inverted-index pair count (ngram_jaccard + containment
     // share this index; distinct-per-doc shingles, the gates' shape)
-    val posts2 = Dedup.shingleSets(docs, "text", "doc_id", 2)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    val ngramPairs = pairSum(posts2, "g")
+    val ngramPairs = ngramIndexPairs(docs)
 
     // MinHash-LSH candidate pairs, the minhashNearDups front half:
     // exact-dup collapse → 3-gram sets → 64-hash signatures → 32×2
@@ -109,33 +145,13 @@ object ScaleDrivers {
     val intervalRows = graft.operators.RelationalQueries
       .queries("interval_overlap_join")(spark, dir).count()
 
-    // containment prefix-filter candidate stream (r15,
-    // dedup_containment_prefix at the gate's t=0.8): rare-prefix
-    // postings of the strictly-smaller side joined to the full
-    // index — the probe join's PRE-distinct row count, built with the
-    // exact expressions containmentPairsPrefix uses. This is the
-    // path's documented cost driver, vs ngram_index_pairs ≈ Σ C(df,2)
-    // for the classic full-index form — their growth gap IS the
-    // measured 1.23-vs-1.91 exponent gap (SCALE_CONTAIN_PREFIX.json).
-    val csets = Dedup.shingleSets(docs, "text", "doc_id", 2)
-      .select(col("doc_id"), expr("transform(sh, s -> xxhash64(s))").as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
-    val cinv = csets.select(col("doc_id"), col("n_sh"),
-      explode(col("hs")).as("h"))
-    val cdf = cinv.groupBy("h").agg(count(lit(1)).as("df_h"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df_h"), col("h"))
-    val cprefix = cinv.join(cdf, "h")
-      .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <=
-        col("n_sh") - ceil(lit(0.8) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("n_sh"), col("h"))
-    val prefixCands = cprefix.alias("p")
-      .join(cinv.alias("i"), col("p.h") === col("i.h") &&
-        (col("p.n_sh") < col("i.n_sh") ||
-          (col("p.n_sh") === col("i.n_sh") &&
-            col("p.doc_id") < col("i.doc_id"))))
-      .count()
+    // containment prefix-filter candidate stream (r15, the
+    // dedup_containment_prefix cost driver — see prefixCandidates
+    // above). vs ngram_index_pairs ≈ Σ C(df,2) for the classic
+    // full-index form — their growth gap IS the measured wall-exponent
+    // gap (SCALE_CONTAIN_PREFIX.json dense; SCALE_CONTAIN_ZIPF.json
+    // Zipfian, r16).
+    val prefixCands = prefixCandidates(docs)
 
     println(s"""{"dir":${Jsons.jq(dir)},"ngram_index_pairs":$ngramPairs,""" +
       s""""lsh_candidates":$lshCands,"winnow_index_pairs":$winnowPairs,""" +

@@ -518,13 +518,23 @@ object Dedup {
     * constant 5×, which the 10× wall gap (2.4×) is still converging
     * toward — the sub-quadratic 1.23 wall exponent is fixed-overhead
     * amortization, not asymptotics. The EXPONENT advantage belongs to
-    * Zipfian natural-text vocabularies, where rare-prefix df stays
-    * bounded while Σ df² explodes (Bayardo et al., WWW'07) — that,
-    * plus the measured constant-factor win on even this worst case,
-    * is the 100 TB recommendation. Both forms are oracle-gated
-    * (`dedup_containment`, `dedup_containment_prefix`, same SQL) and
-    * spill-proved (SPILL_VERIFY); ContainSpec asserts bit-identical
-    * output.
+    * Zipfian natural-text vocabularies (Bayardo et al., WWW'07) — and
+    * since r16 that is MEASURED, not cited (ScaleContain,
+    * SCALE_CONTAIN_ZIPF/HEAPS.json, BASELINE.md "Round 16"): on a 10k
+    * power-law vocabulary the prefix wall reads 2.1/2.9/6.0 s at
+    * 1×/3×/10× (exp 0.45) vs classic 7.2/84.8/875.9 s (exp 2.08) —
+    * 145× at 10× — with the candidate driver still honestly quadratic
+    * on a FIXED vocabulary (exp 2.10, constant ~17,850× below
+    * Σ C(df,2)); under Heaps-law vocabulary growth (V ∝ corpus^0.55,
+    * as real corpora grow) the candidate exponent itself drops to
+    * 1.54/1.45-and-falling — the sub-quadratic mechanism at 100 TB.
+    * The classic form additionally SKEWS on Zipfian heads (the z0-z0
+    * posting pairs in single join keys — long one-core phases inside
+    * its 875.9 s run); head shingles never enter anyone's prefix, so
+    * this path dodges the skew as well as the volume. Both forms are
+    * oracle-gated (`dedup_containment`, `dedup_containment_prefix`,
+    * same SQL) and spill-proved (SPILL_VERIFY); ContainSpec asserts
+    * bit-identical output.
     */
   def containmentPairsPrefix(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int, threshold: Double): DataFrame = {
