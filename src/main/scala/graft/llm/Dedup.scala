@@ -267,8 +267,15 @@ object Dedup {
       driverBytesThreshold: Long = 256L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // cache: the pair pipeline (shingle→minhash→LSH→verify) feeds the
-    // count probe AND the collect/loop — don't run it twice
-    val fwd = pairs.select(col("ia").as("a"), col("ib").as("b")).cache()
+    // count probe AND the collect/loop — don't run it twice. coalesce
+    // (r16): cached plans keep their physical partitioning (AQE
+    // coalescing is off inside InMemoryRelation by default), so the
+    // pair set — metadata-scale by construction — was materializing at
+    // the 128-slot initial shuffle width and every downstream pass
+    // paid ~129 near-empty tasks; capping at the session default
+    // parallelism is a narrow merge, not a shuffle.
+    val fwd = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .coalesce(spark.sparkContext.defaultParallelism).cache()
 
     // ~160 B of driver footprint per edge (two boxed HashMap entries
     // worst-case); 256 MB default ⇒ ~1.6M edges on the driver path
@@ -291,8 +298,13 @@ object Dedup {
         parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
       }
       val rows = parent.keys.toSeq.sorted.map(x => Row(x, find(x)))
+      // bounded slice count (r16): the default slices the tiny result
+      // into defaultParallelism near-empty partitions; ~50k rows per
+      // slice keeps task counts proportional to the data
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, rows.size / 50000 + 1))
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows),
+        spark.sparkContext.parallelize(rows, slices),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -340,9 +352,15 @@ object Dedup {
     // compute on a plan of constant depth. The checkpointed edge set
     // is component-metadata-sized (near-dup pairs only), never the
     // corpus.
+    // coalesce before every checkpoint (r16): the checkpointed RDD
+    // keeps the plan's physical partition count (the 128-wide initial
+    // shuffle), so each star round was paying ~129 near-empty tasks
+    // per pass over a component-metadata-sized edge set; the narrow
+    // merge caps that at the session default parallelism.
+    val w = spark.sparkContext.defaultParallelism
     var cur = fwd
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct().coalesce(w).localCheckpoint(true)
     fwd.unpersist() // nothing below reads the pair pipeline again
     // convergence: a true set comparison, not a hash/sum signature —
     // both sides are distinct, so |next| = |cur| plus next∖cur = ∅
@@ -354,7 +372,7 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).coalesce(w).localCheckpoint(true)
       val cnt = next.count()
       done = cnt == prevCount && next.exceptAll(cur).isEmpty
       cur = next
@@ -409,6 +427,29 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Pins an inverted-index posting table to the session's full
+    * shuffle width on its join key before an explosive self/probe
+    * join (r16, guide §2.5 input-skew family): the posting exchange is
+    * tiny (8-byte hashes), so AQE's parallelism-first coalescing
+    * floors it at `minPartitionSize` partitions — measured 5 tasks on
+    * 32 cores at sf0.1 — while the join OUTPUT is ~100× the input
+    * (Σ df² pair enumeration), serializing the one CPU-dense stage of
+    * the query (dedup_containment: 79 s task-time over 5 tasks).
+    * An explicit-count repartition on the join key replaces the
+    * ENSURE_REQUIREMENTS exchange (same shuffle, pinned width), so it
+    * adds no work at any scale; at 100 TB the posting exchange is
+    * large enough that AQE would keep it wide anyway and the pinned
+    * width equals what the operator sized `spark.sql.shuffle.partitions`
+    * to. Cost: the pinned exchange opts out of AQE skew-splitting —
+    * acceptable here because the skew-prone classic forms are
+    * documented verification oracles whose scale siblings
+    * (prefix/LSH) dodge the head-key skew structurally.
+    */
+  private[llm] def pinJoinWidth(inv: DataFrame, key: String): DataFrame =
+    inv.repartition(
+      inv.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
+
   // ---------------------------------------------------------------
   // Exact n-gram Jaccard via inverted index (no LSH, no cross join):
   // explode shingles, self-join on the shingle (the inverted-index
@@ -433,9 +474,11 @@ object Dedup {
     // index. On natural text with a long-tail vocabulary, prefix
     // filtering is the right scale path; with dense vocabularies,
     // MinHash-LSH (minhashNearDups) is.)
-    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val inv = pinJoinWidth(
+      sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h")),
+      "h")
     val l = inv.alias("l"); val r = inv.hint("shuffle_hash").alias("r")
     val tInv = lit(1.0 / threshold)
     val common = l.join(r, col("l.h") === col("r.h")
@@ -445,12 +488,29 @@ object Dedup {
       .groupBy(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
       .agg(count(lit(1)).as("common"),
         first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
-    common
+    sealPairs(common
       .select(col("ia"), col("ib"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
+
+  /** Seals a pair-operator's output behind one hash re-exchange on the
+    * pair key (r16, guide §1.4/§7.2): the verified pair set is orders
+    * of magnitude smaller than the stages that produce it, but a
+    * caller that global-sorts (every oracle gate does) or range-writes
+    * the result makes Spark execute the sort's child TWICE — once to
+    * sample range bounds, once to write the sort exchange — re-running
+    * the expensive verify/aggregation chain both times (measured:
+    * the two duplicated final passes are 15-47 s of task time per
+    * query at sf0.1, ≈⅓ of dedup_containment_prefix). The exchange
+    * materializes the pair set once, so downstream sampling reads a
+    * shuffle boundary instead of recomputing the chain. Cost at any
+    * scale: one extra shuffle of the OUTPUT-sized pair set — the
+    * smallest relation in the pipeline. AQE coalesces it freely.
+    */
+  private def sealPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(col("ia"), col("ib"))
 
   // ---------------------------------------------------------------
   // Containment pairs — the asymmetric companion to Jaccard: how much
@@ -473,21 +533,23 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, shingleN)
-    val inv = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val inv = pinJoinWidth(
+      sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h")),
+      "h")
     val l = inv.alias("l"); val r = inv.hint("shuffle_hash").alias("r")
     val common = l.join(r, col("l.h") === col("r.h")
         && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("ia"), col("r.doc_id").as("ib"))
       .agg(count(lit(1)).as("common"),
         first(col("l.n_sh")).as("na"), first(col("r.n_sh")).as("nb"))
-    common
+    sealPairs(common
       .select(col("ia"), col("ib"),
         (col("common").cast("double") / col("na")).as("containment_a"),
         (col("common").cast("double") / col("nb")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b"))
-        >= threshold)
+        >= threshold))
   }
 
   /** Exact containment pairs via LOSSLESS prefix filtering (the
@@ -567,8 +629,8 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"), col("h"))
     // The strictly-smaller side probes (lexicographic (n_sh, doc_id)
     // so exactly one side of every pair probes, ties included).
-    val cand = prefix.alias("p")
-      .join(inv.hint("shuffle_hash").alias("i"),
+    val cand = pinJoinWidth(prefix, "h").alias("p")
+      .join(pinJoinWidth(inv, "h").hint("shuffle_hash").alias("i"),
         col("p.h") === col("i.h") &&
           (col("p.n_sh") < col("i.n_sh") ||
             (col("p.n_sh") === col("i.n_sh") &&
@@ -580,7 +642,7 @@ object Dedup {
       col("n_sh").as("na"))
     val b = sets.select(col("doc_id").as("ib"), col("hs").as("hsb"),
       col("n_sh").as("nb"))
-    cand.join(a, "ia").join(b, "ib")
+    sealPairs(cand.join(a, "ia").join(b, "ib")
       .select(col("ia"), col("ib"),
         size(array_intersect(col("hsa"), col("hsb"))).as("common"),
         col("na"), col("nb"))
@@ -588,7 +650,7 @@ object Dedup {
         (col("common").cast("double") / col("na")).as("containment_a"),
         (col("common").cast("double") / col("nb")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b"))
-        >= threshold)
+        >= threshold))
   }
 
   /** Substring-level near-dup pairs over WINNOWING fingerprints
@@ -959,10 +1021,10 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-    val b = inv(batch)
+    val b = pinJoinWidth(inv(batch), "h")
     def blockers(other: DataFrame, sameBatch: Boolean) = {
       val l = b.alias("l")
-      val r = other.hint("shuffle_hash").alias("r")
+      val r = pinJoinWidth(other, "h").hint("shuffle_hash").alias("r")
       val keyCond = if (sameBatch) col("r.doc_id") < col("l.doc_id") else lit(true)
       l.join(r, col("l.h") === col("r.h") && keyCond
           && col("r.n_sh") <= col("l.n_sh") * tInv

@@ -219,8 +219,12 @@ object Sampling {
         explode(col("sh")).as("s"))
       .select(col("doc_id"), col("split"), col("n_sh"),
         xxhash64(col("s")).as("h"))
-    val tr = inv.filter(col("split") =!= holdout).alias("l")
-    val te = inv.filter(col("split") === holdout).hint("shuffle_hash").alias("r")
+    // join-width pin on the explosive posting join — see
+    // Dedup.pinJoinWidth for the rationale and scale argument
+    val tr = Dedup.pinJoinWidth(
+      inv.filter(col("split") =!= holdout), "h").alias("l")
+    val te = Dedup.pinJoinWidth(
+      inv.filter(col("split") === holdout), "h").hint("shuffle_hash").alias("r")
     val tInv = lit(1.0 / threshold)
     val leaks = tr.join(te, col("l.h") === col("r.h")
         && col("r.n_sh") <= col("l.n_sh") * tInv

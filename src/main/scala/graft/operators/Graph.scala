@@ -48,14 +48,20 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Degree-annotated edge list, built ONCE outside the loop (r16,
+    // guide §2.4): the old loop joined ranks⋈deg⋈e every superstep —
+    // deg and e are loop-invariant, so folding outdeg onto each edge
+    // up front drops one join per iteration (contrib arithmetic is
+    // unchanged: outdeg per (src, dst) is identical either way); the
+    // annotated edge exchange is reused by every superstep.
+    val ed = e.join(deg, "src")
     // N is one scalar — metadata, like AQE stats
     val n = nodes.count()
     val base = (100L - dampingPct) * S / (100L * n)
     var ranks = nodes.withColumn("rank_nano", lit(S / n))
     for (i <- 1 to iters) {
       val contribs = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .join(e, "src")
+        .join(ed, ranks("node") === ed("src"))
         // `div` = integer floor division on BIGINT — same operator
         // family as DuckDB's `//`, so no double-rounding ambiguity
         .select(col("dst").as("node"),
@@ -99,10 +105,22 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // Explicit-width repartition on the wedge-join key (r16, guide
+    // §2.5): the oriented edge list is a few MB, so AQE's
+    // parallelism-first floor coalesces its exchange to a handful of
+    // partitions — but the wedge self-join it feeds multiplies rows
+    // ~100× (O(m^1.5) wedge stream), serializing the dominant stage.
+    // Pinning to the session's shuffle width replaces the
+    // ENSURE_REQUIREMENTS exchange (same shuffle, pinned count), so
+    // nothing extra moves at any scale; at 100 TB the exchange is big
+    // enough that AQE would keep it wide anyway.
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .repartition(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("src"))
     // wedge endpoints ordered by (degree, id) so the closing edge is
     // oriented x -> y by construction
     val wedges = oriented.as("e1").join(oriented.as("e2"),

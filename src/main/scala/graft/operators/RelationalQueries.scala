@@ -1440,11 +1440,21 @@ object RelationalQueries {
     // an order). Engine: degree-oriented wedge join, O(m^1.5) bound;
     // oracle: direct id-ordered 3-way join — same triangle set -------
     QDef("triangle_count", (s, dir) => {
+      // explicit-width repartitions ahead of the two distincts (r16,
+      // guide §2.5): the single-row-group parquet scan gives this
+      // chain 1-3 tasks, so the dedup hash-aggs and the co-purchase
+      // self-join ran nearly serial; pinning to the session shuffle
+      // width replaces each ENSURE_REQUIREMENTS exchange (same
+      // shuffle, pinned count) and moves the agg work to a full-width
+      // stage. No-op at scale, where the scan is already parallel.
+      val w = s.conf.get("spark.sql.shuffle.partitions").toInt
       val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .repartition(w, col("ok"), col("p")).distinct()
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .repartition(w, col("u"), col("v")).distinct()
       Graph.triangleCounts(e).orderBy("node")
     },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
