@@ -609,9 +609,14 @@ object Dedup {
     */
   def containmentPairsPrefix(df: DataFrame, textCol: String,
       idCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    // hs sorted ascending (r16): every use is order-independent — the
+    // inverted index explodes it, n_sh is its size, and the verify
+    // consumes it through the sorted-merge SortedIntersectCount kernel
+    // below (one sort per DOC upfront vs a hash set per candidate
+    // PAIR in the old size(array_intersect(...)) verify).
     val sets = shingleSets(df, textCol, idCol, shingleN)
       .select(col("doc_id"),
-        expr("transform(sh, s -> xxhash64(s))").as("hs"))
+        sort_array(expr("transform(sh, s -> xxhash64(s))")).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
     val inv = sets.select(col("doc_id"), col("n_sh"),
       explode(col("hs")).as("h"))
@@ -644,7 +649,8 @@ object Dedup {
       col("n_sh").as("nb"))
     sealPairs(cand.join(a, "ia").join(b, "ib")
       .select(col("ia"), col("ib"),
-        size(array_intersect(col("hsa"), col("hsb"))).as("common"),
+        graft.functions.SortedIntersectCount(col("hsa"), col("hsb"))
+          .as("common"),
         col("na"), col("nb"))
       .select(col("ia"), col("ib"),
         (col("common").cast("double") / col("na")).as("containment_a"),

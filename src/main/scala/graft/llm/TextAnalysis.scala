@@ -733,9 +733,17 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val B = "\u0001"; val E = "\u0002"
+    // localCheckpoint (r16, guide §5): every merge round ends in its
+    // own collect() job, and DataFrame jobs get no cross-job stage
+    // reuse — so without a lineage cut each of the `merges` rounds
+    // re-ran the corpus scan + token shuffle from scratch (the doc
+    // below promised "the corpus text is never rescanned"; this makes
+    // it true). The checkpointed table is the language-vocabulary
+    // (word, freq) aggregate — metadata-scale at any corpus size.
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", s"$B$$1$E").as("s"), col("cnt"))
+      .localCheckpoint(true)
     // symbols of a bracketed string: strip the outer B/E, split on E+B
     def syms(s: Column): Column =
       split(expr("substring(s, 2, length(s) - 2)"), E + B)

@@ -50,7 +50,14 @@ class CodegenSpec extends AnyFunSuite {
     "WordSpans" -> WordSpans(Literal("a b c d"), 2),
     "OuterMoments" -> OuterMoments(darr(1.0, 2.0)),
     "OuterMoments(float)" -> OuterMoments(farr(1f, 2f)),
-    "CrossMoments" -> CrossMoments(darr(1.0, 2.0), darr(3.0, 4.0)))
+    "CrossMoments" -> CrossMoments(darr(1.0, 2.0), darr(3.0, 4.0)),
+    "SortedIntersectCount" -> SortedIntersectCount(
+      larr(1L, 3L, 3L, 5L, 9L), larr(2L, 3L, 5L, 5L, 10L)))
+
+  private def larr(xs: Long*) =
+    Literal.create(xs.toArray,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
 
   for ((name, expr) <- cases)
     test(s"$name compiles under codegen and matches interpreted eval") {
