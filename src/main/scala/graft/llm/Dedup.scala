@@ -355,9 +355,15 @@ object Dedup {
     // coalesce before every checkpoint (r16): the checkpointed RDD
     // keeps the plan's physical partition count (the 128-wide initial
     // shuffle), so each star round was paying ~129 near-empty tasks
-    // per pass over a component-metadata-sized edge set; the narrow
-    // merge caps that at the session default parallelism.
-    val w = spark.sparkContext.defaultParallelism
+    // per pass over a component-metadata-sized edge set. The width is
+    // derived from the MEASURED edge count (~50k edges/partition,
+    // capped at the session default parallelism) — edgeCount is
+    // already in hand from the path-selection probe above, so a tiny
+    // pair graph runs its rounds on a handful of tasks while a huge
+    // one still uses the full width.
+    val w = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      edgeCount / 50000L + 1L)).toInt
     var cur = fwd
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().coalesce(w).localCheckpoint(true)
