@@ -259,10 +259,26 @@ object Bench {
     val sentinelEntries = noiseSentinels.flatMap { case (n, _) =>
       resultMap.get(n).map(v => "\"" + n + "\":" + fmt(v))
     }
+    // r17 (VERDICT r16 #2): the sentinel-only sample defeated the
+    // driver's scaling and PERF per-query blocks — the ten sentinels
+    // are trivial fixed-overhead queries by construction, so their
+    // 8-vs-32-core ratios read ≈1 and `suspect_cpus_ignored` fired
+    // even though $SPARK_GRAFT_CPUS is honored. Add the top-15
+    // heaviest measured queries (the ones that CAN show core scaling
+    // and round-over-round movement) alongside the sentinels; ~25
+    // bytes per entry keeps the trailer well inside the driver's
+    // ~2 KB stdout tail window. Additive only: the full per-query map
+    // in the main line and the file sink are unchanged.
+    val sentinelNames = noiseSentinels.map(_._1).toSet
+    val heavyEntries = results.filter { case (n, v) =>
+      v > 0 && !sentinelNames.contains(n)
+    }.sortBy(-_._2).take(15)
+      .map { case (n, v) => "\"" + n + "\":" + fmt(v) }
+    val sampleEntries = sentinelEntries ++ heavyEntries
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":${sentinelEntries.mkString("{", ",", "}")},""" +
-        s""""queries_sampled":${sentinelEntries.size},""" +
+        s""""queries":${sampleEntries.mkString("{", ",", "}")},""" +
+        s""""queries_sampled":${sampleEntries.size},""" +
         s""""queries_total":${results.size},"queries_full_file":"$outPath",""" +
         s""""n_measured":${results.count(_._2 >= 0)},"n_failed":${failedQs.size},""" +
         s""""const_s":${fmt(constS)},"value_net_const":${fmt(total - constS)},""" +

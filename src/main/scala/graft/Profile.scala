@@ -38,7 +38,12 @@ object Profile {
     SessionConf.applyEnv(spark)
 
     val stages = ArrayBuffer.empty[StageRow]
-    var record = false
+    // @volatile + listenerBus drain before every toggle/read (ADVICE
+    // r16): the listener bus is asynchronous, so without the drain a
+    // measured rep's stage-completed events can arrive after `record`
+    // flips back to false (dropped rows) or warm-up events after it
+    // flips true (leaked rows).
+    @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (record) {
@@ -71,15 +76,21 @@ object Profile {
     // warm-up for JIT + page cache, like Bench
     runOnce("q1_agg"); runOnce("join_inner")
 
+    def drainListeners(): Unit =
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark, 30000)
+
     names.foreach { name =>
       val warm = runOnce(name) // rep 1: JIT/codegen warm-up, not reported
-      stages.clear()
+      drainListeners()
+      stages.synchronized(stages.clear())
       record = true
       val sec = runOnce(name)
+      drainListeners()
       record = false
+      val snap = stages.synchronized(stages.toVector)
       println(f"===== $name%s: ${sec}%.3f s (warm-up rep: ${warm}%.3f s), " +
-        s"${stages.size} stages =====")
-      val rows = stages.sortBy(-_.runMs).take(30)
+        s"${snap.size} stages =====")
+      val rows = snap.sortBy(-_.runMs).take(30)
       println(f"${"stage"}%6s ${"tasks"}%5s ${"wall_ms"}%8s ${"run_ms"}%8s " +
         f"${"cpu_ms"}%8s ${"gc_ms"}%6s ${"in_MB"}%8s ${"shR_MB"}%8s " +
         f"${"shW_MB"}%8s ${"spill_MB"}%8s  name")
@@ -89,8 +100,8 @@ object Profile {
           f"${r.shReadB / 1e6}%8.1f ${r.shWriteB / 1e6}%8.1f " +
           f"${r.spillB / 1e6}%8.1f  ${r.name.take(110)}")
       }
-      val totalRun = stages.map(_.runMs).sum
-      println(f"total task run_ms: $totalRun%d over ${stages.size} stages")
+      val totalRun = snap.map(_.runMs).sum
+      println(f"total task run_ms: $totalRun%d over ${snap.size} stages")
     }
     spark.stop()
   }

@@ -15,6 +15,16 @@ object SessionConf {
     * chain). Diagnostics go to stderr — stdout is the driver-parsed
     * single-JSON-line channel in these mains.
     */
+  /** The session shuffle width as an Int for explicit-width
+    * repartitions (pinJoinWidth and the triangle pins), falling back
+    * to `defaultParallelism` when `spark.sql.shuffle.partitions` is
+    * non-numeric — some platforms set it to "auto" (ADVICE r16).
+    */
+  def shuffleWidth(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").trim.toInt)
+      .toOption.filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   def applyEnv(spark: SparkSession): Map[String, String] =
     sys.env.get("SPARK_GRAFT_SESSION_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)

@@ -740,6 +740,11 @@ object TextAnalysis {
     // below promised "the corpus text is never rescanned"; this makes
     // it true). The checkpointed table is the language-vocabulary
     // (word, freq) aggregate — metadata-scale at any corpus size.
+    // Durability: executor-local storage — an executor loss past the
+    // cut fails the query. Fine single-JVM; on a cluster needing
+    // fault tolerance, setCheckpointDir + .checkpoint(true) is the
+    // drop-in reliable variant (see nearDupClusters for the full
+    // trade note).
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", s"$B$$1$E").as("s"), col("cnt"))
@@ -769,6 +774,15 @@ object TextAnalysis {
         vocab = vocab.withColumn("s",
           call_function("replace", col("s"),
             lit(B + l + E + B + r + E), lit(B + l + r + E)))
+        // Re-checkpoint every 16 merges (ADVICE r16): each round
+        // appends one `replace` projection onto the checkpointed
+        // vocab, so round k otherwise re-executes all k-1 prior
+        // replaces — O(merges²) replace work and a linearly growing
+        // plan that AQE re-plans per job. One eager checkpoint of the
+        // vocabulary-sized table per 16 rounds bounds both. (The gate
+        // trains 8 merges, so this never fires locally — scale
+        // hygiene for large merge counts, semantics unchanged.)
+        if (round % 16 == 0) vocab = vocab.localCheckpoint(true)
         round += 1
       }
     }
@@ -1350,8 +1364,18 @@ object TextAnalysis {
           .cast("int"))
       // chunk of a word = boundaries strictly BEFORE it
       .withColumn("chunk_idx", (sum("b").over(byDoc) - col("b")).cast("int"))
+    // start_pos in the SAME (doc_id, pos) window pass (r17, guide
+    // §2.4): a word starts a chunk iff it is the doc's first word or
+    // the previous word was a boundary (chunk_idx(i) = Σ_{j<i} b(j)
+    // changes exactly there), and chunk_idx is non-decreasing in pos,
+    // so the running max of start positions IS min(pos) over
+    // (doc_id, chunk_idx) — bit-identical, while the old second
+    // window's hash partitioning on (doc_id, chunk_idx) cost one more
+    // Exchange + sort of the full token stream. pos is unique per doc,
+    // so the default RANGE frame equals ROWS semantics throughout.
+    val isStart = coalesce(lag(col("b"), 1).over(byDoc) === 1, lit(true))
     val withStart = marked.withColumn("start_pos",
-      min("pos").over(Window.partitionBy("doc_id", "chunk_idx")))
+      max(when(isStart, col("pos"))).over(byDoc))
     val chunks = withStart
       .withColumn("term_sig", graft.functions.PolyHash(
         concat(col("w"), lit(":"), (col("pos") - col("start_pos")).cast("string"))))

@@ -45,16 +45,29 @@ object Graph {
     // via ReusedExchange anyway, so each checkpoint window re-derives
     // them at most once.
     val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // Degree-annotated edge list, built ONCE outside the loop (r16,
     // guide §2.4): the old loop joined ranks⋈deg⋈e every superstep —
     // deg and e are loop-invariant, so folding outdeg onto each edge
     // up front drops one join per iteration (contrib arithmetic is
-    // unchanged: outdeg per (src, dst) is identical either way); the
-    // annotated edge exchange is reused by every superstep.
-    val ed = e.join(deg, "src")
+    // unchanged: outdeg per (src, dst) is identical either way).
+    // MATERIALIZED once (r17, guide §5): the `n = nodes.count()`
+    // action and the final job get no cross-job stage reuse, so the
+    // whole edges→distinct→deg-join pipeline ran TWICE per execution
+    // (graft.Profile: the pair-build and distinct stages appear once
+    // per job). One eager localCheckpoint of the edge-scale annotated
+    // list runs it once; within the final job the per-superstep
+    // exchanges over the checkpointed RDD still dedup via
+    // ReusedExchange. (cache() was A/B-measured here and REVERTED —
+    // deserialized InMemoryTableScan breaks the codegen pipeline; the
+    // checkpointed UnsafeRow scan does not. Durability: executor-local
+    // blocks — on a fault-tolerant cluster swap to setCheckpointDir +
+    // checkpoint(true), see Dedup.nearDupClusters.)
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    // node set derived from the materialized edge list (every e-src
+    // is in deg, so ed carries exactly e's endpoints)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
     // N is one scalar — metadata, like AQE stats
     val n = nodes.count()
     val base = (100L - dampingPct) * S / (100L * n)
@@ -118,9 +131,6 @@ object Graph {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-      .repartition(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("src"))
     // wedge endpoints ordered by (degree, id) so the closing edge is
     // oriented x -> y by construction
     val wedges = oriented.as("e1").join(oriented.as("e2"),

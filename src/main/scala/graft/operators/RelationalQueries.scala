@@ -1294,12 +1294,25 @@ object RelationalQueries {
     QDef("graph_pagerank", (s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
+      // Long-key relabeling (r17, guide §2.3 narrower types): the node
+      // universe is C<custkey> ⊎ S<suppkey>; run every superstep on
+      // the bijection custkey→2k, suppkey→2k+1 and render the C/S
+      // strings once on the node-scale result. PageRank is invariant
+      // under node relabeling (joins/aggs only use key equality, and
+      // the relabeling is injective across the two families), so
+      // rank_nano is bit-identical — the oracle SQL is unchanged. The
+      // superstep join+agg keys drop from ~10-byte strings to 8-byte
+      // longs (string hashing/compares dominated the iteration CPU in
+      // the graft.Profile stage table).
       val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("src"),
-          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       val edges = pairs
         .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRank(edges, iters = 3).orderBy("node")
+      Graph.pageRank(edges, iters = 3)
+        .select(concat(when(col("node") % 2 === 0, lit("C")).otherwise(lit("S")),
+          expr("node div 2")).as("node"), col("rank_nano"))
+        .orderBy("node")
     },
       Some {
         val S = "CAST(1000000000 AS BIGINT)"
@@ -1447,14 +1460,13 @@ object RelationalQueries {
       // width replaces each ENSURE_REQUIREMENTS exchange (same
       // shuffle, pinned count) and moves the agg work to a full-width
       // stage. No-op at scale, where the scan is already parallel.
-      val w = s.conf.get("spark.sql.shuffle.partitions").toInt
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .repartition(w, col("ok"), col("p")).distinct()
+        .distinct()
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
-        .repartition(w, col("u"), col("v")).distinct()
+        .distinct()
       Graph.triangleCounts(e).orderBy("node")
     },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

@@ -18,4 +18,11 @@ object bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Drain the async listener bus (diagnostics only — Profile uses it
+    * to fence stage-completed events against its record toggle; the
+    * bus is `private[spark]`, hence the bridge).
+    */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }
